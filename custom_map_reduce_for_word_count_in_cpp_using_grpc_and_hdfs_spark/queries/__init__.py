@@ -1,0 +1,37 @@
+"""Central registry of driver-facing queries.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+``(spark, sf_dir) -> DataFrame`` callable, optionally paired with an
+ANSI-SQL oracle string DuckDB runs over the same parquet tables. Import
+side effects populate the registry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a driver-facing query; ``oracle=None`` → rows-only check
+    (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Populate the registry (import order = SURVEY.md §7.2 milestone order).
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import wordcount_q  # noqa: E402,F401
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.wordcount_q import flagship  # noqa: E402
+
+__all__ = ["QUERIES", "ORACLE_SQL", "query", "flagship"]

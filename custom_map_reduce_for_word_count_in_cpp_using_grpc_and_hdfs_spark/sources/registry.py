@@ -1,0 +1,62 @@
+"""Table registry over the driver's parquet star schema.
+
+The reference reads exactly one hardcoded HDFS text file
+(master.cc:195-196); our source surface is the TESTDATA.md star schema
+(one parquet per table) plus text/CSV/JSON readers for raw corpora. At
+scale the same call pattern works against partitioned parquet datasets on
+any Hadoop-compatible filesystem — predicate pushdown and partition
+pruning come from expressing reads through ``spark.read.parquet``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every table the driver generates (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join candidates. At SF ratios
+#: (TPC-H-like) these stay tiny relative to the fact tables.
+DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``sf_dir``.
+
+    Plain ``spark.read.parquet`` so scans keep vectorized reading, filter
+    pushdown, and column pruning (verify with ``.explain``: PushedFilters /
+    ReadSchema reflect downstream select/filter).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view for the SQL front end."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text source: the reference's input shape (one untyped line stream,
+    SURVEY.md §1.1) as a DataFrame[value: string].
+
+    Hadoop TextInputFormat handles split sizing and record alignment — the
+    byte-range chunking and boundary repair the reference hand-rolls
+    (slave.cc:41-134) are subsumed.
+    """
+    return spark.read.text(path)
