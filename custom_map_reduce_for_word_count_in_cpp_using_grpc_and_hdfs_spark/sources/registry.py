@@ -42,7 +42,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """The events table is written with TIMESTAMP(NANOS) parquet type,
+    which Spark's vectorized reader rejects outright. Read nanos as long
+    (legacy conf) and truncate to microseconds — the same truncation
+    DuckDB applies, so oracle comparisons stay exact."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
