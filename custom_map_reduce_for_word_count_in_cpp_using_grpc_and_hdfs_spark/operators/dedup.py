@@ -1,0 +1,309 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Scale design (the 100 TB story, per operator):
+
+- **Exact**: hash-groupBy on the dedup key — one shuffle on a
+  high-cardinality key; survivor = min(doc_id) keeps it deterministic.
+- **N-gram Jaccard**: never all-pairs. Candidate generation is a
+  shingle-inverted-index self-join (docs sharing ≥1 shingle), with a
+  document-frequency cap dropping stopword-shingles that would otherwise
+  create quadratic hot keys (classic skew: one shingle shared by 1M docs
+  = 10^12 candidate pairs). Verification is exact set arithmetic on
+  shingle counts.
+- **MinHash LSH**: signatures are k independent xxhash64 permutations
+  min-folded per doc (one pass, no shuffle), banded so that docs agree
+  on ≥1 band-hash iff they are likely near-dups; the candidate join is
+  on (band, band_hash) — equi-join, broadcast-free, skew-bounded by
+  band width. Verified against exact Jaccard afterwards.
+- **SimHash**: 56-bit fingerprints; near-dup = hamming ≤ d. Candidates
+  via the block-pigeonhole trick: split 56 bits into d+1 blocks; any
+  pair within distance d agrees exactly on ≥1 block, so the candidate
+  join is an equi-join on (block_idx, block_value) with guaranteed
+  recall 1.0 — which also makes the operator exactly equal to the
+  brute-force oracle.
+- **Embedding cosine**: see operators/similarity.py for the bucketed
+  path; the all-pairs form here is the small-SF oracle shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import (
+    SIMHASH_BITS,
+    poly_hash_token,
+    poly_hash_token_sql,
+)
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col, tokens_sql
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct key: deterministic survivor + duplicate count."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling + exact n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def shingles_col(text, n: int = 3):
+    """Word n-gram shingles as an array column (space-joined)."""
+    toks = tokens_col(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    toks = tokens_sql(text_expr)
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
+
+    Candidates = docs sharing ≥1 (non-capped) shingle; intersection size
+    falls out of the join group count; union from per-doc distinct
+    shingle counts. ``max_shingle_df`` drops shingles occurring in more
+    than that many docs from *candidate generation only* — at 100 TB hot
+    shingles are pure skew with no discriminative value. NOTE: capping
+    can only lose candidate pairs whose every shared shingle is hot, so
+    leave it None when exact semantics are required.
+    """
+    ds = doc_shingles(df, id_col, text_col, n).cache()
+    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    index = ds
+    if max_shingle_df is not None:
+        freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        index = ds.join(freq.where(F.col("df") <= max_shingle_df), "shingle")
+
+    a = index.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = index.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, num_perm: int = 32, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) — per-permutation min of xxhash64 over
+    the doc's shingles. Computed per-row from the shingle array (no
+    explode, no shuffle): one pass, codegen-friendly."""
+    sh = shingles_col(text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(p))))
+            for p in range(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature, equi-join on (band_idx, band_hash)."""
+    n_sig = sigs.select(F.size("sig").alias("n")).limit(1).collect()[0]["n"]
+    rows_per_band = n_sig // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard — returns (doc_a, doc_b,
+    jaccard ≥ threshold). Approximate only in *recall* (a true pair whose
+    every band disagrees is missed); precision is exact thanks to the
+    verification join."""
+    cands = lsh_candidate_pairs(minhash_signature(df, num_perm, id_col, text_col, n), bands, id_col)
+    ds = doc_shingles(df, id_col, text_col, n)
+    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ds.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = ds.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b.withColumnRenamed("shingle", "shingle_b"), ["doc_b"])
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: long) — 56-bit SimHash over reference tokens.
+
+    bit_b(doc) = 1 iff Σ_tokens (2·bit_b(hash(token)) − 1) > 0, i.e. the
+    majority vote of token-hash bits, duplicates counted. Token hashes
+    are engine-portable polynomial hashes, so the whole operator is
+    oracle-checkable bit for bit."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    hashed = toks.select(id_col, poly_hash_token("tok").alias("h"))
+    bits = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).select(
+        id_col,
+        "b",
+        (F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    )
+    bit_vals = (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("s"))
+        .select(
+            id_col,
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+    )
+    return bit_vals.groupBy(id_col).agg(F.sum("bitval").alias("simhash"))
+
+
+def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
+    """DuckDB rendering of :func:`simhash` (same hash, same majority rule)."""
+    return f"""
+    SELECT {id_col}, SUM(bitval) AS simhash FROM (
+        SELECT {id_col}, CASE WHEN SUM(vote) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bitval
+        FROM (
+            SELECT {id_col}, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b,
+                   2 * ((h >> b) & 1) - 1 AS vote
+            FROM (
+                SELECT {id_col}, {poly_hash_token_sql('tok')} AS h
+                FROM (
+                    SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok
+                    FROM {table}
+                )
+            )
+        ) GROUP BY {id_col}, b
+    ) GROUP BY {id_col}
+    """
+
+
+def simhash_near_dups(df: DataFrame, max_distance: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ d via the pigeonhole
+    block join: 56 bits split into d+1 blocks; distance-≤d pairs must
+    agree exactly on ≥1 block, so candidates come from an equi-join on
+    (block_idx, block_bits) — recall 1.0, no all-pairs stage. The result
+    set is therefore *identical* to brute force (which the oracle runs)."""
+    fps = simhash(df, id_col, text_col)
+    n_blocks = max_distance + 1
+    width = SIMHASH_BITS // n_blocks  # 56/4 = 14 for d=3
+    mask = (1 << width) - 1
+    blocks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("blk_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.blk_val")
+    a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "blk_val")
+    b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "blk_val")
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    )

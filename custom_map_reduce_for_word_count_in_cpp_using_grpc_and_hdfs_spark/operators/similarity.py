@@ -1,0 +1,179 @@
+"""Vector similarity search over the ``embeddings`` table.
+
+Two paths, one semantics:
+
+- **Brute force** — broadcast the query set against the corpus, score
+  with the codegen cosine from ``functions.vector``, take per-query
+  top-k via a rank window. Exact; correct baseline at any scale where
+  |queries| is small (the corpus is never collected or shuffled — it
+  streams through one projection + one bounded-heap window).
+- **LSH-bucketed (random hyperplanes)** — sign-bit signatures from a
+  fixed seeded projection matrix; candidates must share a signature
+  prefix band with the query, then exact cosine rescoring within the
+  bucket. Trades recall for touching ~1/2^b of the corpus per band.
+  Recall is measured against brute force in tests, not assumed.
+
+At 100 TB the brute-force path is a full scan per query batch (fine for
+offline eval); the bucketed path is the online/ANN shape: bucket id is
+computable at write time, so the corpus can be stored partitioned by
+bucket and partition pruning turns a query into a few-bucket read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.vector import cosine
+
+#: Fixed seed for the hyperplane projections — part of the operator
+#: definition (same planes at write and query time).
+LSH_SEED = 20240813
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, rank) — scores stay internal so
+    results are stable under float formatting; ordering ties break by
+    neighbor id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("q_vec", "c_vec").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (same at index and query time)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def signature_col(vec_col, planes: np.ndarray):
+    """Sign-bit signature as a long column: bit_i = 1 iff <v, p_i> >= 0.
+
+    Pure expression (one fused dot per plane) — computable at write time
+    for bucket-partitioned storage.
+    """
+    bits = []
+    for i, p in enumerate(planes):
+        dot_i = F.aggregate(
+            F.zip_with(
+                vec_col if not isinstance(vec_col, str) else F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot_i >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 of ``bands`` signature bands
+    with the query, then exact cosine rescoring. Same output schema as
+    :func:`brute_force_topk` (query_id, neighbor_id, rank)."""
+    planes = hyperplanes(dim, n_planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = signature_col(vec_col, planes)
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            sig.alias("sig"),
+        ).select(
+            f"{role}_id",
+            f"{role}_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{role}_id", f"{role}_vec", "bb.band", "bb.band_val")
+
+    q = banded(queries, "query")
+    c = banded(corpus, "neighbor")
+    cands = (
+        F.broadcast(q)
+        .join(c, ["band", "band_val"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine("query_vec", "neighbor_vec").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (a < b) — embedding near-dup.
+
+    All-pairs form (the small-SF / oracle shape). The scale path reuses
+    the LSH bucketing above: near-identical vectors agree on most sign
+    bits, so candidates from band agreement + exact rescoring keep the
+    same output with sub-quadratic work.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,161 @@
+"""Text-analysis operators for training-data pipelines: token statistics,
+quality scoring, language ID, document fingerprinting.
+
+All pure Catalyst expressions (split/filter/transform/aggregate lambdas —
+JVM-side, codegen-friendly); no Python UDFs anywhere. Each has an exact
+DuckDB rendering (same fold order, same regexes) so the whole surface is
+oracle-checkable. Token semantics follow the reference tokenizer: split
+on space/newline only (slave.cc:103).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import (
+    poly_hash_chars,
+    poly_hash_chars_sql,
+)
+
+#: Reference tokenizer (slave.cc:103) as an array expression.
+def tokens_col(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(text, "[ \n]"), lambda t: t != "")
+
+
+def tokens_sql(text_expr: str) -> str:
+    return f"list_filter(regexp_split_to_array({text_expr}, '[ \n]'), t -> t <> '')"
+
+
+#: BPE-ish word/number/symbol pre-tokenizer. Alternation is ordered the
+#: same in Java regex and RE2; whitespace class written explicitly so the
+#: two engines agree on every byte.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text)).cast("long")
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish pre-token count — the cheap proxy for 'how many LLM tokens
+    will this document cost'."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).cast("long")
+
+
+def token_count_bpe_sql(text_expr: str) -> str:
+    return f"len(regexp_extract_all({text_expr}, '{BPE_PATTERN}'))::BIGINT"
+
+
+#: Stopword set for quality scoring. Deliberately small and hardcoded —
+#: it is part of the operator's definition, shared with the oracle.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+
+def stopword_count(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+
+
+def stopword_count_sql(text_expr: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"len(list_filter({tokens_sql(text_expr)}, t -> list_contains([{words}], t)))::BIGINT"
+    )
+
+
+def punct_count(text: Column | str) -> Column:
+    """Number of non-alphanumeric, non-whitespace characters."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9 \t\n]"), 0)).cast("long")
+
+
+def punct_count_sql(text_expr: str) -> str:
+    return f"len(regexp_extract_all({text_expr}, '[^A-Za-z0-9 \t\n]'))::BIGINT"
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-signal feature set. Every ratio is a single division of two
+    exact integers, so values are bit-deterministic."""
+    text = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(text).cast("long")
+    n_tokens = token_count_ws(text)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": (n_chars - (n_tokens - 1)) / n_tokens,  # delimiter-adjusted
+        "stopword_ratio": stopword_count(text) / n_tokens,
+        "punct_ratio": punct_count(text) / n_chars,
+    }
+
+
+#: Language marker words (tiny per-language stopword sets). An n-gram /
+#: marker-hit heuristic, not a model: score(lang) = number of tokens in
+#: the marker set; prediction = argmax with lexicographic tiebreak.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "is", "a", "to"),
+    "es": ("el", "la", "los", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo", "ni"),
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    toks = tokens_col(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over lang_scores, ties broken by language code ascending;
+    'und' (undetermined) when every score is zero."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # iterate in reverse-lexicographic order so the final CASE picks the
+    # lexicographically smallest language among ties
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, lang).otherwise(pred)
+    return F.when(best == 0, "und").otherwise(pred)
+
+
+def lang_id_sql(text_expr: str) -> str:
+    toks = tokens_sql(text_expr)
+    score = {
+        lang: f"len(list_filter({toks}, t -> list_contains([{', '.join(repr(w) for w in ms)}], t)))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    branches = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in sorted(score)
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {branches} ELSE 'und' END"
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Rolling-hash document fingerprint (exact-dup detection key that is
+    stable across engines and runs)."""
+    return poly_hash_chars(text)
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    return poly_hash_chars_sql(text_expr)
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for normalized dedup: lowercase, collapse whitespace
+    runs, trim."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(text), "[ \t\n]+", " "))
+
+
+def normalized_text_sql(text_expr: str) -> str:
+    return f"trim(regexp_replace(lower({text_expr}), '[ \t\n]+', ' ', 'g'))"

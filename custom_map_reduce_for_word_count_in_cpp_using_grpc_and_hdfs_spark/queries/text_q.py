@@ -1,0 +1,112 @@
+"""Text-analysis queries over ``documents`` — token stats, quality
+scoring, language ID, fingerprinting (all oracle-checked bit-for-bit;
+see operators/text.py for the shared Spark/DuckDB definitions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import text as T
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import query
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len({T.tokens_sql('text')})::BIGINT AS n_tokens,
+           {T.token_count_bpe_sql('text')} AS n_bpe_tokens,
+           {T.punct_count_sql('text')} AS n_punct
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        T.token_count_ws("text").alias("n_tokens"),
+        T.token_count_bpe("text").alias("n_bpe_tokens"),
+        T.punct_count("text").alias("n_punct"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len({T.tokens_sql('text')})::BIGINT AS n_tokens,
+           (length(text)::BIGINT - (len({T.tokens_sql('text')})::BIGINT - 1))
+             / len({T.tokens_sql('text')})::BIGINT AS avg_token_len,
+           {T.stopword_count_sql('text')} / len({T.tokens_sql('text')})::BIGINT AS stopword_ratio,
+           {T.punct_count_sql('text')} / length(text)::BIGINT AS punct_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal features: each ratio is one division of exact ints."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    return docs.select("doc_id", *[c.alias(name) for name, c in feats.items()])
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label, {T.lang_id_sql('text')} AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic; argmax with
+    lexicographic tiebreak, 'und' when no marker hits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_label"), T.lang_id("text").alias("lang_pred")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {T.fingerprint_sql('text')} AS fp,
+           {T.fingerprint_sql(T.normalized_text_sql('text'))} AS fp_normalized
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints of raw and normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.fingerprint(T.normalized_text("text")).alias("fp_normalized"),
+    )
+
+
+@query(
+    "text_bpe_vocab",
+    oracle=f"""
+    SELECT tok, count(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS tok FROM documents
+    )
+    GROUP BY tok
+    ORDER BY cnt DESC, tok ASC
+    LIMIT 50
+    """,
+)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary under the BPE-ish pre-tokenizer (top 50)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.regexp_extract_all("text", F.lit(T.BPE_PATTERN), 0)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(50)
+    )

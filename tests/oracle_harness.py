@@ -46,8 +46,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
         elif s.dtype == object:
-            # decimal.Decimal or lists; stringify deterministically
-            df[c] = s.map(lambda v: repr(v) if isinstance(v, (list, np.ndarray)) else v)
+            # bytearray vs bytes, lists/arrays → canonical hashable forms
+            def canon(v):
+                if isinstance(v, bytearray):
+                    return bytes(v)
+                if isinstance(v, (list, np.ndarray)):
+                    return repr([float(x) if isinstance(x, (float, np.floating)) else x for x in v])
+                return v
+
+            df[c] = s.map(canon)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
