@@ -135,21 +135,43 @@ def jaccard_pairs(
 
 
 def minhash_signature(df: DataFrame, num_perm: int = 32, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, sig: array<long>) — per-permutation min of xxhash64 over
-    the doc's shingles. Computed per-row from the shingle array (no
-    explode, no shuffle): one pass, codegen-friendly."""
-    sh = shingles_col(text_col, n)
+    """(doc_id, sig: array<long>) — per-permutation min over the doc's
+    shingle hashes. No explode, no shuffle.
+
+    Two stages on purpose: shingle construction + string hashing runs
+    ONCE into a persisted long array, then each of the ``num_perm``
+    permutations is a cheap long→long remix (xxhash64 of 8 bytes) folded
+    with array_min. A single-stage formulation would inline the whole
+    tokenize→shingle→hash expression into every permutation element —
+    lambda expressions are exempt from Catalyst subexpression
+    elimination, so that costs num_perm full passes per row (measured
+    ~30× slower at sf0.1).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s)).alias("bh"),
+    ).persist()
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(p))))
+            F.array_min(F.transform(F.col("bh"), lambda h: F.xxhash64(h, F.lit(p))))
             for p in range(num_perm)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return base.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
-    """Band the signature, equi-join on (band_idx, band_hash)."""
+    """Band the signature, equi-join on (band_idx, band_hash).
+
+    ``sigs`` is persisted first: the banding projection references the
+    signature array 4×rows_per_band times per band, and Catalyst's
+    CollapseProject would inline the full lambda-built signature
+    expression into every reference (higher-order functions are exempt
+    from subexpression elimination) — recomputing MinHash hundreds of
+    times per row. Materializing once is also the production shape: at
+    scale, signatures are written/persisted and reused across dedup runs.
+    """
+    sigs = sigs.persist()
     n_sig = sigs.select(F.size("sig").alias("n")).limit(1).collect()[0]["n"]
     rows_per_band = n_sig // bands
     banded = sigs.select(

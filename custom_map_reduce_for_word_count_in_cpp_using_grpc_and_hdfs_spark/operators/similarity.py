@@ -102,7 +102,7 @@ def lsh_topk(
     corpus: DataFrame,
     k: int = 10,
     n_planes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -1,0 +1,117 @@
+"""Structured Streaming operators over the events table.
+
+The reference is strictly batch (SURVEY.md §2.3) — this is north-star
+surface. Design:
+
+- **Source**: file stream over a staged directory (Spark's file source
+  requires a directory; the driver's events table is a single parquet
+  file, so we stage a copy under ``.scratch/``). In production this is a
+  Kafka/file-drop source; everything downstream is identical.
+- **Windows**: tumbling/sliding via ``window()``, sessions via
+  ``session_window()`` — all computed with ``Trigger.AvailableNow`` so a
+  bounded run drains the source and terminates, giving batch-equivalent
+  results (asserted against DuckDB oracles).
+- **Output modes**: ``complete`` for windowed aggregations (emits every
+  finalized window at drain time without waiting on watermark
+  expiry), ``append`` + watermark for stateful dedup.
+- **Scale posture**: state size is bounded by watermarks
+  (``withWatermark``) in production mode; AvailableNow runs accept the
+  one-shot full-state cost by design. Skewed session keys fall under
+  AQE-less streaming rules, so session_window keys should be salted
+  upstream if a single user dominates (documented, not needed here).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.exact import dsum
+
+#: Scratch root for staged stream directories (inside the repo; the
+#: environment forbids writes elsewhere).
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _stage_dir(sf_dir: str, table: str = "events") -> str:
+    """Stage ``<sf_dir>/<table>.parquet`` into a directory usable by the
+    file-stream source. Idempotent per (sf_dir, table)."""
+    key = f"{table}-{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    target = os.path.join(SCRATCH, "streams", key)
+    marker = os.path.join(target, f"{table}.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(target, exist_ok=True)
+        shutil.copyfile(os.path.join(sf_dir, f"{table}.parquet"), marker)
+    return target
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame over the events table (ts normalized to
+    microsecond timestamps, same as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(batch_schema).parquet(_stage_dir(sf_dir))
+    if dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_available_now(df: DataFrame, mode: str, timeout_s: int = 300) -> DataFrame:
+    """Drain a bounded stream into a memory sink and return the result as
+    a batch DataFrame."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.exception() is not None:
+        raise q.exception()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts + exact value sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", alias="sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window counts (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows with the given inactivity gap; session
+    end = last event + gap (Spark's session_window semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id: duplicates arriving within
+    the watermark horizon are dropped; state for ids older than the
+    watermark is evicted (bounded state at scale)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
