@@ -36,6 +36,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries i
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import text_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import dedup_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import similarity_q  # noqa: E402,F401
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import relational2_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import streaming_q  # noqa: E402,F401
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.wordcount_q import flagship  # noqa: E402

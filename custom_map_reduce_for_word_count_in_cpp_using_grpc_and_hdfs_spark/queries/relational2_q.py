@@ -1,0 +1,283 @@
+"""Relational coverage, batch 2: more TPC-H-shaped analytics, pivot,
+null handling, scalar subqueries, lateral explode, and the SQL front
+end (SURVEY.md §2.3 rows: SQL front end, set/scalar function coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.exact import davg, dsum, dsum_expr
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import query
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table, register_views
+
+
+@query(
+    "rel_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_expr('l_extendedprice * l_discount', 6)} AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg; every predicate must reach
+    the parquet scan (no join, no shuffle beyond the 1-row final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6, alias="revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "rel_q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    GROUP BY l_linestatus
+    """,
+)
+def rel_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation over a fact-fact join."""
+    li, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@query(
+    "rel_q14_promo_ratio",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE) * {dsum_expr("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+             / {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def rel_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional revenue ratio."""
+    li, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo_rev, 6) / dsum(rev, 6)).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "rel_q18_large_orders",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey, {dsum_expr('l.l_quantity')} AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING {dsum_expr('l.l_quantity')} > 150
+    """,
+)
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join + grouped HAVING on an exact sum."""
+    li, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(dsum("l_quantity", alias="total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+
+
+@query(
+    "rel_q19_or_predicates",
+    oracle=f"""
+    SELECT {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+    """,
+)
+def rel_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates over a join."""
+    li, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.where(cond1 | cond2).agg(dsum(rev, 6, alias="revenue"))
+
+
+@query(
+    "rel_pivot_event_types",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def rel_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): explicit value list so the plan is a single
+    aggregation — no distinct-values pre-pass, which is the scalable form."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@query(
+    "rel_null_handling",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.o_totalprice, 0.0) AS price_or_zero,
+           CASE WHEN o.o_orderkey IS NULL THEN 'no_order' ELSE 'has_order' END AS status,
+           nullif(c.c_mktsegment, 'BUILDING') AS seg_or_null
+    FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 97 = 0) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def rel_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-surface coverage: coalesce / IS NULL / nullif through an
+    outer join."""
+    o, c = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    sparse = o.where(F.col("o_orderkey") % 97 == 0)
+    return c.join(sparse, sparse.o_custkey == c.c_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("price_or_zero"),
+        F.when(F.col("o_orderkey").isNull(), "no_order").otherwise("has_order").alias("status"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+    )
+
+
+@query(
+    "rel_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_vs_max
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned as a 1-row broadcast)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_vs_max
+        FROM orders WHERE o_orderkey % 100 = 0
+        """
+    )
+
+
+@query(
+    "rel_sql_frontend",
+    oracle=f"""
+    SELECT n_name, count(*) AS n_customers,
+           {dsum_expr('c_acctbal')} AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def rel_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end itself (ABSENT in the reference, §2.3): identical
+    ANSI text runs on spark.sql over registered views and on the oracle."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@query(
+    "rel_posexplode",
+    oracle="""
+    SELECT vec_id, pos - 1 AS pos, component
+    FROM (SELECT vec_id, unnest(embedding) AS component,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings WHERE vec_id % 100 = 0)
+    """,
+)
+def rel_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array flatten with position (posexplode / unnest WITH
+    ORDINALITY equivalent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "component"))
+        .select("vec_id", F.col("pos").cast("long").alias("pos"), "component")
+    )
+
+
+@query(
+    "rel_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_acctbal AS balance, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_id, s_acctbal AS balance, 'supplier' AS kind FROM supplier
+    """,
+)
+def rel_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union of heterogeneous entities."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("balance"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s)

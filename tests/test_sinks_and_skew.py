@@ -1,0 +1,65 @@
+"""Write-path format coverage, partitioned sorted sink layout, and the
+salted aggregation helper."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import wordcount as wc
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_word_count
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources.sinks import roundtrip
+
+from .conftest import SF_SMOKE
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sink-tests")
+
+
+def test_format_roundtrips(spark, tmp_path_factory):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "n_chars")
+    expected = sorted(tuple(r) for r in docs.collect())
+    for fmt in ["parquet", "json", "csv"]:
+        path = os.path.join(SCRATCH, f"roundtrip_{fmt}")
+        back = roundtrip(spark, docs, path, fmt)
+        got = sorted((r.doc_id, r.lang, r.n_chars) for r in back.select("doc_id", "lang", "n_chars").collect())
+        assert got == expected, fmt
+
+
+def test_partitioned_sorted_sink_layout(spark):
+    """The reference's output-<initial> layout (slave.cc:174,219-226):
+    one directory per initial, rows sorted by word within files."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counts = wc.word_count(docs)
+    path = os.path.join(SCRATCH, "wc_layout")
+    wc.write_partitioned_sorted(counts, path)
+    dirs = {d for d in os.listdir(path) if d.startswith("initial=")}
+    assert len(dirs) > 1
+    back = spark.read.parquet(path)
+    assert back.where(F.substring("word", 1, 1) != F.col("initial")).count() == 0
+    # global counts survive the layout
+    total = back.agg(F.sum("cnt")).collect()[0][0]
+    assert total == wc.tokenize(docs).count()
+
+
+def test_text_source_roundtrip(spark):
+    """Raw text source (the reference's input shape): write words as text
+    lines, read back via read_text_corpus, counts must match."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources.registry import read_text_corpus
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = os.path.join(SCRATCH, "text_corpus")
+    docs.select("text").write.mode("overwrite").text(path)
+    corpus = read_text_corpus(spark, path)
+    direct = wc.word_count(docs).orderBy("word").collect()
+    via_text = wc.word_count(corpus, text_col="value").orderBy("word").collect()
+    assert [(r.word, r.cnt) for r in direct] == [(r.word, r.cnt) for r in via_text]
+
+
+def test_salted_word_count_equals_plain(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    words = wc.tokenize(docs)
+    plain = {(r.word, r.cnt) for r in wc.word_count(docs).collect()}
+    salted = {(r.word, r.cnt) for r in salted_word_count(words).collect()}
+    assert salted == plain
