@@ -26,7 +26,9 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: reference-parity word-count + top-K over documents
     at sf0.001 (the reference's one query, SURVEY.md §3.1)."""
-    return flagship(spark, SF0001)
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session import apply_engine_conf
+
+    return flagship(apply_engine_conf(spark), SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

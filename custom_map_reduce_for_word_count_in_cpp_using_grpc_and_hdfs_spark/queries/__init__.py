@@ -18,10 +18,23 @@ ORACLE_SQL: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     """Register a driver-facing query; ``oracle=None`` → rows-only check
-    (reserved for genuinely non-SQL-expressible ops)."""
+    (reserved for genuinely non-SQL-expressible ops).
+
+    The registered callable first applies the engine's runtime-settable
+    conf (AQE, broadcast threshold, UTC session timezone) to the session
+    it is handed — the driver builds its own SparkSession, and plan
+    quality must not depend on who constructed it.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session import apply_engine_conf
+
+            return fn(apply_engine_conf(spark), sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn
