@@ -214,7 +214,8 @@ def minhash_near_dups(
     every band disagrees is missed); precision is exact thanks to the
     verification join."""
     cands = lsh_candidate_pairs(minhash_signature(df, num_perm, id_col, text_col, n), bands, id_col)
-    ds = doc_shingles(df, id_col, text_col, n)
+    # three consumers (sizes + both verification sides) — persist once
+    ds = doc_shingles(df, id_col, text_col, n).persist()
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = ds.select(F.col(id_col).alias("doc_a"), "shingle")
     b = ds.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -250,26 +251,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     oracle-checkable bit for bit."""
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     hashed = toks.select(id_col, poly_hash_token("tok").alias("h"))
-    bits = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h",
-    ).select(
-        id_col,
-        "b",
-        (F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    # One shuffle: token hashes collected per doc (≤ a few hundred longs);
+    # the 56 per-bit majority votes then fold per-row over that array.
+    # (The explode-per-bit formulation shuffles |tokens|×56 rows — 14M at
+    # sf0.1 — for identical results.)
+    per_doc = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    sim_expr = F.expr(
+        f"""
+        aggregate(
+            transform(sequence(0, {SIMHASH_BITS - 1}),
+                      b -> IF(aggregate(hs, CAST(0 AS BIGINT),
+                                        (acc, h) -> acc + (2 * ((h >> b) & 1) - 1)) > 0,
+                              shiftleft(CAST(1 AS BIGINT), b),
+                              CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT),
+            (acc, x) -> acc + x)
+        """
     )
-    bit_vals = (
-        bits.groupBy(id_col, "b")
-        .agg(F.sum("vote").alias("s"))
-        .select(
-            id_col,
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bitval"),
-        )
-    )
-    return bit_vals.groupBy(id_col).agg(F.sum("bitval").alias("simhash"))
+    return per_doc.select(F.col(id_col), sim_expr.alias("simhash"))
 
 
 def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
@@ -299,7 +298,9 @@ def simhash_near_dups(df: DataFrame, max_distance: int = 3, id_col: str = "doc_i
     agree exactly on ≥1 block, so candidates come from an equi-join on
     (block_idx, block_bits) — recall 1.0, no all-pairs stage. The result
     set is therefore *identical* to brute force (which the oracle runs)."""
-    fps = simhash(df, id_col, text_col)
+    # persisted: both join sides and all d+1 block projections read the
+    # fingerprints; without the barrier each reference recomputes them
+    fps = simhash(df, id_col, text_col).persist()
     n_blocks = max_distance + 1
     width = SIMHASH_BITS // n_blocks  # 56/4 = 14 for d=3
     mask = (1 << width) - 1

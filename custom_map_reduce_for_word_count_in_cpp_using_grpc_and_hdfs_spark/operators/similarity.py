@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.vector import cosine
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.vector import cosine, dot, norm2
 
 #: Fixed seed for the hyperplane projections — part of the operator
 #: definition (same planes at write and query time).
@@ -46,8 +46,18 @@ def brute_force_topk(
     results are stable under float formatting; ordering ties break by
     neighbor id.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # Pre-normalize each side once so the per-pair cost is a single dot
+    # fold (64 ops) instead of dot + two norms (192 ops). Norms are
+    # per-row, computed before the join multiplies cardinality.
+    def normalized(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        n = norm2(vec_col)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / n).alias(out_vec),
+        )
+
+    q = normalized(queries, "query_id", "q_vec")
+    c = normalized(corpus, "neighbor_id", "c_vec")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -55,7 +65,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine("q_vec", "c_vec").alias("score"),
+            dot("q_vec", "c_vec").alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
