@@ -281,3 +281,57 @@ def rel_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
     )
     return c.unionByName(s)
+
+
+@query(
+    "fn_stats_moments",
+    oracle="""
+    SELECT event_type, n,
+           (n * sxx - sx * sx) / (n * (n - 1)) AS var_value,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_value,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_user
+    FROM (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type
+    )
+    """,
+)
+def fn_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation — deterministic versions.
+
+    Built-in stddev/corr accumulate doubles in partition order, so their
+    last bits are not reproducible (and can't hash-match any oracle).
+    The engine's form computes exact decimal power sums (order-free)
+    first, then derives the moments with a fixed double expression:
+    var = (nΣx² − (Σx)²)/(n(n−1)), corr analogous. Same single shuffle
+    and partial aggregation as the built-ins.
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    y = (F.col("user_id") % 100).cast("double")
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, alias="sx"),
+        dsum(x * x, alias="sxx"),
+        dsum(y, alias="sy"),
+        dsum(y * y, alias="syy"),
+        dsum(x * y, alias="sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return base.select(
+        "event_type",
+        "n",
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+        corr.alias("corr_value_user"),
+    )

@@ -99,3 +99,41 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(doubled)
     out = run_available_now(deduped, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "stream_word_count",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '[ \n]')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def stream_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one query, incrementalized: a Structured Streaming
+    word count whose drained state equals the batch aggregate."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import (
+        documents_stream,
+        streaming_word_count,
+    )
+
+    return run_available_now(streaming_word_count(documents_stream(spark, sf_dir)), "complete")
+
+
+@query(
+    "stream_stateful_user_activity",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, value-cents) state machine; after draining one
+    AvailableNow pass the emitted state equals the batch aggregate."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.stateful import user_activity_state
+
+    return run_available_now(user_activity_state(events_stream(spark, sf_dir)), "update")

@@ -115,3 +115,19 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     the watermark horizon are dropped; state for ids older than the
     watermark is evicted (bounded state at scale)."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the documents table (for incremental
+    word-count — the reference query as a stream)."""
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return spark.readStream.schema(batch_schema).parquet(_stage_dir(sf_dir, "documents"))
+
+
+def streaming_word_count(docs: DataFrame) -> DataFrame:
+    """The reference's one query, incrementalized: tokenize → running
+    word counts maintained in streaming state. With AvailableNow +
+    complete mode this drains to exactly the batch word count."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.wordcount import tokenize
+
+    return tokenize(docs).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
