@@ -10,7 +10,12 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# importable regardless of the driver's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

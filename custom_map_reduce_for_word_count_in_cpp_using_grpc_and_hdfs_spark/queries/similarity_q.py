@@ -51,19 +51,24 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_payload_meta",
     oracle="""
-    SELECT doc_id, encode(text) AS payload,
+    SELECT doc_id, md5(text) AS payload_md5,  -- DuckDB md5 takes VARCHAR; same utf-8 bytes as the payload
            octet_length(encode(text))::BIGINT AS byte_len,
            'text' AS modality
     FROM documents WHERE doc_id % 10 = 0
     """,
 )
 def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal row shape: binary payload + typed metadata struct
-    (struct fields projected flat for the comparison)."""
+    """Multimodal row shape: binary payload + typed metadata struct.
+    The comparison projects the payload as its md5 (computed over the
+    BYTES on both engines) so the differential hash stays scalar while
+    still proving byte-exact payload equality."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     with_payload = MM.attach_payload(docs)
     return with_payload.select(
-        "doc_id", "payload", F.col("meta.byte_len").alias("byte_len"), F.col("meta.modality").alias("modality")
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.modality").alias("modality"),
     )
 
 

@@ -306,21 +306,32 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(embedding) AS dim,
            embedding[1] AS first_component,
            embedding[64] AS last_component,
-           list_slice(embedding, 1, 4) AS head4
+           array_to_string(list_transform(list_slice(embedding, 1, 4),
+                           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)), ',') AS head4
     FROM embeddings
     WHERE vec_id % 20 = 0
     """,
 )
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array column surface over the embeddings table (1-indexed access
-    in both engines)."""
+    in both engines; the sliced head is serialized to a scalar string so
+    the differential hash never depends on array-encoding details)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # integer basis-points: double→string formatting differs between
+    # engines, integer formatting doesn't
+    head4 = F.array_join(
+        F.transform(
+            F.slice("embedding", 1, 4),
+            lambda x: F.round(x.cast("double") * 10000).cast("long").cast("string"),
+        ),
+        ",",
+    )
     return emb.where(F.col("vec_id") % 20 == 0).select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).alias("first_component"),
         F.element_at("embedding", 64).alias("last_component"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        head4.alias("head4"),
     )
 
 

@@ -131,3 +131,21 @@ def wc_per_document(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("word").alias("n_distinct"),
     )
+
+
+@query(
+    "wc_salted",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM ({_TOKENS_SQL}) WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wc_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened word count (plans/skew.py): two-phase salted
+    aggregation, provably identical to the plain groupBy — the Zipf-head
+    variant for corpora where one word dominates a reducer."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return salted_word_count(wc.tokenize(docs))
