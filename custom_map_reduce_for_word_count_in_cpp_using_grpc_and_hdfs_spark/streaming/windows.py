@@ -40,7 +40,12 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.a
 def _stage_dir(sf_dir: str, table: str = "events") -> str:
     """Stage ``<sf_dir>/<table>.parquet`` into a directory usable by the
     file-stream source. Idempotent per (sf_dir, table)."""
-    key = f"{table}-{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    import hashlib
+
+    # stable digest — Python's hash() is per-process randomized, which
+    # would re-stage (and leak) a fresh copy every run
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    key = f"{table}-{digest}"
     target = os.path.join(SCRATCH, "streams", key)
     marker = os.path.join(target, f"{table}.parquet")
     if not os.path.exists(marker):

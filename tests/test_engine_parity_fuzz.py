@@ -1,0 +1,83 @@
+"""Property-based cross-engine parity: the portable primitives
+(polynomial hashes, tokenizer, shingles, vector folds) must agree
+between Spark and DuckDB on *arbitrary* inputs, not just the fixture
+corpus — they are the foundation the oracle gate stands on."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import (
+    poly_hash_chars,
+    poly_hash_chars_sql,
+    poly_hash_token,
+    poly_hash_token_sql,
+)
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.vector import (
+    cosine,
+    cosine_sql,
+    dot,
+    dot_sql,
+)
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col, tokens_sql
+
+# printable ASCII incl. the delimiters and regex metacharacters
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=60,
+).map(lambda s: s.replace("\r", " "))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_poly_hashes_match_duckdb(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(poly_hash_chars("t").alias("h"), poly_hash_token("t").alias("h56")).collect()
+    con = duckdb.connect()
+    try:
+        for t, row in zip(texts, got):
+            o = con.execute(
+                f"SELECT {poly_hash_chars_sql('?')}, {poly_hash_token_sql('?')}", [t, t]
+            ).fetchone()
+            assert (row.h, row.h56) == (o[0], o[1]), repr(t)
+    finally:
+        con.close()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(TEXT.map(lambda s: s + "\n" if len(s) % 3 == 0 else s), min_size=1, max_size=6))
+def test_tokenizer_matches_duckdb(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(tokens_col("t")).collect()]
+    con = duckdb.connect()
+    try:
+        for t, toks in zip(texts, got):
+            o = con.execute(f"SELECT {tokens_sql('?')}", [t]).fetchone()[0]
+            assert toks == o, repr(t)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_vector_folds_match_duckdb(spark, seed):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (rng.standard_normal(d).astype("float32").tolist(), rng.standard_normal(d).astype("float32").tolist())
+        for d in [1, 2, 7, 64, 128]
+    ]
+    for a, b in rows:
+        df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+        r = df.select(dot("a", "b").alias("d"), cosine("a", "b").alias("c")).collect()[0]
+        con = duckdb.connect()
+        try:
+            o = con.execute(
+                f"SELECT {dot_sql('$a::FLOAT[]', '$b::FLOAT[]')}, {cosine_sql('$a::FLOAT[]', '$b::FLOAT[]')}",
+                {"a": a, "b": b},
+            ).fetchone()
+        finally:
+            con.close()
+        assert r.d == o[0] and r.c == o[1], f"dim={len(a)}"
