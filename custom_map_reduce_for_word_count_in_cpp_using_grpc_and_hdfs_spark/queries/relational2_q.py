@@ -335,3 +335,50 @@ def fn_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var).alias("stddev_value"),
         corr.alias("corr_value_user"),
     )
+
+
+@query(
+    "rel_asof_last_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, c.event_id AS asof_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def rel_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the most recent click by the
+    same user at or before it. Spark side is the union+window form
+    (operators/relational.py::as_of_join — one shuffle, one sort); the
+    oracle is DuckDB's native ASOF JOIN, an independently-derived
+    implementation of the same semantics."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.relational import as_of_join
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return as_of_join(errors, clicks, key="user_id", ts="ts", right_val="event_id").select(
+        "event_id", "user_id", "ts", "asof_event_id"
+    )
+
+
+@query(
+    "rel_interval_join_bursts",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.ts AS ts_a, b.ts AS ts_b
+    FROM (SELECT * FROM events WHERE event_type = 'error') a
+    JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+    """,
+)
+def rel_interval_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: pairs of error events within 60 s of each
+    other (burst detection). Spark side uses time-bucket candidate
+    generation (never a cross join); the oracle brute-forces the range
+    predicate — results must be identical because adjacent-bucket
+    coverage is exhaustive for |gap| <= bucket width."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.relational import interval_self_join
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    return interval_self_join(e, ts="ts", id_col="event_id", max_gap_seconds=60)
