@@ -74,12 +74,23 @@ def shingles_sql(text_expr: str, n: int = 3) -> str:
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the inverted-index input."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle"))
-        .distinct()
-    )
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, hashed: bool = True
+) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the inverted-index input.
+
+    ``hashed=True`` replaces the shingle string with its xxhash64: the
+    distinct + self-join then shuffle 8-byte keys instead of ~25-byte
+    strings (measurably faster, and the at-scale default — shuffling
+    hashes, not text). Set arithmetic is exact unless two distinct
+    shingles collide in 64 bits: P ≈ n²/2⁶⁵ ≈ 2·10⁻⁹ at 260k shingles.
+    Pass ``hashed=False`` where provable exactness beats speed.
+    """
+    shingle = F.explode(shingles_col(text_col, n)).alias("shingle")
+    out = df.select(F.col(id_col), shingle)
+    if hashed:
+        out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    return out.distinct()
 
 
 def jaccard_pairs(
