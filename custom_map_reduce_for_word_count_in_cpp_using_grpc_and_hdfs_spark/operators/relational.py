@@ -14,8 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources.registry import DIM_TABLES
-
 
 def dim(df: DataFrame, name: str | None = None) -> DataFrame:
     """Mark a dimension table for broadcast join.

@@ -6,13 +6,12 @@ Oracle status per operator:
   guaranteed recall for d ≤ blocks-1, so Spark's candidate-join result
   *equals* the oracle's brute-force pair scan.
 - minhash LSH → rows-only here; recall vs exact Jaccard asserted in
-  tests/test_dedup.py (hash permutations are xxhash64, not portable).
+  tests/test_dedup_similarity.py (hash permutations are xxhash64, not portable).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import dedup as D
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import text as T

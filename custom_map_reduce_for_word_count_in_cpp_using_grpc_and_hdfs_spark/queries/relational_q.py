@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.exact import davg, dsum, dsum_expr
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.relational import star_join, top_n
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.relational import top_n
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import query
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
 
