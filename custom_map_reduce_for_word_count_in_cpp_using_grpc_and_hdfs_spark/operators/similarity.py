@@ -187,3 +187,120 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) index — the k-means-bucketed scale path
+# --------------------------------------------------------------------------
+
+IVF_SEED = 7_2024
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic-ish k-means centroids: seeded sample init + a few
+    Lloyd iterations. Per iteration: one broadcast of k×dim floats down,
+    one groupBy-mean up — the corpus is never collected. (Float means
+    are aggregation-order-sensitive, so borderline assignments may flip
+    between runs; IVF is an approximate index, its quality is measured
+    by recall, not by bit-stable centroids.)"""
+    sample = corpus.select(vec_col).orderBy(F.col(id_col).asc()).limit(4 * k).collect()
+    rng = np.random.default_rng(IVF_SEED)
+    pool = np.array([r[0] for r in sample], dtype="float64")
+    centroids = pool[rng.choice(len(pool), size=k, replace=False)]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _nearest_centroid_col(F.col(vec_col), centroids).alias("c"),
+        )
+        means = (
+            assigned.select("c", F.posexplode("v").alias("i", "x"))
+            .groupBy("c", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r.c, {})[r.i] = r.m
+        for c, dims in by_c.items():
+            new[c] = [dims[i] for i in range(len(dims))]
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid_col(vec, centroids: np.ndarray):
+    """argmin over squared L2 distance to each centroid — pure expression
+    (k fused dot products per row)."""
+    best_idx = F.lit(0)
+    best_dist = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        diff2 = F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_dist is None:
+            best_dist = diff2
+            best_idx = F.lit(0)
+        else:
+            best_idx = F.when(diff2 < best_dist, F.lit(i)).otherwise(best_idx)
+            best_dist = F.least(best_dist, diff2)
+    return best_idx
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus rows carry their nearest-centroid bucket
+    (computable at write time → store partitioned by bucket and a query
+    reads only ``nprobe`` partitions); each query probes its nprobe
+    nearest centroid buckets and rescores exactly within them."""
+    from pyspark.sql import Window
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid_col(F.col(vec_col), centroids).alias("bucket"),
+    )
+    # per-query centroid distances → nprobe probe buckets
+    probes = None
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    dist_structs = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col("q_vec"), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("bucket")))
+    probed = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe)).alias("p"),
+    ).select("query_id", "q_vec", F.col("p.bucket").alias("bucket"))
+    scored = (
+        F.broadcast(probed)
+        .join(c_assigned, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

@@ -89,3 +89,14 @@ def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed; see operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.fake_decode_meta(MM.attach_payload(docs))
+
+
+@query("ann_topk_ivf")  # k-means buckets are float-order-sensitive → rows-only; recall tested
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF variant: seeded k-means buckets (computable at write time →
+    partition-pruned probes at scale), nprobe=4 of 16 buckets, exact
+    rescoring. Recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(QUERY_PRED))
+    centroids = S.ivf_centroids(emb)
+    return S.ivf_topk(queries, emb, centroids, TOP_K, nprobe=4)

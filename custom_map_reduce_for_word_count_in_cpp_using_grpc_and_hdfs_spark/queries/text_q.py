@@ -110,3 +110,77 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("tok").asc())
         .limit(50)
     )
+
+
+@query(
+    "text_bigrams",
+    oracle=f"""
+    SELECT bigram, count(*) AS cnt FROM (
+        SELECT unnest(list_transform(
+            generate_series(1, greatest(len({T.tokens_sql('text')}) - 1, 0)),
+            i -> array_to_string(list_slice({T.tokens_sql('text')}, i, i + 1), ' ')
+        )) AS bigram
+        FROM documents
+    )
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC
+    LIMIT 40
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram frequencies (n-gram surface, n=2) — same shingle
+    machinery as dedup, exposed as a text-analysis query."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles_col("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(40)
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '[ \n]')) AS word
+            FROM documents
+        ) WHERE word <> ''
+        GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word,
+           tf * CAST(round(ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1000000) AS BIGINT)
+             AS tfidf_micro
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    WHERE doc_id % 25 = 0
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scores as exact integers.
+
+    idf = ln((N+1)/(df+1)) is transcendental, so raw doubles can differ
+    by an ULP across libm implementations; quantizing idf to integer
+    micro-units before the tf multiplication makes every score an exact
+    int (the quantization boundary is ~10 orders of magnitude wider than
+    libm disagreement). At scale this is two aggregations (tf, df) and
+    one broadcast-joined doc count — no MLlib fit needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col
+
+    words = docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    idf_micro = F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) * 1000000).cast("long")
+    return (
+        tf.join(F.broadcast(df.withColumn("idf_micro", idf_micro)), "word")
+        .where(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "word", (F.col("tf") * F.col("idf_micro")).alias("tfidf_micro"))
+    )
