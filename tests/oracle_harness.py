@@ -1,18 +1,21 @@
 """Local re-implementation of the driver's DuckDB-oracle differential check
 (SURVEY.md §5.1): run a queries() entry on Spark and its oracle_sql() on
 DuckDB over the same parquet, then compare row count, column names, and
-order-insensitive values. Stricter than the driver on purpose — exact
-equality for every cell (our aggregates are built to be bit-deterministic
-via decimal-sum / explicit ordering), so any drift shows up here first.
+order-insensitive values.
+
+The comparison is TYPE-SENSITIVE on purpose: every cell is canonicalized
+to a (type-tag, canonical-repr) tuple, so `1 != 1.0`, `-0.0 != 0.0`, and
+`Decimal != float` — strictly at least as strict as the driver's
+value-hash (round 1 lesson: DuckDB sign() returning INTEGER vs Spark's
+DOUBLE passed a `==` compare locally and failed the driver's hash gate).
 """
 
 from __future__ import annotations
 
-import math
+import datetime
+import decimal
 
 import duckdb
-import numpy as np
-import pandas as pd
 
 TABLE_NAMES = (
     "region",
@@ -35,57 +38,54 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
-        elif s.dtype == object:
-            # bytearray vs bytes, lists/arrays → canonical hashable forms
-            def canon(v):
-                if isinstance(v, bytearray):
-                    return bytes(v)
-                if isinstance(v, (list, np.ndarray)):
-                    return repr([float(x) if isinstance(x, (float, np.floating)) else x for x in v])
-                return v
+def canon(v):
+    """Canonical (type-tag, value) form for one cell — typed, hashable,
+    exact. Distinguishes int/float/Decimal/bool and ±0.0."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        # repr distinguishes -0.0/0.0 and nan; equal floats ⇒ equal reprs
+        return ("float", repr(v))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, bytearray):
+        return ("bytes", bytes(v))
+    if isinstance(v, bytes):
+        return ("bytes", v)
+    if isinstance(v, (list, tuple)):
+        return ("array", tuple(canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, canon(x)) for k, x in v.items())))
+    return (type(v).__name__, v)
 
-            df[c] = s.map(canon)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
-
-def compare(spark_df, oracle_df: pd.DataFrame, name: str, float_ulps: bool = True) -> None:
-    got = _normalize(spark_df.toPandas())
-    exp = _normalize(oracle_df)
-    assert list(got.columns) == list(exp.columns), (
-        f"{name}: column mismatch spark={list(got.columns)} oracle={list(exp.columns)}"
-    )
-    assert len(got) == len(exp), f"{name}: row count spark={len(got)} oracle={len(exp)}"
-    for c in got.columns:
-        g, e = got[c], exp[c]
-        if pd.api.types.is_float_dtype(g) and pd.api.types.is_float_dtype(e):
-            ga, ea = g.to_numpy(), e.to_numpy()
-            both_nan = np.isnan(ga) & np.isnan(ea)
-            exact = (ga == ea) | both_nan
-            if not exact.all():
-                bad = np.flatnonzero(~exact)
-                diffs = [abs(ga[i] - ea[i]) for i in bad[:5]]
-                raise AssertionError(
-                    f"{name}.{c}: {len(bad)} float mismatches, sample abs diffs {diffs}; "
-                    f"rows {bad[:5].tolist()} spark={ga[bad[:3]]} oracle={ea[bad[:3]]}"
-                )
-        else:
-            eq = (g == e) | (g.isna() & e.isna())
-            if not eq.all():
-                bad = np.flatnonzero(~eq.to_numpy())
-                raise AssertionError(
-                    f"{name}.{c}: {len(bad)} mismatches, e.g. row {bad[0]}: "
-                    f"spark={g.iloc[bad[0]]!r} oracle={e.iloc[bad[0]]!r}"
-                )
+def compare_rows(spark_df, cur, name: str) -> None:
+    """Order-insensitive typed comparison of a Spark DataFrame against an
+    executed DuckDB cursor (columns matched by sorted name, like the
+    driver)."""
+    orows = cur.fetchall()
+    ocolnames = [d[0] for d in cur.description]
+    scols, ocols = sorted(spark_df.columns), sorted(ocolnames)
+    assert scols == ocols, f"{name}: column mismatch spark={scols} oracle={ocols}"
+    idx_s = [spark_df.columns.index(c) for c in scols]
+    idx_o = [ocolnames.index(c) for c in ocols]
+    sp = sorted((tuple(canon(r[i]) for i in idx_s) for r in spark_df.collect()), key=repr)
+    op = sorted((tuple(canon(r[i]) for i in idx_o) for r in orows), key=repr)
+    assert len(sp) == len(op), f"{name}: row count spark={len(sp)} oracle={len(op)}"
+    for i, (a, b) in enumerate(zip(sp, op)):
+        if a != b:
+            raise AssertionError(
+                f"{name}: first differing row {i} (of {len(sp)}, sorted):\n"
+                f"  spark : {a}\n  oracle: {b}\n  cols  : {scols}"
+            )
 
 
 def run_parity(spark, sf_dir: str, name: str) -> None:
@@ -99,7 +99,6 @@ def run_parity(spark, sf_dir: str, name: str) -> None:
         return
     con = duckdb_conn(sf_dir)
     try:
-        odf = con.execute(ORACLE_SQL[name]).fetchdf()
+        compare_rows(sdf, con.execute(ORACLE_SQL[name]), name)
     finally:
         con.close()
-    compare(sdf, odf, name)
