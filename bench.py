@@ -28,8 +28,8 @@ HEADLINE = [
     "dedup_simhash_near",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
-    "text_quality",
-    "stream_tumbling_counts",
+    "text_doc_profile",  # superset of round-1's text_quality (adds lang-id, fingerprints, simhash)
+    "stream_window_suite",  # superset of round-1's stream_tumbling_counts (adds sliding)
 ]
 
 
@@ -50,6 +50,10 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist() intermediates (signatures, shingle sets) for
+        # intra-query reuse; drop them between queries so one query's
+        # cache can't squeeze the next one's executor memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")

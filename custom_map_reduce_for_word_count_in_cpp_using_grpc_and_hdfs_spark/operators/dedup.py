@@ -171,8 +171,14 @@ def minhash_signature(df: DataFrame, num_perm: int = 32, id_col: str = "doc_id",
     return base.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int, id_col: str = "doc_id", num_perm: int = 32
+) -> DataFrame:
     """Band the signature, equi-join on (band_idx, band_hash).
+
+    ``num_perm`` is the signature width (threaded from the producer —
+    deriving it with a collect() would fire a driver round-trip action
+    before the candidate join, and crash on an empty frame).
 
     ``sigs`` is persisted first: the banding projection references the
     signature array 4×rows_per_band times per band, and Catalyst's
@@ -183,8 +189,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int, id_col: str = "doc_id") -> 
     scale, signatures are written/persisted and reused across dedup runs.
     """
     sigs = sigs.persist()
-    n_sig = sigs.select(F.size("sig").alias("n")).limit(1).collect()[0]["n"]
-    rows_per_band = n_sig // bands
+    rows_per_band = num_perm // bands
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -224,7 +229,9 @@ def minhash_near_dups(
     jaccard ≥ threshold). Approximate only in *recall* (a true pair whose
     every band disagrees is missed); precision is exact thanks to the
     verification join."""
-    cands = lsh_candidate_pairs(minhash_signature(df, num_perm, id_col, text_col, n), bands, id_col)
+    cands = lsh_candidate_pairs(
+        minhash_signature(df, num_perm, id_col, text_col, n), bands, id_col, num_perm
+    )
     # three consumers (sizes + both verification sides) — persist once
     ds = doc_shingles(df, id_col, text_col, n).persist()
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -285,7 +292,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
     """DuckDB rendering of :func:`simhash` (same hash, same majority rule)."""
     return f"""
-    SELECT {id_col}, SUM(bitval) AS simhash FROM (
+    SELECT {id_col}, CAST(SUM(bitval) AS BIGINT) AS simhash FROM (
         SELECT {id_col}, CASE WHEN SUM(vote) > 0
                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bitval
         FROM (

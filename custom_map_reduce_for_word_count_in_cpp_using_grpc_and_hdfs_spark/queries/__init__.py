@@ -42,15 +42,18 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Populate the registry (import order = SURVEY.md §7.2 milestone order).
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import wordcount_q  # noqa: E402,F401
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import relational_q  # noqa: E402,F401
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import windows_q  # noqa: E402,F401
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import text_q  # noqa: E402,F401
+# Populate the registry. The whole registry (49 entries) fits inside the
+# driver's ~50-entry verification window; families that lacked driver
+# rows in round 1 register first anyway, so a shrunken window still
+# covers them before the long-green word-count/relational families.
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import dedup_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import similarity_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import relational2_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import streaming_q  # noqa: E402,F401
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import text_q  # noqa: E402,F401
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import wordcount_q  # noqa: E402,F401
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import relational_q  # noqa: E402,F401
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import windows_q  # noqa: E402,F401
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.wordcount_q import flagship  # noqa: E402
 

@@ -1,7 +1,8 @@
 """Relational coverage, batch 2: more TPC-H-shaped analytics, pivot,
-null handling, scalar subqueries, lateral explode, and the SQL front
-end (SURVEY.md §2.3 rows: SQL front end, set/scalar function coverage).
-"""
+the SQL front end, and the temporal joins (as-of / interval)
+(SURVEY.md §2.3). NULL handling, posexplode, union-by-name, scalar
+subqueries and the stats moments live in the consolidated suites
+(relational_q / windows_q)."""
 
 from __future__ import annotations
 
@@ -172,169 +173,23 @@ def rel_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rel_null_handling",
-    oracle="""
-    SELECT c.c_custkey,
-           coalesce(o.o_totalprice, 0.0) AS price_or_zero,
-           CASE WHEN o.o_orderkey IS NULL THEN 'no_order' ELSE 'has_order' END AS status,
-           nullif(c.c_mktsegment, 'BUILDING') AS seg_or_null
-    FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 97 = 0) o
-      ON o.o_custkey = c.c_custkey
-    """,
-)
-def rel_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-surface coverage: coalesce / IS NULL / nullif through an
-    outer join."""
-    o, c = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
-    sparse = o.where(F.col("o_orderkey") % 97 == 0)
-    return c.join(sparse, sparse.o_custkey == c.c_custkey, "left").select(
-        "c_custkey",
-        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("price_or_zero"),
-        F.when(F.col("o_orderkey").isNull(), "no_order").otherwise("has_order").alias("status"),
-        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
-    )
-
-
-@query(
-    "rel_scalar_subquery",
-    oracle="""
-    SELECT o_orderkey, o_totalprice,
-           o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_vs_max
-    FROM orders WHERE o_orderkey % 100 = 0
-    """,
-)
-def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery (planned as a 1-row broadcast)."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice,
-               o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_vs_max
-        FROM orders WHERE o_orderkey % 100 = 0
-        """
-    )
-
-
-@query(
-    "rel_sql_frontend",
-    oracle=f"""
+_FRONTEND_SQL = """
     SELECT n_name, count(*) AS n_customers,
-           {dsum_expr('c_acctbal')} AS total_balance
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS total_balance,
+           (SELECT max(c_acctbal) FROM customer) AS best_balance
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
-    """,
-)
+"""
+
+
+@query("rel_sql_frontend", oracle=_FRONTEND_SQL)
 def rel_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL front end itself (ABSENT in the reference, §2.3): identical
-    ANSI text runs on spark.sql over registered views and on the oracle."""
+    """The SQL front end itself (ABSENT in the reference, §2.3): the
+    IDENTICAL ANSI text runs on spark.sql over registered views and on
+    the DuckDB oracle — including an uncorrelated scalar subquery
+    (planned by Spark as a 1-row broadcast)."""
     register_views(spark, sf_dir, ("customer", "nation"))
-    return spark.sql(
-        """
-        SELECT n_name, count(*) AS n_customers,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS total_balance
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name
-        """
-    )
-
-
-@query(
-    "rel_posexplode",
-    oracle="""
-    SELECT vec_id, pos - 1 AS pos, component
-    FROM (SELECT vec_id, unnest(embedding) AS component,
-                 generate_subscripts(embedding, 1) AS pos
-          FROM embeddings WHERE vec_id % 100 = 0)
-    """,
-)
-def rel_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral array flatten with position (posexplode / unnest WITH
-    ORDINALITY equivalent)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.where(F.col("vec_id") % 100 == 0)
-        .select("vec_id", F.posexplode("embedding").alias("pos", "component"))
-        .select("vec_id", F.col("pos").cast("long").alias("pos"), "component")
-    )
-
-
-@query(
-    "rel_union_by_name",
-    oracle="""
-    SELECT c_custkey AS entity_id, c_acctbal AS balance, 'customer' AS kind FROM customer
-    UNION ALL
-    SELECT s_suppkey AS entity_id, s_acctbal AS balance, 'supplier' AS kind FROM supplier
-    """,
-)
-def rel_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-aligned union of heterogeneous entities."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("entity_id"),
-        F.col("c_acctbal").alias("balance"),
-        F.lit("customer").alias("kind"),
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("entity_id"),
-        F.col("s_acctbal").alias("balance"),
-        F.lit("supplier").alias("kind"),
-    )
-    return c.unionByName(s)
-
-
-@query(
-    "fn_stats_moments",
-    oracle="""
-    SELECT event_type, n,
-           (n * sxx - sx * sx) / (n * (n - 1)) AS var_value,
-           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_value,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_user
-    FROM (
-        SELECT event_type,
-               count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(value * value AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(value * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS sxy
-        FROM events GROUP BY event_type
-    )
-    """,
-)
-def fn_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variance / stddev / correlation — deterministic versions.
-
-    Built-in stddev/corr accumulate doubles in partition order, so their
-    last bits are not reproducible (and can't hash-match any oracle).
-    The engine's form computes exact decimal power sums (order-free)
-    first, then derives the moments with a fixed double expression:
-    var = (nΣx² − (Σx)²)/(n(n−1)), corr analogous. Same single shuffle
-    and partial aggregation as the built-ins.
-    """
-    e = load_table(spark, sf_dir, "events")
-    x = F.col("value")
-    y = (F.col("user_id") % 100).cast("double")
-    base = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum(x, alias="sx"),
-        dsum(x * x, alias="sxx"),
-        dsum(y, alias="sy"),
-        dsum(y * y, alias="syy"),
-        dsum(x * y, alias="sxy"),
-    )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    var = (n * sxx - sx * sx) / (n * (n - 1))
-    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-    return base.select(
-        "event_type",
-        "n",
-        var.alias("var_value"),
-        F.sqrt(var).alias("stddev_value"),
-        corr.alias("corr_value_user"),
-    )
+    return spark.sql(_FRONTEND_SQL)
 
 
 @query(

@@ -4,6 +4,13 @@ aggregation suite, TPC-H-flavored analytics over the star schema.
 Every double aggregate uses the decimal-sum pattern from
 ``functions.exact`` so Spark and the DuckDB oracle agree bit-for-bit
 regardless of aggregation order (see that module's docstring).
+
+Registry note (round 2): the driver verifies at most ~50 registry
+entries, so single-operator queries are consolidated into labeled
+union *suites* — each sub-operator still executes as its own Catalyst
+plan fragment and contributes its full row set (schema-aligned, tagged
+with an ``op`` column), so value-level verification is unchanged; only
+the registry slot count shrinks.
 """
 
 from __future__ import annotations
@@ -140,154 +147,155 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Join-type coverage
+# Join-type suite: every join type as one schema-aligned labeled union.
+# Columns: op | i1, i2 (BIGINT) | s1 (STRING) | d1 (DOUBLE) — full row sets,
+# so value-level verification is identical to the former per-type queries.
 # --------------------------------------------------------------------------
 
-
-@query(
-    "rel_join_inner",
-    oracle="""
-    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+_JOIN_SUITE_ORACLE = f"""
+    SELECT 'inner' AS op, o.o_orderkey AS i1, CAST(NULL AS BIGINT) AS i2,
+           concat(c.c_name, '|', c.c_mktsegment) AS s1, o.o_totalprice AS d1
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderstatus = 'F'
-    """,
-)
-def rel_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o, c = _t(spark, sf_dir, "orders", "customer")
-    return (
-        o.where(F.col("o_orderstatus") == "F")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
-    )
-
-
-@query(
-    "rel_join_left_outer",
-    oracle="""
-    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-           CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(27,4))) AS DOUBLE) AS total_spent
+  UNION ALL
+    SELECT 'left_outer', c.c_custkey, count(o.o_orderkey), NULL,
+           {dsum_expr('COALESCE(o.o_totalprice, 0)')}
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
-    """,
-)
-def rel_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer keeps order-less customers with n_orders = 0."""
-    o, c = _t(spark, sf_dir, "orders", "customer")
-    return (
+  UNION ALL
+    SELECT 'right_outer', o.o_orderkey, NULL, c.c_name, NULL
+    FROM customer c RIGHT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 100 = 0
+  UNION ALL
+    SELECT 'full_outer', a.cnt, b.cnt,
+           concat(COALESCE(a.event_type, '~'), '|', COALESCE(b.event_type, '~')), NULL
+    FROM (SELECT event_type, count(*) AS cnt FROM events WHERE value < 100 GROUP BY event_type) a
+    FULL JOIN (SELECT event_type, count(*) AS cnt FROM events WHERE value >= 400 GROUP BY event_type) b
+      ON a.event_type = b.event_type
+  UNION ALL
+    SELECT 'semi', c_custkey, NULL, c_name, NULL FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  UNION ALL
+    SELECT 'anti', c_custkey, NULL, c_name, NULL FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  UNION ALL
+    SELECT 'cross', NULL, NULL, concat(r.r_name, '|', n.n_name), NULL
+    FROM region r CROSS JOIN nation n
+  UNION ALL
+    SELECT 'theta', CAST(a.n_nationkey AS BIGINT), CAST(b.n_nationkey AS BIGINT), NULL, NULL
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+  UNION ALL
+    SELECT 'null_handling', c.c_custkey, NULL,
+           concat(CASE WHEN o.o_orderkey IS NULL THEN 'no_order' ELSE 'has_order' END,
+                  '|', COALESCE(nullif(c.c_mktsegment, 'BUILDING'), '~')),
+           coalesce(o.o_totalprice, 0.0)
+    FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 97 = 0) o
+      ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("rel_join_suite", oracle=_JOIN_SUITE_ORACLE)
+def rel_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every join type, one plan each, unioned with an ``op`` tag:
+    inner (broadcast dim), left/right/full outer, left-semi, left-anti,
+    cross (tiny broadcast relations only), theta (inequality conjunct
+    self-join), and NULL-surface handling through an outer join
+    (coalesce / IS NULL / nullif)."""
+    o, c, e, n, r = _t(spark, sf_dir, "orders", "customer", "events", "nation", "region")
+    null_i = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+
+    def tagged(op: str, df: DataFrame, i1, i2, s1, d1) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            i1.cast("long").alias("i1"),
+            i2.cast("long").alias("i2"),
+            s1.alias("s1"),
+            d1.cast("double").alias("d1"),
+        )
+
+    inner = tagged(
+        "inner",
+        o.where(F.col("o_orderstatus") == "F").join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        F.col("o_orderkey"), null_i,
+        F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")),
+        F.col("o_totalprice"),
+    )
+    left = tagged(
+        "left_outer",
         c.join(o, o.o_custkey == c.c_custkey, "left")
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), alias="total_spent"),
-        )
+        ),
+        F.col("c_custkey"), F.col("n_orders"), null_s, F.col("total_spent"),
     )
-
-
-@query(
-    "rel_join_right_outer",
-    oracle="""
-    SELECT o.o_orderkey, c.c_name
-    FROM customer c RIGHT JOIN orders o ON o.o_custkey = c.c_custkey
-    WHERE o.o_orderkey % 100 = 0
-    """,
-)
-def rel_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o, c = _t(spark, sf_dir, "orders", "customer")
-    return (
-        c.join(o, o.o_custkey == c.c_custkey, "right")
-        .where(F.col("o_orderkey") % 100 == 0)
-        .select("o_orderkey", "c_name")
+    right = tagged(
+        "right_outer",
+        c.join(o, o.o_custkey == c.c_custkey, "right").where(F.col("o_orderkey") % 100 == 0),
+        F.col("o_orderkey"), null_i, F.col("c_name"), null_d,
     )
-
-
-@query(
-    "rel_join_full_outer",
-    oracle="""
-    SELECT a.event_type AS t1, b.event_type AS t2, a.cnt AS cnt1, b.cnt AS cnt2
-    FROM (SELECT event_type, count(*) AS cnt FROM events WHERE value < 100 GROUP BY event_type) a
-    FULL JOIN (SELECT event_type, count(*) AS cnt FROM events WHERE value >= 400 GROUP BY event_type) b
-      ON a.event_type = b.event_type
-    """,
-)
-def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (e,) = _t(spark, sf_dir, "events")
-    a = (
-        e.where(F.col("value") < 100)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .alias("a")
+    lo = (
+        e.where(F.col("value") < 100).groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).alias("a")
     )
-    b = (
-        e.where(F.col("value") >= 400)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .alias("b")
+    hi = (
+        e.where(F.col("value") >= 400).groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).alias("b")
     )
-    return a.join(b, F.col("a.event_type") == F.col("b.event_type"), "full").select(
-        F.col("a.event_type").alias("t1"),
-        F.col("b.event_type").alias("t2"),
-        F.col("a.cnt").alias("cnt1"),
-        F.col("b.cnt").alias("cnt2"),
+    full = tagged(
+        "full_outer",
+        lo.join(hi, F.col("a.event_type") == F.col("b.event_type"), "full"),
+        F.col("a.cnt"), F.col("b.cnt"),
+        F.concat(
+            F.coalesce(F.col("a.event_type"), F.lit("~")),
+            F.lit("|"),
+            F.coalesce(F.col("b.event_type"), F.lit("~")),
+        ),
+        null_d,
     )
-
-
-@query(
-    "rel_join_semi",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
-    """,
-)
-def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi: customers having a >400k order; no row multiplication."""
-    o, c = _t(spark, sf_dir, "orders", "customer")
     big = o.where(F.col("o_totalprice") > 400000)
-    return c.join(big, big.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "rel_join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders at all."""
-    o, c = _t(spark, sf_dir, "orders", "customer")
-    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-@query(
-    "rel_join_cross",
-    oracle="""
-    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
-    """,
-)
-def rel_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross join — only ever sane between tiny broadcast relations."""
-    n, r = _t(spark, sf_dir, "nation", "region")
-    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
-
-
-@query(
-    "rel_self_join_range",
-    oracle="""
-    SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b
-    FROM nation a JOIN nation b
-      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
-    """,
-)
-def rel_self_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-join with an inequality conjunct (theta-join surface)."""
-    (n,) = _t(spark, sf_dir, "nation")
-    a, b = n.alias("a"), n.alias("b")
-    return a.join(
-        b,
-        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
-        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
-    ).select(F.col("a.n_nationkey").alias("nk_a"), F.col("b.n_nationkey").alias("nk_b"))
+    semi = tagged(
+        "semi", c.join(big, big.o_custkey == c.c_custkey, "left_semi"),
+        F.col("c_custkey"), null_i, F.col("c_name"), null_d,
+    )
+    anti = tagged(
+        "anti", c.join(big, big.o_custkey == c.c_custkey, "left_anti"),
+        F.col("c_custkey"), null_i, F.col("c_name"), null_d,
+    )
+    cross = tagged(
+        "cross", r.crossJoin(F.broadcast(n)),
+        null_i, null_i, F.concat(F.col("r_name"), F.lit("|"), F.col("n_name")), null_d,
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    theta = tagged(
+        "theta",
+        na.join(
+            nb,
+            (F.col("na.n_regionkey") == F.col("nb.n_regionkey"))
+            & (F.col("na.n_nationkey") < F.col("nb.n_nationkey")),
+        ),
+        F.col("na.n_nationkey"), F.col("nb.n_nationkey"), null_s, null_d,
+    )
+    sparse = o.where(F.col("o_orderkey") % 97 == 0)
+    nulls = tagged(
+        "null_handling",
+        c.join(sparse, sparse.o_custkey == c.c_custkey, "left"),
+        F.col("c_custkey"), null_i,
+        F.concat(
+            F.when(F.col("o_orderkey").isNull(), "no_order").otherwise("has_order"),
+            F.lit("|"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("~")),
+        ),
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)),
+    )
+    out = inner
+    for part in (left, right, full, semi, anti, cross, theta, nulls):
+        out = out.unionAll(part)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -325,248 +333,329 @@ def rel_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rel_agg_having",
-    oracle="""
-    SELECT o_custkey, count(*) AS n_orders
-    FROM orders
-    GROUP BY o_custkey
-    HAVING count(*) >= 12
-    """,
-)
-def rel_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (o,) = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= 12)
+_GROUPING_SUITE_ORACLE = f"""
+    SELECT 'rollup' AS mode, l_returnflag AS k1, l_linestatus AS k2,
+           count(*) AS cnt, {dsum_expr('l_quantity')} AS val
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+  UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority,
+           count(*), {dsum_expr('o_totalprice')}
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+  UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus,
+           count(*), {dsum_expr('l_extendedprice')}
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@query("rel_grouping_suite", oracle=_GROUPING_SUITE_ORACLE)
+def rel_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation: ROLLUP (hierarchical subtotals),
+    CUBE (all combinations), GROUPING SETS (explicit list) — one plan
+    each, unioned with a ``mode`` tag. Catalyst plans each as a single
+    Expand + hash aggregate (no per-set re-scan)."""
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", alias="val"))
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "cnt",
+            "val",
+        )
     )
-
-
-@query(
-    "rel_rollup",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus, count(*) AS cnt, {dsum_expr('l_quantity')} AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals: (flag,status), (flag), ()."""
-    (li,) = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", alias="sum_qty")
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice", alias="val"))
+        .select(
+            F.lit("cube").alias("mode"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "cnt",
+            "val",
+        )
     )
-
-
-@query(
-    "rel_cube",
-    oracle=f"""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-           {dsum_expr('o_totalprice')} AS sum_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (o,) = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice", alias="sum_price")
+    gsets = (
+        li.groupingSets([["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_extendedprice", alias="val"))
+        .select(
+            F.lit("gsets").alias("mode"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "cnt",
+            "val",
+        )
     )
+    return rollup.unionAll(cube).unionAll(gsets)
 
 
 @query(
-    "rel_grouping_sets",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus, {dsum_expr('l_extendedprice')} AS sum_price
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """,
+    "rel_approx_count_distinct",
+    oracle="SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_2pct FROM lineitem",
 )
-def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (li,) = _t(spark, sf_dir, "lineitem")
-    return li.groupingSets(
-        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
-    ).agg(dsum("l_extendedprice", alias="sum_price"))
-
-
-@query("rel_approx_count_distinct")  # approximate → rows-only driver check
 def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
     COUNT(DISTINCT) when a 2% error is acceptable (single pass, no
-    count-distinct expansion). Tested for accuracy vs exact in tests/."""
+    count-distinct expansion). The estimate itself is engine-specific,
+    so the checkable row is (exact count, |est/exact - 1| <= tolerance);
+    estimate accuracy is additionally asserted in tests."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
-
-
-# --------------------------------------------------------------------------
-# Projection / filter / distinct / sort / set ops
-# --------------------------------------------------------------------------
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") <= 0.02
+    )
+    return agg.select("exact_parts", within.alias("within_2pct"))
 
 
 @query(
-    "rel_project_filter",
+    "fn_stats_moments",
     oracle="""
-    SELECT p_partkey, p_name, p_retailprice * 0.9 AS sale_price
-    FROM part
-    WHERE p_size >= 30 AND p_type LIKE '%BRASS%'
+    SELECT event_type, n,
+           (n * sxx - sx * sx) / (n * (n - 1)) AS var_value,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_value,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_user
+    FROM (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type
+    )
     """,
 )
-def rel_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection + predicate — both must reach the parquet scan
-    (PushedFilters / ReadSchema; asserted in tests/test_plans.py)."""
-    (p,) = _t(spark, sf_dir, "part")
-    return (
-        p.where((F.col("p_size") >= 30) & F.col("p_type").contains("BRASS"))
-        .select("p_partkey", "p_name", (F.col("p_retailprice") * 0.9).alias("sale_price"))
+def fn_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation — deterministic versions.
+
+    Built-in stddev/corr accumulate doubles in partition order, so their
+    last bits are not reproducible (and can't hash-match any oracle).
+    The engine's form computes exact decimal power sums (order-free)
+    first, then derives the moments with a fixed double expression:
+    var = (nΣx² − (Σx)²)/(n(n−1)), corr analogous. Same single shuffle
+    and partial aggregation as the built-ins.
+    """
+    (e,) = _t(spark, sf_dir, "events")
+    x = F.col("value")
+    y = (F.col("user_id") % 100).cast("double")
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, alias="sx"),
+        dsum(x * x, alias="sxx"),
+        dsum(y, alias="sy"),
+        dsum(y * y, alias="syy"),
+        dsum(x * y, alias="sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return base.select(
+        "event_type",
+        "n",
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+        corr.alias("corr_value_user"),
     )
 
 
-@query(
-    "rel_distinct",
-    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
-def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (li,) = _t(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct()
+# --------------------------------------------------------------------------
+# Scan shape / distinct / set ops / subqueries
+# --------------------------------------------------------------------------
 
 
 @query(
-    "rel_drop_duplicates_subset",
+    "rel_scan_shape",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT p_partkey, p_name, p_retailprice * 0.9 AS sale_price
+    FROM part
+    WHERE p_size >= 30 AND p_type LIKE '%MO%'
+    ORDER BY sale_price DESC, p_partkey ASC
+    LIMIT 25
+    """,
+)
+def rel_scan_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate + top-N in one scan: both the filter and the
+    3-column projection must reach the parquet scan (PushedFilters /
+    ReadSchema) and the sort-limit must plan as TakeOrderedAndProject —
+    asserted in tests/test_plans.py. Predicate chosen to be selective but
+    non-empty at every SF."""
+    (p,) = _t(spark, sf_dir, "part")
+    projected = (
+        p.where((F.col("p_size") >= 30) & F.col("p_type").contains("MO"))
+        .select("p_partkey", "p_name", (F.col("p_retailprice") * 0.9).alias("sale_price"))
+    )
+    return top_n(projected, 25, F.col("sale_price").desc(), F.col("p_partkey").asc())
+
+
+_DISTINCT_SUITE_ORACLE = """
+    SELECT 'pairs' AS kind, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(NULL AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+  UNION ALL
+    SELECT 'survivor', CAST(o_custkey AS VARCHAR), NULL, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
         FROM orders
     ) WHERE rn = 1
-    """,
-)
-def rel_drop_duplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep one row per key with a *deterministic* survivor. Spark's bare
+"""
+
+
+@query("rel_distinct_suite", oracle=_DISTINCT_SUITE_ORACLE)
+def rel_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT surface: full-row distinct over a projection, plus
+    keep-one-row-per-key with a *deterministic* survivor. Spark's bare
     dropDuplicates keeps an arbitrary row — fine for idempotent dedup,
     wrong for differential testing — so the engine's canonical form is
     the row_number window."""
     from pyspark.sql import Window
 
-    (o,) = _t(spark, sf_dir, "orders")
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    null_i = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    pairs = li.select("l_returnflag", "l_linestatus").distinct().select(
+        F.lit("pairs").alias("kind"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        null_i.alias("id"),
+        null_d.alias("price"),
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    return (
+    survivor = (
         o.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .select(
+            F.lit("survivor").alias("kind"),
+            F.col("o_custkey").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("price"),
+        )
     )
+    return pairs.unionAll(survivor)
 
 
-@query(
-    "rel_sort_limit",
-    oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 25
-    """,
-)
-def rel_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (o,) = _t(spark, sf_dir, "orders")
-    return top_n(o.select("o_orderkey", "o_totalprice"), 25, F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-
-
-@query(
-    "rel_union_all",
-    oracle="""
-    SELECT c_custkey AS custkey, 'building' AS tag FROM customer WHERE c_mktsegment = 'BUILDING'
-    UNION ALL
-    SELECT c_custkey AS custkey, 'rich' AS tag FROM customer WHERE c_acctbal > 9000
-    """,
-)
-def rel_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (c,) = _t(spark, sf_dir, "customer")
-    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("custkey"), F.lit("building").alias("tag")
+_SETOP_SUITE_ORACLE = """
+    SELECT 'union_all' AS op, c_custkey AS id, 'building' AS tag, CAST(NULL AS DOUBLE) AS bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+    SELECT 'union_all', c_custkey, 'rich', NULL FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+    SELECT 'intersect', custkey, NULL, NULL FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
     )
-    b = c.where(F.col("c_acctbal") > 9000).select(
-        F.col("c_custkey").alias("custkey"), F.lit("rich").alias("tag")
+  UNION ALL
+    SELECT 'except', custkey, NULL, NULL FROM (
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     )
-    return a.unionAll(b)
+  UNION ALL
+    SELECT 'union_by_name', entity_id, kind, balance FROM (
+        SELECT c_custkey AS entity_id, c_acctbal AS balance, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_suppkey, s_acctbal, 'supplier' FROM supplier
+    )
+"""
 
 
-@query(
-    "rel_intersect",
-    oracle="""
-    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
-    """,
-)
-def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o, c = _t(spark, sf_dir, "orders", "customer")
-    a = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
-    b = o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey"))
-    return a.intersect(b)
+@query("rel_setop_suite", oracle=_SETOP_SUITE_ORACLE)
+def rel_setop_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: UNION ALL (bag), INTERSECT / EXCEPT (set semantics,
+    planned as semi/anti joins), and schema-aligned unionByName over
+    heterogeneous entities."""
+    o, c, s = _t(spark, sf_dir, "orders", "customer", "supplier")
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+
+    def tagged(op: str, df: DataFrame, id_col, tag, bal) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            id_col.cast("long").alias("id"),
+            tag.alias("tag"),
+            bal.cast("double").alias("bal"),
+        )
+
+    ua = tagged(
+        "union_all",
+        c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey", F.lit("building").alias("t"))
+        .unionAll(c.where(F.col("c_acctbal") > 9000).select("c_custkey", F.lit("rich").alias("t"))),
+        F.col("c_custkey"), F.col("t"), null_d,
+    )
+    inter = tagged(
+        "intersect",
+        c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+        .intersect(o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey"))),
+        F.col("custkey"), null_s, null_d,
+    )
+    exc = tagged(
+        "except",
+        c.select(F.col("c_custkey").alias("custkey"))
+        .subtract(o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))),
+        F.col("custkey"), null_s, null_d,
+    )
+    ubn = tagged(
+        "union_by_name",
+        c.select(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_acctbal").alias("balance"),
+            F.lit("customer").alias("kind"),
+        ).unionByName(
+            s.select(
+                F.col("s_suppkey").alias("entity_id"),
+                F.col("s_acctbal").alias("balance"),
+                F.lit("supplier").alias("kind"),
+            )
+        ),
+        F.col("entity_id"), F.col("kind"), F.col("balance"),
+    )
+    return ua.unionAll(inter).unionAll(exc).unionAll(ubn)
 
 
-@query(
-    "rel_except",
-    oracle="""
-    SELECT c_custkey AS custkey FROM customer
-    EXCEPT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o, c = _t(spark, sf_dir, "orders", "customer")
-    a = c.select(F.col("c_custkey").alias("custkey"))
-    b = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    return a.subtract(b)
-
-
-# --------------------------------------------------------------------------
-# Subqueries
-# --------------------------------------------------------------------------
-
-
-@query(
-    "rel_subquery_in",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+_SUBQUERY_SUITE_ORACLE = """
+    SELECT 'in' AS kind, o_orderkey, o_custkey, o_totalprice FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-    """,
-)
-def rel_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery — planned as a left-semi join (broadcast here)."""
-    o, c = _t(spark, sf_dir, "orders", "customer")
-    debtors = c.where(F.col("c_acctbal") < 0).select("c_custkey")
-    return o.join(
-        F.broadcast(debtors), o.o_custkey == debtors.c_custkey, "left_semi"
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
-
-
-@query(
-    "rel_correlated_above_avg",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  UNION ALL
+    SELECT 'above_avg', o_orderkey, o_custkey, o_totalprice FROM (
         SELECT o_orderkey, o_custkey, o_totalprice,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
                  / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         FROM orders
     ) WHERE o_totalprice > cust_avg
-    """,
-)
-def rel_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decorrelated 'above the per-customer average' — one window pass, no
-    self-join (what Catalyst rewrites a correlated scalar subquery into)."""
+"""
+
+
+@query("rel_subquery_suite", oracle=_SUBQUERY_SUITE_ORACLE)
+def rel_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery surface: IN-subquery (planned as a broadcast left-semi
+    join) and the correlated 'above the per-customer average' —
+    decorrelated into one window pass, no self-join (what Catalyst
+    rewrites a correlated scalar subquery into). The uncorrelated scalar
+    subquery lives in rel_sql_frontend."""
     from pyspark.sql import Window
 
-    (o,) = _t(spark, sf_dir, "orders")
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    debtors = c.where(F.col("c_acctbal") < 0).select("c_custkey")
+    in_q = o.join(
+        F.broadcast(debtors), o.o_custkey == debtors.c_custkey, "left_semi"
+    ).select(F.lit("in").alias("kind"), "o_orderkey", "o_custkey", "o_totalprice")
     w = Window.partitionBy("o_custkey")
     cust_avg = (
         F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double")
         / F.count(F.lit(1)).over(w)
     )
-    return (
+    above = (
         o.withColumn("cust_avg", cust_avg)
         .where(F.col("o_totalprice") > F.col("cust_avg"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(F.lit("above_avg").alias("kind"), "o_orderkey", "o_custkey", "o_totalprice")
     )
+    return in_q.unionAll(above)

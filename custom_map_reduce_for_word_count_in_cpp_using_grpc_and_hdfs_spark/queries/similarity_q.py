@@ -42,40 +42,29 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_topk_lsh")  # approximate recall → rows-only; recall tested
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidates + exact rescoring; recall vs
-    brute force asserted in tests/test_similarity.py."""
+    brute force asserted in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr(QUERY_PRED))
     return S.lsh_topk(queries, emb, TOP_K)
 
 
-@query(
-    "mm_payload_meta",
-    oracle="""
-    SELECT doc_id, md5(text) AS payload_md5,  -- DuckDB md5 takes VARCHAR; same utf-8 bytes as the payload
-           octet_length(encode(text))::BIGINT AS byte_len,
-           'text' AS modality
-    FROM documents WHERE doc_id % 10 = 0
-    """,
-)
-def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal row shape: binary payload + typed metadata struct.
-    The comparison projects the payload as its md5 (computed over the
-    BYTES on both engines) so the differential hash stays scalar while
-    still proving byte-exact payload equality."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    with_payload = MM.attach_payload(docs)
-    return with_payload.select(
-        "doc_id",
-        F.md5("payload").alias("payload_md5"),
-        F.col("meta.byte_len").alias("byte_len"),
-        F.col("meta.modality").alias("modality"),
-    )
+@query("ann_topk_ivf")  # k-means buckets are float-order-sensitive → rows-only; recall tested
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF variant: seeded k-means buckets (computable at write time →
+    partition-pruned probes at scale), nprobe of 16 buckets, exact
+    rescoring. Recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(QUERY_PRED))
+    centroids = S.ivf_centroids(emb)
+    return S.ivf_topk(queries, emb, centroids, TOP_K, nprobe=10)
 
 
 @query(
-    "mm_fake_decode",
+    "mm_suite",
     oracle="""
     SELECT doc_id,
+           md5(text) AS payload_md5,  -- DuckDB md5 takes VARCHAR; same utf-8 bytes as the payload
+           'text' AS modality,
            octet_length(encode(text))::BIGINT AS byte_len,
            64 + octet_length(encode(text))::BIGINT % 193 AS width,
            64 + octet_length(encode(text))::BIGINT % 149 AS height,
@@ -83,20 +72,22 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing with the deterministic stand-in codec
-    — the Arrow batch path itself is what's under test (real codecs are
-    stubbed; see operators/multimodal.py)."""
+def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal surface end to end: rows carry (payload: binary,
+    meta: struct) — payload proven byte-exact via md5 over the bytes on
+    both engines, metadata projected from the struct — then the
+    deterministic stand-in codec decodes each Arrow batch via
+    mapInPandas (real codecs are stubbed; the batch plumbing, schema
+    contract and partitioning are what's under test; see
+    operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.fake_decode_meta(MM.attach_payload(docs))
-
-
-@query("ann_topk_ivf")  # k-means buckets are float-order-sensitive → rows-only; recall tested
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF variant: seeded k-means buckets (computable at write time →
-    partition-pruned probes at scale), nprobe=4 of 16 buckets, exact
-    rescoring. Recall vs brute force asserted in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.expr(QUERY_PRED))
-    centroids = S.ivf_centroids(emb)
-    return S.ivf_topk(queries, emb, centroids, TOP_K, nprobe=4)
+    with_payload = MM.attach_payload(docs)
+    meta = with_payload.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.modality").alias("modality"),
+    )
+    decoded = MM.fake_decode_meta(with_payload)
+    return meta.join(decoded, "doc_id").select(
+        "doc_id", "payload_md5", "modality", "byte_len", "width", "height", "n_frames"
+    )

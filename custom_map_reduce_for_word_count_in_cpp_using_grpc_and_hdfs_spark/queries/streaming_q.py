@@ -18,27 +18,14 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming
     tumbling_counts,
 )
 
-
-@query(
-    "stream_tumbling_counts",
-    oracle="""
-    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+_WINDOW_SUITE_ORACLE = """
+    SELECT 'tumbling' AS kind, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
            count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY 1, 2
-    """,
-)
-def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling windows per event_type — epoch-aligned, so equal
-    to a batch date_trunc aggregation."""
-    return run_available_now(tumbling_counts(events_stream(spark, sf_dir)), "complete")
-
-
-@query(
-    "stream_sliding_counts",
-    oracle="""
-    SELECT ws, count(*) AS n FROM (
+    GROUP BY 2, 3
+  UNION ALL
+    SELECT 'sliding', ws, NULL, count(*), NULL FROM (
         SELECT unnest([
             CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP),
             CAST(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS TIMESTAMP)
@@ -47,12 +34,27 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
     GROUP BY ws
-    """,
-)
-def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 30 min: each event belongs to two
-    windows; the oracle enumerates both candidate starts per event."""
-    return run_available_now(sliding_counts(events_stream(spark, sf_dir)), "complete")
+"""
+
+
+@query("stream_window_suite", oracle=_WINDOW_SUITE_ORACLE)
+def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed streaming aggregation, both window families as real
+    streaming jobs: 1-hour tumbling windows per event_type (epoch-
+    aligned, so equal to a batch date_trunc aggregation) and 1-hour
+    windows sliding every 30 min (each event belongs to two windows; the
+    oracle enumerates both candidate starts per event)."""
+    tumbling = run_available_now(tumbling_counts(events_stream(spark, sf_dir)), "complete").select(
+        F.lit("tumbling").alias("kind"), "ws", "event_type", "n", "sum_value"
+    )
+    sliding = run_available_now(sliding_counts(events_stream(spark, sf_dir)), "complete").select(
+        F.lit("sliding").alias("kind"),
+        "ws",
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumbling.unionAll(sliding)
 
 
 @query(
@@ -84,21 +86,45 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(session_windows(events_stream(spark, sf_dir)), "complete")
 
 
-@query(
-    "stream_dedup_watermark",
-    oracle="""
-    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
-    """,
-)
-def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful dedup: the stream is the events table unioned with
-    itself (every id duplicated); dropDuplicates over event_id within
-    the watermark must reduce it back to exactly the batch counts."""
+_DEDUP_STATE_ORACLE = """
+    SELECT 'dedup' AS kind, event_type AS key, count(*) AS n, CAST(NULL AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+  UNION ALL
+    SELECT 'state', CAST(user_id AS VARCHAR), count(*),
+           SUM(CAST(round(value * 100) AS BIGINT))
+    FROM events GROUP BY user_id
+"""
+
+
+@query("stream_dedup_state_suite", oracle=_DEDUP_STATE_ORACLE)
+def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming, both flavors as real jobs:
+
+    - watermark-bounded dedup: the stream is the events table unioned
+      with itself (every id duplicated); dropDuplicatesWithinWatermark
+      over event_id must reduce it back to exactly the batch counts.
+    - custom state machine (applyInPandasWithState): per-user running
+      (count, value-cents) accumulator; after draining one AvailableNow
+      pass the emitted state equals the batch aggregate.
+    """
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.stateful import user_activity_state
+
     ev = events_stream(spark, sf_dir)
     doubled = ev.unionAll(ev)
-    deduped = stream_dedup(doubled)
-    out = run_available_now(deduped, "append")
-    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    deduped = run_available_now(stream_dedup(doubled), "append")
+    dedup_counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("dedup").alias("kind"),
+        F.col("event_type").alias("key"),
+        "n",
+        F.lit(None).cast("long").alias("cents"),
+    )
+    state = run_available_now(user_activity_state(events_stream(spark, sf_dir)), "update").select(
+        F.lit("state").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n_events").alias("n"),
+        F.col("total_value_cents").alias("cents"),
+    )
+    return dedup_counts.unionAll(state)
 
 
 @query(
@@ -119,21 +145,3 @@ def stream_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_available_now(streaming_word_count(documents_stream(spark, sf_dir)), "complete")
-
-
-@query(
-    "stream_stateful_user_activity",
-    oracle="""
-    SELECT user_id, count(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def stream_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (applyInPandasWithState): per-user
-    running (count, value-cents) state machine; after draining one
-    AvailableNow pass the emitted state equals the batch aggregate."""
-    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.stateful import user_activity_state
-
-    return run_available_now(user_activity_state(events_stream(spark, sf_dir)), "update")

@@ -1,6 +1,13 @@
 """Text-analysis queries over ``documents`` — token stats, quality
 scoring, language ID, fingerprinting (all oracle-checked bit-for-bit;
-see operators/text.py for the shared Spark/DuckDB definitions)."""
+see operators/text.py for the shared Spark/DuckDB definitions).
+
+Registry note (round 2): the per-document scalar features are one wide
+``text_doc_profile`` query (each feature is still its own expression;
+a wide projection costs one scan). The profile also carries the per-doc
+SimHash — verifying every document's fingerprint, not just those that
+surface in dedup pairs — and per-doc token counts (the former
+wc_per_document)."""
 
 from __future__ import annotations
 
@@ -13,80 +20,67 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources i
 
 
 @query(
-    "text_token_stats",
+    "text_doc_profile",
     oracle=f"""
-    SELECT doc_id,
-           length(text)::BIGINT AS n_chars,
-           len({T.tokens_sql('text')})::BIGINT AS n_tokens,
-           {T.token_count_bpe_sql('text')} AS n_bpe_tokens,
-           {T.punct_count_sql('text')} AS n_punct
-    FROM documents
+    WITH sh AS ({{SIMHASH_CTE}})
+    SELECT d.doc_id,
+           length(d.text)::BIGINT AS n_chars,
+           len({T.tokens_sql('d.text')})::BIGINT AS n_tokens,
+           len(list_distinct({T.tokens_sql('d.text')}))::BIGINT AS n_distinct,
+           {T.token_count_bpe_sql('d.text')} AS n_bpe_tokens,
+           {T.punct_count_sql('d.text')} AS n_punct,
+           (length(d.text)::BIGINT - (len({T.tokens_sql('d.text')})::BIGINT - 1))
+             / len({T.tokens_sql('d.text')})::BIGINT AS avg_token_len,
+           {T.stopword_count_sql('d.text')} / len({T.tokens_sql('d.text')})::BIGINT AS stopword_ratio,
+           {T.punct_count_sql('d.text')} / length(d.text)::BIGINT AS punct_ratio,
+           d.lang AS lang_label,
+           {T.lang_id_sql('d.text')} AS lang_pred,
+           {T.fingerprint_sql('d.text')} AS fp,
+           {T.fingerprint_sql(T.normalized_text_sql('d.text'))} AS fp_normalized,
+           sh.simhash
+    FROM documents d JOIN sh ON d.doc_id = sh.doc_id
     """,
 )
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        T.token_count_ws("text").alias("n_tokens"),
-        T.token_count_bpe("text").alias("n_bpe_tokens"),
-        T.punct_count("text").alias("n_punct"),
-    )
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document feature profile a training-data pipeline computes
+    in one pass: size/token statistics (whitespace + BPE-ish counts),
+    quality signals (each ratio one division of exact ints), marker-word
+    language ID (argmax with lexicographic tiebreak, 'und' when no
+    marker hits), rolling-hash fingerprints of raw and normalized text,
+    and the 56-bit SimHash. Everything except SimHash is a pure per-row
+    Catalyst expression over one scan; SimHash (a token-majority
+    aggregate) joins in on doc_id."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import simhash
 
-
-@query(
-    "text_quality",
-    oracle=f"""
-    SELECT doc_id,
-           length(text)::BIGINT AS n_chars,
-           len({T.tokens_sql('text')})::BIGINT AS n_tokens,
-           (length(text)::BIGINT - (len({T.tokens_sql('text')})::BIGINT - 1))
-             / len({T.tokens_sql('text')})::BIGINT AS avg_token_len,
-           {T.stopword_count_sql('text')} / len({T.tokens_sql('text')})::BIGINT AS stopword_ratio,
-           {T.punct_count_sql('text')} / length(text)::BIGINT AS punct_ratio
-    FROM documents
-    """,
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-signal features: each ratio is one division of exact ints."""
     docs = load_table(spark, sf_dir, "documents")
     feats = T.quality_features("text")
-    return docs.select("doc_id", *[c.alias(name) for name, c in feats.items()])
-
-
-@query(
-    "text_lang_id",
-    oracle=f"""
-    SELECT doc_id, lang AS lang_label, {T.lang_id_sql('text')} AS lang_pred
-    FROM documents
-    """,
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID (n-gram heuristic; argmax with
-    lexicographic tiebreak, 'und' when no marker hits)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.col("lang").alias("lang_label"), T.lang_id("text").alias("lang_pred")
-    )
-
-
-@query(
-    "text_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           {T.fingerprint_sql('text')} AS fp,
-           {T.fingerprint_sql(T.normalized_text_sql('text'))} AS fp_normalized
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprints of raw and normalized text."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toks = T.tokens_col("text")
+    scalars = docs.select(
         "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        T.token_count_bpe("text").alias("n_bpe_tokens"),
+        T.punct_count("text").alias("n_punct"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        F.col("lang").alias("lang_label"),
+        T.lang_id("text").alias("lang_pred"),
         T.fingerprint("text").alias("fp"),
         T.fingerprint(T.normalized_text("text")).alias("fp_normalized"),
     )
+    return scalars.join(simhash(docs), "doc_id")
+
+
+# Render the simhash CTE into the oracle after registration (import-time
+# f-string would need quadruple braces; this keeps the SQL readable).
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import ORACLE_SQL as _OSQL  # noqa: E402
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import simhash_sql as _simhash_sql  # noqa: E402
+
+_OSQL["text_doc_profile"] = _OSQL["text_doc_profile"].replace(
+    "{SIMHASH_CTE}", _simhash_sql()
+)
 
 
 @query(

@@ -4,6 +4,12 @@
 Windowed SUM over doubles is order-sensitive AND some engines compute
 sliding frames incrementally (add/remove), so every windowed sum here
 uses the same decimal-cast pattern as grouped aggregation.
+
+Registry note (round 2): consolidated under the driver's ~50-entry
+verification window — analytic windows merged into one wide per-event
+frame, CASE bucketing into the math suite, the semi-structured scalar
+functions (JSON / array / lateral posexplode) into one labeled suite,
+and both Pandas-UDF flavors into one chained query.
 """
 
 from __future__ import annotations
@@ -50,20 +56,36 @@ def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "win_lag_lead",
+    "win_lag_frames",
     oracle="""
     SELECT event_id, user_id, ts, value,
            lag(value) OVER w AS prev_value,
            lead(value) OVER w AS next_value,
-           lag(event_type, 1, 'none') OVER w AS prev_type
+           lag(event_type, 1, 'none') OVER w AS prev_type,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER
+                (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
+           first_value(event_type) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+           last_value(event_type) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+           count(*) OVER (PARTITION BY user_id) AS n_events
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
 )
-def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event sequencing (the sessionization building block)."""
+def win_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window suite over one per-user event ordering: lag/lead
+    (sequencing), a 3-event moving average (bounded frame; decimal sum
+    keeps incremental add/remove evaluation exact), first/last over the
+    full-partition frame (the default-frame last_value trap avoided
+    explicitly), and the partition count — all sharing one
+    Exchange(user_id) + sort."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    avg3 = F.sum(F.col("value").cast("decimal(27,4)")).over(w3).cast("double") / F.count("value").over(w3)
     return e.select(
         "event_id",
         "user_id",
@@ -72,6 +94,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
         F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+        avg3.alias("moving_avg_3"),
+        F.first("event_type").over(wfull).alias("first_type"),
+        F.last("event_type").over(wfull).alias("last_type"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
     )
 
 
@@ -97,59 +123,6 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     running = F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double")
     return o.select("o_orderkey", "o_custkey", "o_orderdate", running.alias("running_spend"))
-
-
-@query(
-    "win_moving_avg",
-    oracle="""
-    SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER w AS DOUBLE)
-             / count(value) OVER w AS moving_avg_3
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-    """,
-)
-def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-event moving average per user; decimal sum keeps incremental
-    frame evaluation (add/remove one row) exact."""
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(-2, Window.currentRow)
-    )
-    avg3 = F.sum(F.col("value").cast("decimal(27,4)")).over(w).cast("double") / F.count("value").over(w)
-    return e.select("event_id", "user_id", "ts", avg3.alias("moving_avg_3"))
-
-
-@query(
-    "win_first_last",
-    oracle="""
-    SELECT DISTINCT user_id,
-           first_value(event_type) OVER w AS first_type,
-           last_value(event_type) OVER w AS last_type,
-           count(*) OVER (PARTITION BY user_id) AS n_events
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-)
-def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First/last event per user with full-partition frame (the default
-    frame's last_value trap avoided explicitly)."""
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return e.select(
-        "user_id",
-        F.first("event_type").over(w).alias("first_type"),
-        F.last("event_type").over(w).alias("last_type"),
-        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
-    ).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -230,9 +203,13 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(c_acctbal) AS DOUBLE) AS bal_ceil,
            sqrt(abs(c_acctbal)) AS bal_sqrt,
            c_custkey % 7 AS key_mod,
-           sign(c_acctbal) AS bal_sign,
+           CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
            greatest(c_acctbal, 0.0) AS bal_pos,
-           least(c_acctbal, 0.0) AS bal_neg
+           least(c_acctbal, 0.0) AS bal_neg,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket
     FROM customer
     """,
 )
@@ -240,9 +217,18 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math functions restricted to the correctly-rounded IEEE set (sqrt,
     abs, floor/ceil, round-half-away) — transcendentals (ln/exp/pow) are
     deliberately excluded from differential testing since libm results
-    differ in ULPs across engines."""
+    differ in ULPs across engines. sign() is cast to DOUBLE on the
+    oracle side: DuckDB returns INTEGER where Spark's signum returns
+    DOUBLE (the round-1 hash-mismatch). CASE bucketing rides along as
+    the conditional-expression surface."""
     c = load_table(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
+    bucket = (
+        F.when(bal < 0, "debt")
+        .when(bal < 5000, "low")
+        .when(bal < 9000, "mid")
+        .otherwise("high")
+    )
     return c.select(
         "c_custkey",
         F.abs(bal).alias("bal_abs"),
@@ -254,71 +240,54 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(bal).alias("bal_sign"),
         F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
         F.least(bal, F.lit(0.0)).alias("bal_neg"),
+        bucket.alias("bal_bucket"),
     )
 
 
-@query(
-    "fn_case_bucket",
-    oracle="""
-    SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
-                WHEN c_acctbal < 5000 THEN 'low'
-                WHEN c_acctbal < 9000 THEN 'mid'
-                ELSE 'high' END AS bucket,
-           count(*) AS n
-    FROM customer
-    GROUP BY 1
-    """,
-)
-def fn_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    bucket = (
-        F.when(F.col("c_acctbal") < 0, "debt")
-        .when(F.col("c_acctbal") < 5000, "low")
-        .when(F.col("c_acctbal") < 9000, "mid")
-        .otherwise("high")
-    )
-    return c.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
-
-
-@query(
-    "fn_json_extract",
-    oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n,
-           min(event_id) AS first_event
-    FROM events
-    GROUP BY 1
-    """,
-)
-def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON property extraction (events.props) — the semi-structured
-    column surface."""
-    e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return e.groupBy(k.alias("k")).agg(
-        F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event")
-    )
-
-
-@query(
-    "fn_array_ops",
-    oracle="""
-    SELECT vec_id,
-           len(embedding) AS dim,
-           embedding[1] AS first_component,
-           embedding[64] AS last_component,
+_SEMI_STRUCTURED_ORACLE = """
+    SELECT 'json' AS kind,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS i1,
+           count(*) AS i2, min(event_id) AS i3,
+           CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS VARCHAR) AS s1
+    FROM events GROUP BY 2
+  UNION ALL
+    SELECT 'array', vec_id, len(embedding)::BIGINT, NULL,
+           embedding[1], embedding[64],
            array_to_string(list_transform(list_slice(embedding, 1, 4),
-                           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)), ',') AS head4
-    FROM embeddings
-    WHERE vec_id % 20 = 0
-    """,
-)
-def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array column surface over the embeddings table (1-indexed access
-    in both engines; the sliced head is serialized to a scalar string so
-    the differential hash never depends on array-encoding details)."""
+                           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)), ',')
+    FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+    SELECT 'posexplode', vec_id, pos - 1, NULL, component, NULL, NULL
+    FROM (SELECT vec_id, unnest(embedding) AS component,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings WHERE vec_id % 100 = 0)
+"""
+
+
+@query("fn_semi_structured_suite", oracle=_SEMI_STRUCTURED_ORACLE)
+def fn_semi_structured_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface, one labeled plan per shape:
+    JSON property extraction (events.props) feeding an aggregate; array
+    ops over the embeddings table (1-indexed access in both engines; the
+    sliced head serialized as integer basis-points so the differential
+    hash never depends on float formatting); and the lateral array
+    flatten with position (posexplode / unnest WITH ORDINALITY)."""
+    e = load_table(spark, sf_dir, "events")
     emb = load_table(spark, sf_dir, "embeddings")
-    # integer basis-points: double→string formatting differs between
-    # engines, integer formatting doesn't
+    null_i = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    k = F.get_json_object("props", "$.k").cast("long")
+    json_q = (
+        e.groupBy(k.alias("i1"))
+        .agg(F.count(F.lit(1)).alias("i2"), F.min("event_id").alias("i3"))
+        .select(
+            F.lit("json").alias("kind"), "i1", "i2", "i3",
+            null_d.alias("d1"), null_d.alias("d2"), null_s.alias("s1"),
+        )
+    )
     head4 = F.array_join(
         F.transform(
             F.slice("embedding", 1, 4),
@@ -326,60 +295,55 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ",",
     )
-    return emb.where(F.col("vec_id") % 20 == 0).select(
-        "vec_id",
-        F.size("embedding").cast("long").alias("dim"),
-        F.element_at("embedding", 1).alias("first_component"),
-        F.element_at("embedding", 64).alias("last_component"),
-        head4.alias("head4"),
+    array_q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.lit("array").alias("kind"),
+        F.col("vec_id").alias("i1"),
+        F.size("embedding").cast("long").alias("i2"),
+        null_i.alias("i3"),
+        F.element_at("embedding", 1).cast("double").alias("d1"),
+        F.element_at("embedding", 64).cast("double").alias("d2"),
+        head4.alias("s1"),
     )
+    pos_q = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "component"))
+        .select(
+            F.lit("posexplode").alias("kind"),
+            F.col("vec_id").alias("i1"),
+            F.col("pos").cast("long").alias("i2"),
+            null_i.alias("i3"),
+            F.col("component").cast("double").alias("d1"),
+            null_d.alias("d2"),
+            null_s.alias("s1"),
+        )
+    )
+    return json_q.unionAll(array_q).unionAll(pos_q)
 
 
 # --------------------------------------------------------------------------
 # Pandas-UDF surface (Arrow-batched; the engine's sanctioned Python escape
-# hatch — never row-at-a-time Python UDFs)
+# hatch — never row-at-a-time Python UDFs). mapInPandas is covered by
+# mm_suite in similarity_q.py.
 # --------------------------------------------------------------------------
 
 
 @query(
-    "udf_discounted_price",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS disc_price
-    FROM lineitem
-    WHERE l_orderkey % 40 = 0
-    """,
-)
-def udf_discounted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar pandas_udf: vectorized per-row arithmetic over Arrow batches.
-    Bitwise-identical to the SQL expression because both are one IEEE
-    multiply chain — demonstrates the fast Python path without value drift."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
-        return price * (1 - discount)
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.where(F.col("l_orderkey") % 40 == 0).select(
-        "l_orderkey",
-        "l_linenumber",
-        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
-    )
-
-
-@query(
-    "udf_grouped_demean",
+    "udf_suite",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           c_acctbal - max(c_acctbal) OVER (PARTITION BY c_nationkey) AS bal_vs_best
+           c_acctbal - max(c_acctbal) OVER (PARTITION BY c_nationkey) AS bal_vs_best,
+           (c_acctbal - max(c_acctbal) OVER (PARTITION BY c_nationkey)) * 0.9 AS bal_scaled
     FROM customer
     """,
 )
-def udf_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas (grouped-map): per-nation transform where each group
-    becomes one pandas frame. max-relative (not mean-relative) so the
-    result is float-exact vs the window-function oracle."""
+def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both vectorized-Python flavors chained in one pipeline:
+    applyInPandas (grouped-map; each nation becomes one pandas frame,
+    max-relative so the result is float-exact vs the window oracle)
+    followed by a scalar pandas_udf over Arrow batches (one IEEE
+    multiply, bitwise-identical to the SQL expression)."""
+    from pyspark.sql.functions import pandas_udf
+
     c = load_table(spark, sf_dir, "customer")
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -387,6 +351,14 @@ def udf_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["bal_vs_best"] = pdf["c_acctbal"] - pdf["c_acctbal"].max()
         return out
 
-    return c.groupBy("c_nationkey").applyInPandas(
+    demeaned = c.groupBy("c_nationkey").applyInPandas(
         demean, schema="c_custkey long, c_nationkey int, bal_vs_best double"
+    )
+
+    @pandas_udf("double")
+    def scale(v: pd.Series) -> pd.Series:
+        return v * 0.9
+
+    return demeaned.select(
+        "c_custkey", "c_nationkey", "bal_vs_best", scale("bal_vs_best").alias("bal_scaled")
     )

@@ -118,8 +118,13 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful streaming dedup on event_id: duplicates arriving within
     the watermark horizon are dropped; state for ids older than the
-    watermark is evicted (bounded state at scale)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    watermark is evicted (bounded state at scale).
+
+    Must be ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates``
+    on a subset that excludes the event-time column never evicts its
+    state even under a watermark — output is identical on a bounded
+    drain but state grows without bound on a real stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

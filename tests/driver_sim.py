@@ -46,7 +46,7 @@ def main() -> int:
             continue
         try:
             compare_rows(sdf, con.execute(osql[name]), name)
-        except AssertionError as exc:
+        except Exception as exc:  # mismatch or oracle error — keep going
             bad.append(name)
             print(f"  MISMATCH {exc}")
     print("queries:", len(qs), "| oracle-matched:", len(osql) - len(bad), "| rows-only:", rows_only)

@@ -87,7 +87,7 @@ def test_ann_ivf_recall(spark):
     queries = emb.where(F.col("vec_id") % 50 == 0)
     centroids = S.ivf_centroids(emb)
     brute = S.brute_force_topk(queries, emb, 10).collect()
-    approx = S.ivf_topk(queries, emb, centroids, 10, nprobe=4).collect()
+    approx = S.ivf_topk(queries, emb, centroids, 10, nprobe=10).collect()
     bs, as_ = {}, {}
     for r in brute:
         bs.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -95,5 +95,62 @@ def test_ann_ivf_recall(spark):
         as_.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(bs[q] & as_.get(q, set())) / len(bs[q]) for q in bs]
     mean_recall = sum(recalls) / len(recalls)
-    # nprobe=4 of 16 buckets over weakly-clustered gaussians: measured 0.6
-    assert mean_recall >= 0.45, f"IVF recall {mean_recall:.2f} below bound"
+    # hash-spread init + 6 Lloyd iters + nprobe=10 of 16: measured 0.90 on
+    # this weakly-clustered fixture (true neighbors sit at cos ≈ 0.35-0.5,
+    # so buckets split neighborhoods; production-clustered embeddings
+    # reach the same recall at far smaller nprobe/k)
+    assert mean_recall >= 0.8, f"IVF recall {mean_recall:.2f} below bound"
+
+
+def test_banded_cosine_equals_bruteforce_on_planted_dups(spark):
+    """High-threshold self-join path: banded hyperplane candidates + exact
+    rescore must return EXACTLY the brute-force pair set on a corpus with
+    planted near-duplicates (the miss probability at 128 planes/16 bands
+    is < 1e-5 per pair)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((40, 64)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:  # plant a near-dup: tiny perturbation → cos ≥ ~0.97
+            pert = v + 0.15 * rng.standard_normal(64).astype("float32")
+            rows.append((1000 + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b) for r in S.cosine_near_dup_pairs(df, threshold=0.9).collect()}
+    vecs = dict(rows)
+    ids = sorted(vecs)
+    brute = set()
+    for i, a in enumerate(ids):
+        va = np.array(vecs[a], dtype="float64")
+        for b in ids[i + 1:]:
+            vb = np.array(vecs[b], dtype="float64")
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos >= 0.9:
+                brute.add((a, b))
+    assert brute, "fixture should contain planted near-dup pairs"
+    assert got == brute
+
+
+def test_zero_norm_vectors_do_not_poison_topk(spark):
+    """A zero vector has no direction; it must score 0 (not NaN) against
+    everything and never displace real neighbors."""
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.brute_force_topk(df.where(F.col("vec_id") == 1), df, 2).collect()
+    assert [(r.neighbor_id, r.rank) for r in got] == [(2, 1), (0, 2)] or [
+        (r.neighbor_id, r.rank) for r in got
+    ] == [(2, 1), (3, 2)]
+    # no NaN-scored row may ever outrank a positive-similarity one
+    assert got[0].neighbor_id == 2
+
+
+def test_ivf_short_corpus_guard(spark):
+    """Fewer vectors than k must shrink k, not crash the sampler."""
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = S.ivf_centroids(df, k=16, iters=1)
+    assert 1 <= len(centroids) <= 5
+    out = S.ivf_topk(df.limit(1), df, centroids, k=2, nprobe=4)
+    assert out.count() >= 1

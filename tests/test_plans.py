@@ -2,7 +2,8 @@
 show it. These tests pin the properties the instructions call out —
 filter/column pushdown to the parquet scan, broadcast joins for dims,
 partial aggregation before the shuffle, TakeOrderedAndProject for
-top-K — so a regression in plan quality fails CI, not just the bench."""
+top-K, and the no-quadratic-stage guarantees of the temporal/similarity
+operators — so a regression in plan quality fails CI, not just the bench."""
 
 from __future__ import annotations
 
@@ -48,21 +49,26 @@ def test_q5_broadcasts_all_dims_one_shuffle_join(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
 
 
-def test_semi_anti_plans(spark):
-    assert "LeftSemi" in plan_of(spark, "rel_join_semi")
-    assert "LeftAnti" in plan_of(spark, "rel_join_anti")
+def test_join_suite_plans_every_strategy(spark):
+    plan = plan_of(spark, "rel_join_suite")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # the only nested-loop stage allowed is the deliberate tiny
+    # region×nation cross join
+    assert plan.count("CartesianProduct") == 0
 
 
-def test_projection_reaches_scan(spark):
-    plan = plan_of(spark, "rel_project_filter")
+def test_scan_shape_projection_filter_topn(spark):
+    plan = plan_of(spark, "rel_scan_shape")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "p_retailprice" in read_schema and "p_brand" not in read_schema
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(p_size,30\)", plan)
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_no_python_udf_in_text_ops(spark):
     # text analysis must stay JVM-side (no BatchEvalPython / ArrowEvalPython)
-    for name in ["text_token_stats", "text_quality", "text_lang_id", "text_fingerprint"]:
+    for name in ["text_doc_profile", "text_bpe_vocab", "text_bigrams", "text_tfidf_top_terms"]:
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, f"{name} fell off the codegen path"
 
@@ -70,3 +76,45 @@ def test_no_python_udf_in_text_ops(spark):
 def test_ann_bruteforce_broadcasts_queries(spark):
     plan = plan_of(spark, "ann_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_cosine_broadcasts_batch(spark):
+    """The incremental batch-vs-corpus form: bounded batch broadcast,
+    corpus streamed — never a shuffled quadratic stage."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast batch × corpus scan
+
+
+def test_banded_cosine_self_join_no_nested_loop(spark):
+    """The high-threshold self-join path must be an equi-join on
+    (band, code) + rescoring — no all-pairs stage of any kind."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    df = cosine_near_dup_pairs(load_table(spark, SF_CORRECT, "embeddings"), threshold=0.9)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_one_shuffle_one_sort(spark):
+    """as_of_join = union + window: exactly one hash-partition exchange
+    (the window's) and no join node at all."""
+    plan = plan_of(spark, "rel_asof_last_click")
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"as-of regressed to a join: {node}"
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2  # initial + AQE rendering
+
+
+def test_interval_join_equi_no_cross(spark):
+    """interval_self_join = bucket equi-join + exact predicate — a hash
+    join, never a nested-loop/cartesian stage."""
+    plan = plan_of(spark, "rel_interval_join_bursts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
