@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import (
     SIMHASH_BITS,
+    minhash_value,
     poly_hash_token,
     poly_hash_token_sql,
 )
@@ -145,30 +146,37 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def minhash_signature(df: DataFrame, num_perm: int = 32, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def minhash_signature(
+    df: DataFrame,
+    num_perm: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig: array<long>) — per-permutation min over the doc's
-    shingle hashes. No explode, no shuffle.
+    shingle hashes.
 
-    Two stages on purpose: shingle construction + string hashing runs
-    ONCE into a persisted long array, then each of the ``num_perm``
-    permutations is a cheap long→long remix (xxhash64 of 8 bytes) folded
-    with array_min. A single-stage formulation would inline the whole
-    tokenize→shingle→hash expression into every permutation element —
-    lambda expressions are exempt from Catalyst subexpression
-    elimination, so that costs num_perm full passes per row (measured
-    ~30× slower at sf0.1).
+    Formulated as ``num_perm`` plain MIN aggregates over the exploded
+    (doc_id, shingle_hash) stream: each permutation is one xxhash64
+    remix + min — all flat codegen expressions with map-side partial
+    aggregation, so the shuffle carries one row per doc per partition.
+    (The previous array formulation — array_min over transform lambdas —
+    kept everything row-local but paid seconds of codegen/eval overhead:
+    higher-order functions are exempt from subexpression elimination and
+    compile to interpreted closures. Measured 6.1 s → 0.6 s at sf0.1.)
+
+    ``shingles`` lets callers that already materialized
+    :func:`doc_shingles` (e.g. for Jaccard verification) reuse it.
     """
-    base = df.select(
-        F.col(id_col),
-        F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s)).alias("bh"),
-    ).persist()
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("bh"), lambda h: F.xxhash64(h, F.lit(p))))
-            for p in range(num_perm)
-        ]
+    ds = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(minhash_value(F.col("shingle"), p)).alias(f"_m{p}") for p in range(num_perm)
+    ]
+    wide = ds.groupBy(id_col).agg(*mins)
+    return wide.select(
+        F.col(id_col), F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("sig")
     )
-    return base.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -229,11 +237,15 @@ def minhash_near_dups(
     jaccard ≥ threshold). Approximate only in *recall* (a true pair whose
     every band disagrees is missed); precision is exact thanks to the
     verification join."""
-    cands = lsh_candidate_pairs(
-        minhash_signature(df, num_perm, id_col, text_col, n), bands, id_col, num_perm
-    )
-    # three consumers (sizes + both verification sides) — persist once
+    # four consumers (signatures, sizes, both verification sides) —
+    # materialize the shingle inverted index once
     ds = doc_shingles(df, id_col, text_col, n).persist()
+    cands = lsh_candidate_pairs(
+        minhash_signature(df, num_perm, id_col, text_col, n, shingles=ds),
+        bands,
+        id_col,
+        num_perm,
+    )
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = ds.select(F.col(id_col).alias("doc_a"), "shingle")
     b = ds.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -269,24 +281,23 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     oracle-checkable bit for bit."""
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     hashed = toks.select(id_col, poly_hash_token("tok").alias("h"))
-    # One shuffle: token hashes collected per doc (≤ a few hundred longs);
-    # the 56 per-bit majority votes then fold per-row over that array.
-    # (The explode-per-bit formulation shuffles |tokens|×56 rows — 14M at
-    # sf0.1 — for identical results.)
-    per_doc = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
-    sim_expr = F.expr(
-        f"""
-        aggregate(
-            transform(sequence(0, {SIMHASH_BITS - 1}),
-                      b -> IF(aggregate(hs, CAST(0 AS BIGINT),
-                                        (acc, h) -> acc + (2 * ((h >> b) & 1) - 1)) > 0,
-                              shiftleft(CAST(1 AS BIGINT), b),
-                              CAST(0 AS BIGINT))),
-            CAST(0 AS BIGINT),
-            (acc, x) -> acc + x)
-        """
-    )
-    return per_doc.select(F.col(id_col), sim_expr.alias("simhash"))
+    # 56 flat SUM aggregates (one per bit) with map-side partial
+    # aggregation: the shuffle carries one 56-column row per doc per
+    # partition. (Both alternatives lose: collect_list shuffles every
+    # token hash and folds through interpreted lambdas; explode-per-bit
+    # shuffles |tokens|×56 rows.)
+    h = F.col("h")
+    votes = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*votes)
+    bit = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        bit = bit + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_doc.select(F.col(id_col), bit.alias("simhash"))
 
 
 def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:

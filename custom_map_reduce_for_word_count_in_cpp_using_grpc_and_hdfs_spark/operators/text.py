@@ -150,6 +150,82 @@ def fingerprint_sql(text_expr: str) -> str:
     return poly_hash_chars_sql(text_expr)
 
 
+def doc_profile(df, id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"):
+    """The whole per-document feature profile in one scan + one shuffle.
+
+    Token-derived features (counts, distinct count, stopword hits,
+    language marker scores, SimHash bit votes) all come from ONE
+    explode → groupBy(doc_id) pass as flat aggregate expressions with
+    map-side partial aggregation — evaluating them per-row over the
+    token array would re-run the tokenizer lambda once per feature
+    (higher-order functions are exempt from Catalyst subexpression
+    elimination; measured ~2.5× slower at sf0.1). Character-level
+    scalars (lengths, punctuation, fingerprints) stay per-row and join
+    back on doc_id.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import (
+        SIMHASH_BITS,
+        poly_hash_token,
+    )
+
+    text = F.col(text_col)
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    stop_arr = [F.lit(w) for w in STOPWORDS]
+    h = poly_hash_token("tok")
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias("_n_stop"),
+    ]
+    for lang, markers in LANG_MARKERS.items():
+        aggs.append(F.sum(F.when(F.col("tok").isin(*markers), 1).otherwise(0)).alias(f"_s_{lang}"))
+    aggs += [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    tok_feats = toks.groupBy(id_col).agg(*aggs)
+
+    simhash = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        simhash = simhash + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, lang).otherwise(pred)
+    lang_pred = F.when(best == 0, "und").otherwise(pred)
+
+    scalars = df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        token_count_bpe(text).alias("n_bpe_tokens"),
+        punct_count(text).alias("n_punct"),
+        F.col(lang_col).alias("lang_label"),
+        fingerprint(text).alias("fp"),
+        fingerprint(normalized_text(text)).alias("fp_normalized"),
+    )
+    n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
+    return scalars.join(tok_feats, id_col).select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "n_distinct",
+        "n_bpe_tokens",
+        "n_punct",
+        ((n_chars - (n_tokens - 1)) / n_tokens).alias("avg_token_len"),
+        (F.col("_n_stop").cast("long") / n_tokens).alias("stopword_ratio"),
+        (F.col("n_punct") / n_chars).alias("punct_ratio"),
+        "lang_label",
+        lang_pred.alias("lang_pred"),
+        "fp",
+        "fp_normalized",
+        simhash.alias("simhash"),
+    )
+
+
 def normalized_text(text: Column | str) -> Column:
     """Canonical form for normalized dedup: lowercase, collapse whitespace
     runs, trim."""

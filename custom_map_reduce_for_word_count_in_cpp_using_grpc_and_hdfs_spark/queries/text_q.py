@@ -47,30 +47,11 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signals (each ratio one division of exact ints), marker-word
     language ID (argmax with lexicographic tiebreak, 'und' when no
     marker hits), rolling-hash fingerprints of raw and normalized text,
-    and the 56-bit SimHash. Everything except SimHash is a pure per-row
-    Catalyst expression over one scan; SimHash (a token-majority
-    aggregate) joins in on doc_id."""
-    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import simhash
-
+    and the 56-bit SimHash. One scan + one explode/groupBy pass computes
+    every token-derived feature as flat partial aggregates; character
+    scalars stay per-row (operators/text.py::doc_profile)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = T.quality_features("text")
-    toks = T.tokens_col("text")
-    scalars = docs.select(
-        "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        T.token_count_bpe("text").alias("n_bpe_tokens"),
-        T.punct_count("text").alias("n_punct"),
-        feats["avg_token_len"].alias("avg_token_len"),
-        feats["stopword_ratio"].alias("stopword_ratio"),
-        feats["punct_ratio"].alias("punct_ratio"),
-        F.col("lang").alias("lang_label"),
-        T.lang_id("text").alias("lang_pred"),
-        T.fingerprint("text").alias("fp"),
-        T.fingerprint(T.normalized_text("text")).alias("fp_normalized"),
-    )
-    return scalars.join(simhash(docs), "doc_id")
+    return T.doc_profile(docs)
 
 
 # Render the simhash CTE into the oracle after registration (import-time

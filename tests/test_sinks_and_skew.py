@@ -57,6 +57,26 @@ def test_text_source_roundtrip(spark):
     assert [(r.word, r.cnt) for r in direct] == [(r.word, r.cnt) for r in via_text]
 
 
+def test_hadoop_fs_scheme_roundtrip(spark):
+    """The Hadoop FileSystem API path — the reference's only connector is
+    HDFS (hdfsConnect at master.cc:190, slave.cc:49). Spark reaches any
+    Hadoop-compatible filesystem through the scheme in the path URI; the
+    locally-verifiable scheme is file://, exercised explicitly (same
+    resolution code path an hdfs:// / s3a:// URI takes), both through
+    the DataFrame reader and the raw Hadoop FS client."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    path = os.path.join(SCRATCH, "fs_scheme")
+    docs.write.mode("overwrite").parquet(f"file://{path}")
+    back = spark.read.parquet(f"file://{path}")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in docs.collect())
+    # the FileSystem client itself (what the reference calls libhdfs for)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI(f"file://{path}"), hconf)
+    statuses = fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"file://{path}"))
+    assert any(s.getPath().getName().endswith(".parquet") for s in statuses)
+
+
 def test_salted_word_count_equals_plain(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     words = wc.tokenize(docs)
