@@ -12,6 +12,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries i
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming import (
     events_stream,
     run_available_now,
+    run_available_now_many,
     session_windows,
     sliding_counts,
     stream_dedup,
@@ -44,10 +45,16 @@ def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned, so equal to a batch date_trunc aggregation) and 1-hour
     windows sliding every 30 min (each event belongs to two windows; the
     oracle enumerates both candidate starts per event)."""
-    tumbling = run_available_now(tumbling_counts(events_stream(spark, sf_dir)), "complete").select(
+    tumbling_raw, sliding_raw = run_available_now_many(
+        [
+            (tumbling_counts(events_stream(spark, sf_dir)), "complete"),
+            (sliding_counts(events_stream(spark, sf_dir)), "complete"),
+        ]
+    )
+    tumbling = tumbling_raw.select(
         F.lit("tumbling").alias("kind"), "ws", "event_type", "n", "sum_value"
     )
-    sliding = run_available_now(sliding_counts(events_stream(spark, sf_dir)), "complete").select(
+    sliding = sliding_raw.select(
         F.lit("sliding").alias("kind"),
         "ws",
         F.lit(None).cast("string").alias("event_type"),
@@ -111,14 +118,19 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, sf_dir)
     doubled = ev.unionAll(ev)
-    deduped = run_available_now(stream_dedup(doubled), "append")
+    deduped, state_raw = run_available_now_many(
+        [
+            (stream_dedup(doubled), "append"),
+            (user_activity_state(events_stream(spark, sf_dir)), "update"),
+        ]
+    )
     dedup_counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("dedup").alias("kind"),
         F.col("event_type").alias("key"),
         "n",
         F.lit(None).cast("long").alias("cents"),
     )
-    state = run_available_now(user_activity_state(events_stream(spark, sf_dir)), "update").select(
+    state = state_raw.select(
         F.lit("state").alias("kind"),
         F.col("user_id").cast("string").alias("key"),
         F.col("n_events").alias("n"),

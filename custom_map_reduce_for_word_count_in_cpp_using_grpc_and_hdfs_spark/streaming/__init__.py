@@ -1,6 +1,7 @@
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import (
     events_stream,
     run_available_now,
+    run_available_now_many,
     session_windows,
     sliding_counts,
     stream_dedup,
@@ -10,6 +11,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming
 __all__ = [
     "events_stream",
     "run_available_now",
+    "run_available_now_many",
     "session_windows",
     "sliding_counts",
     "stream_dedup",

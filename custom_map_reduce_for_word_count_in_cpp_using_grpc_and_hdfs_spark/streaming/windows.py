@@ -68,18 +68,33 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_available_now(df: DataFrame, mode: str, timeout_s: int = 300) -> DataFrame:
     """Drain a bounded stream into a memory sink and return the result as
     a batch DataFrame."""
-    name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.exception() is not None:
-        raise q.exception()
-    return df.sparkSession.table(name)
+    return run_available_now_many([(df, mode)], timeout_s)[0]
+
+
+def run_available_now_many(
+    dfs_modes: list[tuple[DataFrame, str]], timeout_s: int = 300
+) -> list[DataFrame]:
+    """Drain several bounded streams CONCURRENTLY (all started before any
+    is awaited — independent streaming jobs shouldn't serialize on the
+    driver) and return each result as a batch DataFrame."""
+    started = []
+    for df, mode in dfs_modes:
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        started.append((df, name, q))
+    out = []
+    for df, name, q in started:
+        q.awaitTermination(timeout_s)
+        if q.exception() is not None:
+            raise q.exception()
+        out.append(df.sparkSession.table(name))
+    return out
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
