@@ -268,8 +268,66 @@ def minhash_near_dups(
 
 
 # --------------------------------------------------------------------------
-# SimHash
+# Dedup clusters (connected components over near-dup pairs)
 # --------------------------------------------------------------------------
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, component) — connected components by hash-min label
+    propagation; component = min vertex id in the component.
+
+    The dedup use case: pairwise near-dup edges are not transitive
+    (A≈B, B≈C but A≉C), so keeping one doc per *pair* over-deletes;
+    the correct unit is the connected component (cluster), keeping one
+    survivor per cluster.
+
+    Iterative DataFrame algorithm: each round every vertex adopts the
+    minimum label among itself and its neighbors — one equi-join + one
+    min-aggregate per round, converging in O(component diameter) rounds
+    (near-dup clusters are shallow; ≤ 20 is generous). Per round the
+    frame is localCheckpoint()ed: iterative self-referential plans
+    otherwise grow lineage exponentially, and the convergence check
+    (count of changed labels) is the natural materialization point.
+    At 100 TB this is the standard hash-min pattern (GraphX/GraphFrames
+    use the same shape); for power-law graphs swap in large-star/
+    small-star rounds — near-dup clusters don't need it.
+    """
+    labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp"))
+    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+    # materialize the edge list once — the loop re-reads it every round,
+    # and edges often come from an expensive upstream (e.g. a Jaccard
+    # similarity join) that must not be recomputed per iteration
+    sym = sym.localCheckpoint()
+    for _ in range(max_iters):
+        msgs = (
+            sym.join(labels, sym.a == labels.vid)
+            .select(F.col("b").alias("vid"), F.col("comp").alias("msg"))
+            .groupBy("vid")
+            .agg(F.min("msg").alias("msg"))
+        )
+        proposed = (
+            labels.join(msgs, "vid", "left")
+            .select(
+                "vid",
+                F.col("comp").alias("old_comp"),
+                F.least(F.col("comp"), F.coalesce(F.col("msg"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = proposed.where(F.col("comp") != F.col("old_comp")).count()
+        labels = proposed.select("vid", "comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), "comp")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -42,7 +42,7 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Populate the registry. The whole registry (49 entries) fits inside the
+# Populate the registry. The whole registry (50 entries) fits inside the
 # driver's ~50-entry verification window; families that lacked driver
 # rows in round 1 register first anyway, so a shrunken window still
 # covers them before the long-green word-count/relational families.

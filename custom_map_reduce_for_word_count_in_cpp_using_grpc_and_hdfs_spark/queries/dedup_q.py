@@ -65,10 +65,9 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.unionAll(norm).unionAll(fp)
 
 
-@query(
-    "dedup_jaccard_pairs",
-    oracle=f"""
-    WITH ds AS (
+#: Shared oracle CTE list computing exact Jaccard near-dup pairs.
+_JACCARD_CTES = f"""
+    ds AS (
         SELECT DISTINCT doc_id, unnest({D.shingles_sql('text')}) AS shingle FROM documents
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
@@ -76,12 +75,22 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b, ni / (sa.n + sb.n - ni) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ni / (sa.n + sb.n - ni) >= {JACCARD_T}
     )
-    SELECT doc_a, doc_b, ni / (sa.n + sb.n - ni) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE ni / (sa.n + sb.n - ni) >= {JACCARD_T}
+"""
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jpairs
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +98,54 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (no all-pairs stage)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.jaccard_pairs(docs, JACCARD_T)
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM jpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (
+        SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the exact-Jaccard
+    near-dup edges (near-duplication is not transitive, so the correct
+    deletion unit is the component, not the pair). Spark side is the
+    iterative hash-min label propagation (operators/dedup.py::
+    connected_components — one join + one min-agg per round, O(cluster
+    diameter) rounds); the oracle derives the same components from a
+    recursive-CTE transitive closure — an independently-shaped
+    implementation of the same semantics. Component label = min doc_id
+    (the deterministic survivor); cluster_size = docs per component."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.jaccard_pairs(docs, JACCARD_T).select("doc_a", "doc_b")
+    comps = D.connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return comps.select(
+        "doc_id",
+        F.col("comp").alias("component"),
+        F.count(F.lit(1)).over(Window.partitionBy("comp")).alias("cluster_size"),
+    )
 
 
 @query("dedup_minhash_lsh")  # xxhash64 permutations → rows-only; recall tested

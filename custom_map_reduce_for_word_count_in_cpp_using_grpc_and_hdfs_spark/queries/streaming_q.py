@@ -100,12 +100,17 @@ _DEDUP_STATE_ORACLE = """
     SELECT 'state', CAST(user_id AS VARCHAR), count(*),
            SUM(CAST(round(value * 100) AS BIGINT))
     FROM events GROUP BY user_id
+  UNION ALL
+    SELECT 'enriched', c_mktsegment, count(*),
+           SUM(CAST(round(value * 100) AS BIGINT))
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
 """
 
 
 @query("stream_dedup_state_suite", oracle=_DEDUP_STATE_ORACLE)
 def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming, both flavors as real jobs:
+    """Stateful streaming, three surfaces as real concurrent jobs:
 
     - watermark-bounded dedup: the stream is the events table unioned
       with itself (every id duplicated); dropDuplicatesWithinWatermark
@@ -113,15 +118,28 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - custom state machine (applyInPandasWithState): per-user running
       (count, value-cents) accumulator; after draining one AvailableNow
       pass the emitted state equals the batch aggregate.
+    - stream-static enrichment: the event stream joins the static
+      customer dimension (broadcast per micro-batch — the canonical
+      dimension-enrichment shape) and aggregates per segment.
     """
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.stateful import user_activity_state
 
     ev = events_stream(spark, sf_dir)
     doubled = ev.unionAll(ev)
-    deduped, state_raw = run_available_now_many(
+    customers = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("value") * 100).cast("long")
+    enriched_stream = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    deduped, state_raw, enriched_raw = run_available_now_many(
         [
             (stream_dedup(doubled), "append"),
             (user_activity_state(events_stream(spark, sf_dir)), "update"),
+            (enriched_stream, "complete"),
         ]
     )
     dedup_counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).select(
@@ -136,7 +154,13 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("total_value_cents").alias("cents"),
     )
-    return dedup_counts.unionAll(state)
+    enriched = enriched_raw.select(
+        F.lit("enriched").alias("kind"),
+        F.col("c_mktsegment").alias("key"),
+        "n",
+        "cents",
+    )
+    return dedup_counts.unionAll(state).unionAll(enriched)
 
 
 @query(
