@@ -146,6 +146,50 @@ def test_zero_norm_vectors_do_not_poison_topk(spark):
     assert got[0].neighbor_id == 2
 
 
+def test_connected_components_matches_union_find(spark):
+    """Property: hash-min label propagation equals a reference union-find
+    on random graphs (including isolated vertices and multi-hop chains
+    that need several propagation rounds)."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        vertices = [(i,) for i in range(n)]
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(25 + 10 * trial)
+        ]
+        # a long chain forces multi-round convergence
+        chain_lo = n - 12
+        edges += [(i, i + 1) for i in range(chain_lo, n - 1)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for i in range(n):
+            root = find(i)
+            expected.setdefault(root, set()).add(i)
+        # canonical label = min member id
+        want = {i: min(members) for members in expected.values() for i in members}
+
+        vdf = spark.createDataFrame(vertices, "id long")
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.comp for r in D.connected_components(vdf, edf).collect()}
+        assert got == want, f"trial {trial}"
+
+
 def test_ivf_short_corpus_guard(spark):
     """Fewer vectors than k must shrink k, not crash the sampler."""
     rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(5)]
