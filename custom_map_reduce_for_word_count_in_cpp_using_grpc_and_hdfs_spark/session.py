@@ -76,4 +76,14 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # static conf on a started session — keep going
             pass
+    # A host-built session often carries the 200-partition default; size
+    # the shuffle like get_session does (AQE coalesces upward mistakes,
+    # but 200 tasks per tiny sf0.01 stage is pure scheduling overhead).
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    except Exception:
+        pass
     return spark
