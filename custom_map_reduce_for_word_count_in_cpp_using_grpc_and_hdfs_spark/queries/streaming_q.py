@@ -40,11 +40,11 @@ _WINDOW_SUITE_ORACLE = """
 
 @query("stream_window_suite", oracle=_WINDOW_SUITE_ORACLE)
 def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-windowed streaming aggregation, both window families as real
-    streaming jobs: 1-hour tumbling windows per event_type (epoch-
-    aligned, so equal to a batch date_trunc aggregation) and 1-hour
-    windows sliding every 30 min (each event belongs to two windows; the
-    oracle enumerates both candidate starts per event)."""
+    """1-hour tumbling windows per event_type (epoch-aligned, so equal
+    to a batch date_trunc aggregation) and 1-hour windows sliding every
+    30 min (each event belongs to two windows; the oracle enumerates
+    both candidate starts per event) — both as real streaming jobs,
+    drained concurrently."""
     tumbling_raw, sliding_raw = run_available_now_many(
         [
             (tumbling_counts(events_stream(spark, sf_dir)), "complete"),
@@ -105,12 +105,19 @@ _DEDUP_STATE_ORACLE = """
            SUM(CAST(round(value * 100) AS BIGINT))
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
+  UNION ALL
+    SELECT 'ss_join', concat(c.event_id, '|', p.event_id), 1,
+           CAST(round(p.value * 100) AS BIGINT)
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
 """
 
 
 @query("stream_dedup_state_suite", oracle=_DEDUP_STATE_ORACLE)
 def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming, three surfaces as real concurrent jobs:
+    """Stateful streaming, four surfaces as real concurrent jobs:
 
     - watermark-bounded dedup: the stream is the events table unioned
       with itself (every id duplicated); dropDuplicatesWithinWatermark
@@ -121,9 +128,13 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - stream-static enrichment: the event stream joins the static
       customer dimension (broadcast per micro-batch — the canonical
       dimension-enrichment shape) and aggregates per segment.
+    - stream-stream inner join: clicks × purchases by user within
+      30 min, watermarked + time-bounded on BOTH sides so join state
+      evicts; pair-level append output equals the batch join.
     """
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.stateful import user_activity_state
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import click_purchase_join
 
     ev = events_stream(spark, sf_dir)
     doubled = ev.unionAll(ev)
@@ -135,11 +146,16 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
     )
-    deduped, state_raw, enriched_raw = run_available_now_many(
+    ss = click_purchase_join(
+        events_stream(spark, sf_dir).where(F.col("event_type") == "click"),
+        events_stream(spark, sf_dir).where(F.col("event_type") == "purchase"),
+    )
+    deduped, state_raw, enriched_raw, ss_raw = run_available_now_many(
         [
             (stream_dedup(doubled), "append"),
             (user_activity_state(events_stream(spark, sf_dir)), "update"),
             (enriched_stream, "complete"),
+            (ss, "append"),
         ]
     )
     dedup_counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).select(
@@ -160,7 +176,15 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "cents",
     )
-    return dedup_counts.unionAll(state).unionAll(enriched)
+    ss_pairs = ss_raw.select(
+        F.lit("ss_join").alias("kind"),
+        F.concat(
+            F.col("click_id").cast("string"), F.lit("|"), F.col("purchase_id").cast("string")
+        ).alias("key"),
+        F.lit(1).cast("long").alias("n"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias("cents"),
+    )
+    return dedup_counts.unionAll(state).unionAll(enriched).unionAll(ss_pairs)
 
 
 @query(

@@ -142,6 +142,34 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: every (click, purchase) pair by the same
+    user with the purchase inside ``horizon`` after the click.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends — exactly what Spark needs to evict join state (a
+    stream-stream join without the time bound buffers both streams
+    forever). Inner-join matches emit as soon as both rows arrive, so an
+    AvailableNow drain equals the batch join."""
+    c = clicks.withWatermark("ts", "1 hour").alias("c")
+    p = purchases.withWatermark("ts", "1 hour").alias("p")
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            p.ts >= c.ts AND
+            p.ts <= c.ts + INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("c.ts").alias("ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the documents table (for incremental
     word-count — the reference query as a stream)."""

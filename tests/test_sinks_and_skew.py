@@ -20,7 +20,7 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 def test_format_roundtrips(spark, tmp_path_factory):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "n_chars")
     expected = sorted(tuple(r) for r in docs.collect())
-    for fmt in ["parquet", "json", "csv"]:
+    for fmt in ["parquet", "orc", "json", "csv"]:
         path = os.path.join(SCRATCH, f"roundtrip_{fmt}")
         back = roundtrip(spark, docs, path, fmt)
         got = sorted((r.doc_id, r.lang, r.n_chars) for r in back.select("doc_id", "lang", "n_chars").collect())
