@@ -57,29 +57,53 @@ def decode_image_real(payload_bytes: bytes) -> dict:
     )
 
 
-def fake_decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic stand-in decoder: derives image-like metadata purely
-    from payload length, via mapInPandas over Arrow batches.
+#: Resize target box (the usual vision-model input side).
+RESIZE_BOX = 224
+#: Keep every k-th frame when sampling.
+FRAME_STRIDE = 2
 
-    width  = 64 + byte_len % 193   (pseudo-dimensions, deterministic)
-    height = 64 + byte_len % 149
-    n_frames = 1 + byte_len % 7
+
+def fake_decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stand-in decoder + the downstream feature stages a
+    media pipeline runs, all via mapInPandas over Arrow batches:
+
+    - decode:      width  = 64 + byte_len % 193   (pseudo-dimensions)
+                   height = 64 + byte_len % 149
+                   n_frames = 1 + byte_len % 7
+    - resize:      fit into a 224-box preserving aspect ratio, integer
+                   math only (w*224 // max(w,h)) so every engine agrees
+    - frame-sample: keep every 2nd frame index (0,2,4,...)
 
     Being arithmetic on octet_length, the whole operator is reproducible
-    in ANSI SQL — so even the UDF *plumbing* is oracle-checked.
+    in ANSI SQL — so even the UDF *plumbing* is oracle-checked. A real
+    pipeline swaps the arithmetic for PIL/ffmpeg calls inside the same
+    batch iterator (see decode_image_real); the Spark-side contract —
+    schema, Arrow batching, partitioning — is identical.
     """
-    schema = f"{id_col} long, byte_len long, width long, height long, n_frames long"
+    schema = (
+        f"{id_col} long, byte_len long, width long, height long, n_frames long, "
+        f"resized_w long, resized_h long, sampled_frames string"
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = pdf["payload"].map(len)
+            w = 64 + n % 193
+            h = 64 + n % 149
+            frames = 1 + n % 7
+            longest = pd.concat([w, h], axis=1).max(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "byte_len": n,
-                    "width": 64 + n % 193,
-                    "height": 64 + n % 149,
-                    "n_frames": 1 + n % 7,
+                    "width": w,
+                    "height": h,
+                    "n_frames": frames,
+                    "resized_w": (w * RESIZE_BOX) // longest,
+                    "resized_h": (h * RESIZE_BOX) // longest,
+                    "sampled_frames": frames.map(
+                        lambda k: ",".join(str(i) for i in range(0, k, FRAME_STRIDE))
+                    ),
                 }
             )
 

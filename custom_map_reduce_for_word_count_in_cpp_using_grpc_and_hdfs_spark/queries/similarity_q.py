@@ -61,22 +61,30 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_suite",
-    oracle="""
-    SELECT doc_id,
-           md5(text) AS payload_md5,  -- DuckDB md5 takes VARCHAR; same utf-8 bytes as the payload
-           'text' AS modality,
-           octet_length(encode(text))::BIGINT AS byte_len,
-           64 + octet_length(encode(text))::BIGINT % 193 AS width,
-           64 + octet_length(encode(text))::BIGINT % 149 AS height,
-           1 + octet_length(encode(text))::BIGINT % 7 AS n_frames
-    FROM documents
+    oracle=f"""
+    WITH decoded AS (
+        SELECT doc_id,
+               md5(text) AS payload_md5,  -- DuckDB md5 takes VARCHAR; same utf-8 bytes as the payload
+               'text' AS modality,
+               octet_length(encode(text))::BIGINT AS byte_len,
+               64 + octet_length(encode(text))::BIGINT % 193 AS width,
+               64 + octet_length(encode(text))::BIGINT % 149 AS height,
+               1 + octet_length(encode(text))::BIGINT % 7 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, payload_md5, modality, byte_len, width, height, n_frames,
+           (width * {MM.RESIZE_BOX}) // greatest(width, height) AS resized_w,
+           (height * {MM.RESIZE_BOX}) // greatest(width, height) AS resized_h,
+           array_to_string(generate_series(0, n_frames - 1, {MM.FRAME_STRIDE}), ',') AS sampled_frames
+    FROM decoded
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal surface end to end: rows carry (payload: binary,
     meta: struct) — payload proven byte-exact via md5 over the bytes on
     both engines, metadata projected from the struct — then the
-    deterministic stand-in codec decodes each Arrow batch via
+    deterministic stand-in codec decodes, resizes (aspect-preserving
+    integer fit into a 224-box) and frame-samples each Arrow batch via
     mapInPandas (real codecs are stubbed; the batch plumbing, schema
     contract and partitioning are what's under test; see
     operators/multimodal.py)."""
@@ -89,5 +97,6 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = MM.fake_decode_meta(with_payload)
     return meta.join(decoded, "doc_id").select(
-        "doc_id", "payload_md5", "modality", "byte_len", "width", "height", "n_frames"
+        "doc_id", "payload_md5", "modality", "byte_len", "width", "height", "n_frames",
+        "resized_w", "resized_h", "sampled_frames",
     )
