@@ -7,12 +7,18 @@ collection — so timings measure the engine, not result serialization.
 The set spans every subsystem: word-count parity, TPC-H-shaped joins
 and aggregation, windows, dedup (exact-Jaccard index join + SimHash +
 MinHash LSH), vector search, text analysis, and a streaming drain.
+
+Each query runs REPS times (default 3, override $SPARK_GRAFT_BENCH_REPS)
+and reports the MEDIAN per query; `queries_min` carries the per-query
+minimum. Round-2 lesson: single-shot timings put 2.6× run-to-run noise
+on wc_top_k with an unchanged (and pinned-optimal) plan.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,6 +39,23 @@ HEADLINE = [
 ]
 
 
+def _bench_minhash_lsh(spark, sf_dir):
+    """The registry entry for dedup_minhash_lsh now ALSO computes the
+    exact-Jaccard recall invariant for the correctness gate (round 3);
+    the bench keeps timing the operator itself — MinHash signatures +
+    banded LSH join + exact verification — so the series stays
+    comparable with rounds 1–2."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import minhash_near_dups
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    return minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.3)
+
+
+#: name → callable overriding the registry entry for TIMING only (the
+#: correctness gate still runs the registered query).
+BENCH_IMPL = {"dedup_minhash_lsh": _bench_minhash_lsh}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark import get_session
@@ -43,17 +66,23 @@ def main() -> None:
     # warm the JVM/session (tiny action, not a headline query)
     spark.range(1000).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators persist() intermediates (signatures, shingle sets) for
-        # intra-query reuse; drop them between queries so one query's
-        # cache can't squeeze the next one's executor memory
-        spark.catalog.clearCache()
+        fn = BENCH_IMPL.get(name, QUERIES[name])
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            # operators persist() intermediates (signatures, shingle sets)
+            # for intra-query reuse; drop them between runs so one run's
+            # cache can't feed or squeeze the next one
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 3)
+        minima[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -64,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minima,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

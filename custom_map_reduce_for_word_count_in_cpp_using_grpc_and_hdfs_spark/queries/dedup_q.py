@@ -6,8 +6,10 @@ Oracle status per operator:
   guaranteed recall for d ≤ blocks-1, so Spark's candidate-join result
   *equals* the oracle's brute-force pair scan. (Per-doc simhash values
   are verified for EVERY document in text_doc_profile.)
-- minhash LSH → rows-only here; recall vs exact Jaccard asserted in
-  tests/test_dedup_similarity.py (hash permutations are xxhash64, not portable).
+- minhash LSH → hash permutations are xxhash64 (not portable to the
+  oracle), so the checked row is an in-plan invariant: exact true-pair
+  count + zero false positives + recall ≥ 0.7 vs exact Jaccard (recall
+  ≥ 0.8 additionally asserted in tests/test_dedup_similarity.py).
 - embedding cosine → exact oracle; see the query docstring for the
   incremental batch-vs-corpus scale shape.
 """
@@ -148,12 +150,49 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # xxhash64 permutations → rows-only; recall tested
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(0 AS BIGINT) AS n_false_positives,
+           true AS recall_ge_0_7
+    FROM jpairs
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + 8-band LSH candidates, verified with exact
-    Jaccard ≥ threshold. Precision exact; recall measured in tests."""
+    Jaccard ≥ threshold.
+
+    The signature permutations are xxhash64 (not expressible in the
+    oracle), so the driver-checkable row is the *invariant*, all computed
+    in-plan: (exact count of true Jaccard pairs, count of found pairs NOT
+    in the true set — provably 0 because the verification join rescores
+    with exact Jaccard, and recall ≥ 0.7 against the exact pairs). The
+    threshold leaves margin under the ≥ 0.8 recall asserted in
+    tests/test_dedup_similarity.py — same (exact, within-tolerance)
+    pattern as rel_approx_count_distinct."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_near_dups(docs, threshold=JACCARD_T)
+    found = D.minhash_near_dups(docs, threshold=JACCARD_T).select("doc_a", "doc_b")
+    true_pairs = D.jaccard_pairs(docs, JACCARD_T).select("doc_a", "doc_b")
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_hits = (
+        found.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_fp = (
+        found.join(true_pairs, ["doc_a", "doc_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_false_positives"))
+    )
+    return (
+        n_true.crossJoin(n_hits)
+        .crossJoin(n_fp)
+        .select(
+            "n_true_pairs",
+            "n_false_positives",
+            (F.col("n_hits") >= 0.7 * F.col("n_true_pairs")).alias("recall_ge_0_7"),
+        )
+    )
 
 
 @query(

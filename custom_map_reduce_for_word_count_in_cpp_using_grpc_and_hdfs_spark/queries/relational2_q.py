@@ -48,15 +48,19 @@ def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q12_shipmode_priority",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
     GROUP BY l_linestatus
     """,
 )
 def rel_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: conditional aggregation over a fact-fact join."""
+    """TPC-H Q12 shape: conditional aggregation over a fact-fact join.
+
+    The oracle SUMs are CAST to BIGINT: DuckDB's SUM over INTEGER widens
+    to HUGEINT (arrow decimal128), Spark's sum(when) is BIGINT, and the
+    driver's value hash is type-sensitive (round-2 failure)."""
     li, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (

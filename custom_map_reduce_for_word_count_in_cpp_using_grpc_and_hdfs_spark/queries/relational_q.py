@@ -393,23 +393,25 @@ def rel_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_approx_count_distinct",
-    oracle="SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_2pct FROM lineitem",
+    oracle="SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_6pct FROM lineitem",
 )
 def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
-    COUNT(DISTINCT) when a 2% error is acceptable (single pass, no
+    COUNT(DISTINCT) when a small error is acceptable (single pass, no
     count-distinct expansion). The estimate itself is engine-specific,
-    so the checkable row is (exact count, |est/exact - 1| <= tolerance);
-    estimate accuracy is additionally asserted in tests."""
+    so the checkable row is (exact count, |est/exact - 1| <= tolerance).
+    The checked tolerance is 3× the requested rsd (0.02 is only a ~1σ
+    bound, which a different SF could legitimately exceed); the tight 2%
+    accuracy at the test SFs is asserted in tests instead."""
     (li,) = _t(spark, sf_dir, "lineitem")
     agg = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
     within = (
-        F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") <= 0.02
+        F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") <= 0.06
     )
-    return agg.select("exact_parts", within.alias("within_2pct"))
+    return agg.select("exact_parts", within.alias("within_6pct"))
 
 
 @query(

@@ -39,24 +39,74 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(queries, emb, TOP_K)
 
 
-@query("ann_topk_lsh")  # approximate recall → rows-only; recall tested
+def _recall_invariant(approx: DataFrame, exact: DataFrame, queries: DataFrame, bound: float, flag: str) -> DataFrame:
+    """One driver-checkable row for an approximate top-k result: every
+    count the oracle can know exactly (n_queries, k) plus the recall
+    bound computed in-plan against the exact top-k — the
+    (exact, within-tolerance) pattern of rel_approx_count_distinct."""
+    n_q = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_q.crossJoin(n_exact)
+        .crossJoin(n_hits)
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            (F.col("n_hits") >= bound * F.col("n_exact")).alias(flag),
+        )
+    )
+
+
+_ANN_INVARIANT_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({k} AS BIGINT) AS k,
+           true AS {flag}
+    FROM embeddings WHERE {pred}
+"""
+
+
+@query(
+    "ann_topk_lsh",
+    oracle=_ANN_INVARIANT_ORACLE.format(k=TOP_K, flag="recall_ge_0_6", pred=QUERY_PRED),
+)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH candidates + exact rescoring; recall vs
-    brute force asserted in tests/test_dedup_similarity.py."""
+    """Random-hyperplane LSH candidates + exact rescoring.
+
+    The hyperplane projections are float-fold-order dependent (not
+    oracle-expressible), so the driver row is the invariant computed
+    in-plan: (n_queries, k, recall vs the exact brute-force top-k ≥ 0.6).
+    Margin under the ≥ 0.7 recall asserted in
+    tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr(QUERY_PRED))
-    return S.lsh_topk(queries, emb, TOP_K)
+    approx = S.lsh_topk(queries, emb, TOP_K).select("query_id", "neighbor_id")
+    exact = S.brute_force_topk(queries, emb, TOP_K).select("query_id", "neighbor_id")
+    return _recall_invariant(approx, exact, queries, 0.6, "recall_ge_0_6")
 
 
-@query("ann_topk_ivf")  # k-means buckets are float-order-sensitive → rows-only; recall tested
+@query(
+    "ann_topk_ivf",
+    oracle=_ANN_INVARIANT_ORACLE.format(k=TOP_K, flag="recall_ge_0_65", pred=QUERY_PRED),
+)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF variant: seeded k-means buckets (computable at write time →
-    partition-pruned probes at scale), nprobe of 16 buckets, exact
-    rescoring. Recall vs brute force asserted in tests."""
+    partition-pruned probes at scale), nprobe of 10 buckets, exact
+    rescoring.
+
+    K-means bucket boundaries are float-order-sensitive, so as with the
+    LSH path the driver row is the in-plan invariant: (n_queries, k,
+    recall vs exact brute force ≥ 0.65) — margin under the ≥ 0.8
+    asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr(QUERY_PRED))
     centroids = S.ivf_centroids(emb)
-    return S.ivf_topk(queries, emb, centroids, TOP_K, nprobe=10)
+    approx = S.ivf_topk(queries, emb, centroids, TOP_K, nprobe=10).select("query_id", "neighbor_id")
+    exact = S.brute_force_topk(queries, emb, TOP_K).select("query_id", "neighbor_id")
+    return _recall_invariant(approx, exact, queries, 0.65, "recall_ge_0_65")
 
 
 @query(

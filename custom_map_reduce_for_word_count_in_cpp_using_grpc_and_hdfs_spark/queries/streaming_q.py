@@ -98,11 +98,11 @@ _DEDUP_STATE_ORACLE = """
     FROM events GROUP BY event_type
   UNION ALL
     SELECT 'state', CAST(user_id AS VARCHAR), count(*),
-           SUM(CAST(round(value * 100) AS BIGINT))
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
     FROM events GROUP BY user_id
   UNION ALL
     SELECT 'enriched', c_mktsegment, count(*),
-           SUM(CAST(round(value * 100) AS BIGINT))
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
   UNION ALL

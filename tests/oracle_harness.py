@@ -70,9 +70,17 @@ def canon(v):
 def compare_rows(spark_df, cur, name: str) -> None:
     """Order-insensitive typed comparison of a Spark DataFrame against an
     executed DuckDB cursor (columns matched by sorted name, like the
-    driver)."""
-    orows = cur.fetchall()
-    ocolnames = [d[0] for d in cur.description]
+    driver).
+
+    The oracle side is materialized through Arrow, NOT fetchall():
+    fetchall() flattens DuckDB HUGEINT/DECIMAL to Python int, which hid
+    the round-2 rel_q12 driver failure (uncast SUM(CASE...) → HUGEINT →
+    arrow decimal128 ≠ Spark BIGINT under the driver's type-sensitive
+    hash). Arrow's to_pylist() keeps those as decimal.Decimal, so local
+    parity implies driver parity."""
+    otable = cur.arrow()
+    ocolnames = list(otable.column_names)
+    orows = [tuple(d.values()) for d in otable.to_pylist()]
     scols, ocols = sorted(spark_df.columns), sorted(ocolnames)
     assert scols == ocols, f"{name}: column mismatch spark={scols} oracle={ocols}"
     idx_s = [spark_df.columns.index(c) for c in scols]
