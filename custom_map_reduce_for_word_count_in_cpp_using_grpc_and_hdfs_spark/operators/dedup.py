@@ -37,6 +37,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions
     poly_hash_token,
     poly_hash_token_sql,
 )
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import tie_cache_lifetime
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col, tokens_sql
 
 
@@ -129,7 +130,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    result = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -139,6 +140,7 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return tie_cache_lifetime(result, ds)
 
 
 # --------------------------------------------------------------------------
@@ -195,13 +197,25 @@ def lsh_candidate_pairs(
     from subexpression elimination) — recomputing MinHash hundreds of
     times per row. Materializing once is also the production shape: at
     scale, signatures are written/persisted and reused across dedup runs.
+    The persist lives as long as the returned DataFrame object
+    (tie_cache_lifetime).
     """
     sigs = sigs.persist()
     rows_per_band = num_perm // bands
+    # Guard against a sigs frame built with a DIFFERENT num_perm: slicing
+    # past the array end would silently band over null hashes, degrading
+    # recall with no error. assert_true fails the job instead.
+    width_ok = F.assert_true(
+        F.size("sig") == num_perm,
+        F.concat(
+            F.lit(f"lsh_candidate_pairs: expected signature width {num_perm}, got "),
+            F.size("sig").cast("string"),
+        ),
+    )
     banded = sigs.select(
         F.col(id_col),
         F.explode(
-            F.array(
+            F.when(width_ok.isNull(), F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
@@ -211,17 +225,18 @@ def lsh_candidate_pairs(
                     )
                     for b in range(bands)
                 ]
-            )
+            ))
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
-    return (
+    result = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return tie_cache_lifetime(result, sigs)
 
 
 def minhash_near_dups(
@@ -258,13 +273,16 @@ def minhash_near_dups(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    result = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # cands (itself cache-tied to the signature persist) is strongly held
+    # by the finalizer until the result dies, chaining the releases
+    return tie_cache_lifetime(result, ds, cands)
 
 
 # --------------------------------------------------------------------------
@@ -307,6 +325,7 @@ def connected_components(
     # and edges often come from an expensive upstream (e.g. a Jaccard
     # similarity join) that must not be recomputed per iteration
     sym = sym.localCheckpoint()
+    changed = 0
     for _ in range(max_iters):
         msgs = (
             sym.join(labels, sym.a == labels.vid)
@@ -327,6 +346,15 @@ def connected_components(
         labels = proposed.select("vid", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        # chain-shaped clusters with diameter > max_iters are exactly the
+        # transitive case this operator exists for — partial labels would
+        # silently under-merge, so fail loudly instead
+        raise RuntimeError(
+            f"connected_components: {changed} labels still changing after "
+            f"max_iters={max_iters} rounds — component diameter exceeds the "
+            "iteration budget; raise max_iters"
+        )
     return labels.select(F.col("vid").alias(id_col), "comp")
 
 
@@ -408,7 +436,7 @@ def simhash_near_dups(df: DataFrame, max_distance: int = 3, id_col: str = "doc_i
     ).select(id_col, "simhash", "bb.blk", "bb.blk_val")
     a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "blk_val")
     b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "blk_val")
-    return (
+    result = (
         a.join(b, ["blk", "blk_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
@@ -417,3 +445,4 @@ def simhash_near_dups(df: DataFrame, max_distance: int = 3, id_col: str = "doc_i
         .where(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )
+    return tie_cache_lifetime(result, fps)

@@ -29,11 +29,23 @@ def salted_group_agg(
     ``agg_exprs`` maps output name → (partial_agg_expr, merge_agg_expr),
     e.g. ``{"cnt": (F.count(F.lit(1)), F.sum("cnt"))}`` or
     ``{"total": (F.sum("x"), F.sum("total"))}``. Phase 1 groups by
-    (keys, salt) where salt = uniform 0..S-1 derived from a hash of the
-    full row's partition+offset — here monotonically_increasing_id, which
-    is deterministic per partition layout but carries no key bias.
+    (keys, salt) where salt = pmod(xxhash64(spark_partition_id), S):
+    a hot key's rows exist in (nearly) every upstream partition, so its
+    phase-1 partials spread across S reduce tasks, which is the entire
+    point of the salt. Within one partition all rows share a salt — free,
+    because phase 1's map-side partial aggregation already collapses them
+    to one row per (key, salt) per partition before the shuffle.
+
+    Retry semantics: the salt is a pure function of the partition id, and
+    a stage retry recomputes a lost partition from the same deterministic
+    input — so re-salting is stable under retry, unlike the previous
+    monotonically_increasing_id derivation whose offsets shift if the
+    task split changes. (Either way the *result* is correct: the merge
+    expressions are algebraic, any salt assignment composes.)
     """
-    salted = df.withColumn("_salt", (F.monotonically_increasing_id() % num_salts).cast("int"))
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.spark_partition_id()), F.lit(num_salts)).cast("int")
+    )
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
         *[expr.alias(name) for name, (expr, _) in agg_exprs.items()]
     )

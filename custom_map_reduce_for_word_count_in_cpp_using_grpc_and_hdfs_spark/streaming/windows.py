@@ -54,12 +54,36 @@ def _stage_dir(sf_dir: str, table: str = "events") -> str:
     return target
 
 
+def events_source(spark: SparkSession, conf: dict | None = None) -> DataFrame:
+    """Source seam: build the raw streaming DataFrame for the events
+    table from a source-kind config, so a Kafka/rate source slots in
+    without touching any query code.
+
+    ``conf`` keys: ``kind`` ("file" — default; "kafka" and "rate" are the
+    documented production shapes) plus kind-specific options. The file
+    kind needs ``sf_dir``. A Kafka source would be
+    ``spark.readStream.format("kafka").option("subscribe", topic)...``
+    followed by ``from_json(value)`` into the same events schema — only
+    this function changes.
+    """
+    conf = conf or {}
+    kind = conf.get("kind", "file")
+    if kind == "file":
+        sf_dir = conf["sf_dir"]
+        batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        return spark.readStream.schema(batch_schema).parquet(_stage_dir(sf_dir))
+    raise NotImplementedError(
+        f"events_source kind={kind!r}: this sandbox ships only the file "
+        "source; kafka/rate plug in here without query-code changes"
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame over the events table (ts normalized to
     microsecond timestamps, same as the batch reader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = spark.readStream.schema(batch_schema).parquet(_stage_dir(sf_dir))
+    stream = events_source(spark, {"kind": "file", "sf_dir": sf_dir})
     if dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
@@ -76,25 +100,48 @@ def run_available_now_many(
 ) -> list[DataFrame]:
     """Drain several bounded streams CONCURRENTLY (all started before any
     is awaited — independent streaming jobs shouldn't serialize on the
-    driver) and return each result as a batch DataFrame."""
+    driver) and return each result as a batch DataFrame.
+
+    Single-batch constraint for oracle-checked drains: the staged file
+    source is exactly ONE file (see _stage_dir), so an AvailableNow drain
+    is one micro-batch and the watermark never advances mid-drain. With a
+    multi-file source the watermark could advance between micro-batches
+    and drop late rows (dropDuplicatesWithinWatermark, stream-stream
+    join), legitimately diverging from the batch oracle — if a staged
+    source ever grows multiple files, pin maxFilesPerTrigger above the
+    file count or use a watermark delay exceeding the event-time span.
+
+    If any drain fails or times out, every still-active query is stopped
+    before the error propagates — no leaked streaming queries or
+    memory-sink state."""
     started = []
-    for df, mode in dfs_modes:
-        name = f"stream_{uuid.uuid4().hex[:12]}"
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        started.append((df, name, q))
-    out = []
-    for df, name, q in started:
-        q.awaitTermination(timeout_s)
-        if q.exception() is not None:
-            raise q.exception()
-        out.append(df.sparkSession.table(name))
-    return out
+    try:
+        for df, mode in dfs_modes:
+            name = f"stream_{uuid.uuid4().hex[:12]}"
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            started.append((df, name, q))
+        out = []
+        for df, name, q in started:
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(f"streaming drain {name} still running after {timeout_s}s")
+            if q.exception() is not None:
+                raise q.exception()
+            out.append(df.sparkSession.table(name))
+        return out
+    except BaseException:
+        for _, _, q in started:
+            try:
+                if q.isActive:
+                    q.stop()
+            except Exception:
+                pass
+        raise
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

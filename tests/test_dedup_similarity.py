@@ -198,3 +198,67 @@ def test_ivf_short_corpus_guard(spark):
     assert 1 <= len(centroids) <= 5
     out = S.ivf_topk(df.limit(1), df, centroids, k=2, nprobe=4)
     assert out.count() >= 1
+
+
+def test_operator_caches_release_with_result(spark):
+    """Cache-lifetime contract: intermediates persisted inside the dedup
+    operators (shingle index, MinHash signatures, SimHash fingerprints)
+    unpersist once the caller drops the result DataFrame — a long-lived
+    session embedding the operators must not leak executor memory."""
+    import gc
+    import time
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(150)
+    # settle finalizers from earlier tests so they can't shift the baseline
+    gc.collect()
+    time.sleep(0.3)
+    baseline = persistent_ids()
+    for build in (
+        lambda: D.jaccard_pairs(docs, threshold=0.3),
+        lambda: D.minhash_near_dups(docs, threshold=0.3),
+        lambda: D.simhash_near_dups(docs, max_distance=3),
+    ):
+        result = build()
+        result.count()
+        assert persistent_ids() - baseline, "operator should persist while live"
+        del result
+        gc.collect()
+        # unpersist(blocking=False) propagates asynchronously
+        leaked = persistent_ids() - baseline
+        for _ in range(50):
+            if not leaked:
+                break
+            time.sleep(0.1)
+            leaked = persistent_ids() - baseline
+        assert not leaked, f"cached intermediates leaked: {leaked}"
+
+
+def test_lsh_candidate_pairs_rejects_wrong_signature_width(spark):
+    """A sigs frame built with a different num_perm must fail loudly, not
+    band over truncated slices (silent recall loss)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(20)
+    sigs = D.minhash_signature(docs, num_perm=16)
+    with pytest.raises(SparkRuntimeException, match="expected signature width"):
+        D.lsh_candidate_pairs(sigs, bands=8, num_perm=32).count()
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iters' propagation reach must raise, not
+    return silently under-merged labels."""
+    import pytest
+
+    n = 12
+    vertices = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        D.connected_components(vertices, edges, max_iters=2)
+    full = D.connected_components(vertices, edges, max_iters=n + 1)
+    assert {r.comp for r in full.collect()} == {0}
