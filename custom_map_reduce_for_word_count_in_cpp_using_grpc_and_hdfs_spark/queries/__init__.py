@@ -46,6 +46,9 @@ def query(name: str, oracle: str | None = None):
 # driver's ~50-entry verification window; families that lacked driver
 # rows in round 1 register first anyway, so a shrunken window still
 # covers them before the long-green word-count/relational families.
+# (Round 3 kept the count at 50 by consolidating the single-row TPC-H
+# queries into rel_tpch_scalar_suite.)
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import pipeline_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import dedup_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import similarity_q  # noqa: E402,F401
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import relational2_q  # noqa: E402,F401

@@ -14,18 +14,6 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries i
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table, register_views
 
 
-@query(
-    "rel_q6_forecast_revenue",
-    oracle=f"""
-    SELECT {dsum_expr('l_extendedprice * l_discount', 6)} AS revenue,
-           count(*) AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate < TIMESTAMP '1998-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
 def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-agg; every predicate must reach
     the parquet scan (no join, no shuffle beyond the 1-row final agg)."""
@@ -77,15 +65,6 @@ def rel_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rel_q14_promo_ratio",
-    oracle=f"""
-    SELECT CAST(100.0 AS DOUBLE) * {dsum_expr("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
-             / {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS promo_revenue_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
-    """,
-)
 def rel_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: broadcast dim join + conditional revenue ratio."""
     li, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
@@ -123,15 +102,6 @@ def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rel_q19_or_predicates",
-    oracle=f"""
-    SELECT {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS revenue
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
-       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
-    """,
-)
 def rel_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive mixed-table predicates over a join."""
     li, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
@@ -148,6 +118,167 @@ def rel_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.where(cond1 | cond2).agg(dsum(rev, 6, alias="revenue"))
+
+
+@query(
+    "rel_tpch_scalar_suite",
+    oracle=f"""
+    SELECT 'q6' AS q, {dsum_expr('l_extendedprice * l_discount', 6)} AS value, count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+  UNION ALL
+    SELECT 'q14', CAST(100.0 AS DOUBLE) * {dsum_expr("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+             / {dsum_expr('l_extendedprice * (1 - l_discount)', 6)}, CAST(NULL AS BIGINT)
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+  UNION ALL
+    SELECT 'q19', {dsum_expr('l_extendedprice * (1 - l_discount)', 6)}, CAST(NULL AS BIGINT)
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+    """,
+)
+def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated single-row TPC-H shapes (registry-slot discipline —
+    the driver verifies ~50 entries): Q6 pure scan-filter-agg, Q14
+    broadcast-dim conditional ratio, Q19 disjunctive mixed-table
+    predicates. Each branch keeps its original plan; the union is three
+    independent 1-row aggregates."""
+
+    def tag(q: str, df: DataFrame, value_col: str, n_rows_col: str | None) -> DataFrame:
+        n_rows = F.col(n_rows_col) if n_rows_col else F.lit(None).cast("long")
+        return df.select(F.lit(q).alias("q"), F.col(value_col).alias("value"), n_rows.alias("n_rows"))
+
+    return (
+        tag("q6", rel_q6_forecast_revenue(spark, sf_dir), "revenue", "n_rows")
+        .unionAll(tag("q14", rel_q14_promo_ratio(spark, sf_dir), "promo_revenue_pct", None))
+        .unionAll(tag("q19", rel_q19_or_predicates(spark, sf_dir), "revenue", None))
+    )
+
+
+@query(
+    "rel_subquery_deep_suite",
+    oracle=f"""
+    SELECT 'q4' AS q, o_orderpriority AS key, count(*) AS n, CAST(NULL AS DOUBLE) AS v
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+  UNION ALL
+    SELECT 'q13', CAST(c_count AS VARCHAR), count(*), CAST(NULL AS DOUBLE)
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+  UNION ALL
+    SELECT 'q17', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           {dsum_expr('l.l_extendedprice', 6)} / CAST(7.0 AS DOUBLE)
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n_li
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+        GROUP BY l_partkey
+    ) s ON s.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * s.n_li < s.sum_qty
+    """,
+)
+def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep subquery shapes the flat suites don't cover, one tagged union:
+
+    - q4 (TPC-H Q4 shape): correlated EXISTS with a cross-table predicate
+      (lineitem shipped >60 days after its order's date) → Spark plans
+      the compound-condition left-semi join; counts per priority.
+    - q13 (TPC-H Q13 shape): left outer join + count of non-NULL keys per
+      customer, then the distribution of those counts (group on an
+      aggregate) — zero-order customers must survive as c_count = 0.
+    - q17 (TPC-H Q17 shape): correlated scalar aggregate (per-part
+      average quantity) feeding a strict inequality. Rewritten to the
+      decorrelated join-aggregate; the threshold compare is pure integer
+      arithmetic (5·qty·n < Σqty ⟺ qty < 0.2·avg) so both engines agree
+      bit-for-bit, and the revenue sum is the exact decimal fold.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    q4 = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("q4").alias("q"),
+            F.col("o_orderpriority").alias("key"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    per_cust = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    q13 = (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("q13").alias("q"),
+            F.col("c_count").cast("string").alias("key"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    brand_parts = p.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li_brand = li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    stats = li_brand.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    q17 = (
+        li_brand.join(stats.withColumnRenamed("l_partkey", "s_partkey"),
+                      F.col("l_partkey") == F.col("s_partkey"))
+        .where(5 * F.col("l_quantity").cast("long") * F.col("n_li") < F.col("sum_qty"))
+        .agg((dsum("l_extendedprice", 6) / F.lit(7.0)).alias("v"))
+        .select(
+            F.lit("q17").alias("q"),
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("long").alias("n"),
+            "v",
+        )
+    )
+    return q4.unionAll(q13).unionAll(q17)
 
 
 @query(

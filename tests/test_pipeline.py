@@ -1,0 +1,52 @@
+"""End-to-end corpus-curation pipeline: composition invariants the
+oracle-parity test can't see, plus the partitioned corpus write — the
+final stage a training-data pipeline runs (curated docs laid out by
+predicted language for partition-pruned downstream reads)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q import (
+    MIN_STOPWORD_RATIO,
+    MIN_TOKENS,
+    curated_corpus,
+)
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources.sinks import read_table, write_table
+
+from .conftest import SF_SMOKE
+
+
+def test_curation_is_strict_and_survivors_are_cluster_minima(spark):
+    cur = curated_corpus(spark, SF_SMOKE).cache()
+    try:
+        n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+        n_kept = cur.count()
+        # the quality gate + dedup must actually remove something, but not everything
+        assert 0 < n_kept < n_docs
+        # every survivor satisfies the quality gate it was filtered by
+        assert cur.where(F.col("n_tokens") < MIN_TOKENS).count() == 0
+        # cluster sizes are positive and total docs absorbed <= corpus size
+        stats = cur.agg(
+            F.min("cluster_size").alias("lo"), F.sum("cluster_size").alias("tot")
+        ).first()
+        assert stats["lo"] >= 1 and stats["tot"] <= n_docs
+    finally:
+        cur.unpersist()
+
+
+def test_curated_corpus_partitioned_write(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("curated") / "corpus")
+    cur = curated_corpus(spark, SF_SMOKE)
+    write_table(cur, path, partition_by=["lang_label"])
+
+    back = read_table(spark, path)
+    assert back.count() == cur.count()
+    # partition pruning works: a single-language read scans one directory
+    langs = [r["lang_label"] for r in cur.select("lang_label").distinct().collect()]
+    assert len(langs) > 1  # the corpus is multilingual, so the layout is real
+    one = back.where(F.col("lang_label") == langs[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang_label" in plan.split("PartitionFilters")[1][:200]
+    # content parity language-by-language (write→read round trip is lossless)
+    assert one.count() == cur.where(F.col("lang_label") == langs[0]).count()
