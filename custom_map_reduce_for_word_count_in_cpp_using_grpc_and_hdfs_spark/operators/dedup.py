@@ -28,7 +28,7 @@ Scale design (the 100 TB story, per operator):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import (
@@ -88,8 +88,10 @@ def doc_shingles(
     shingles collide in 64 bits: P ≈ n²/2⁶⁵ ≈ 2·10⁻⁹ at 260k shingles.
     Pass ``hashed=False`` where provable exactness beats speed.
     """
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
+
     shingle = F.explode(shingles_col(text_col, n)).alias("shingle")
-    out = df.select(F.col(id_col), shingle)
+    out = spread(df).select(F.col(id_col), shingle)
     if hashed:
         out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
     return out.distinct()
@@ -365,7 +367,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     majority vote of token-hash bits, duplicates counted. Token hashes
     are engine-portable polynomial hashes, so the whole operator is
     oracle-checkable bit for bit."""
-    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
+
+    toks = spread(df).select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     hashed = toks.select(id_col, poly_hash_token("tok").alias("h"))
     # 56 flat SUM aggregates (one per bit) with map-side partial
     # aggregation: the shuffle carries one 56-column row per doc per
@@ -436,11 +440,23 @@ def simhash_near_dups(df: DataFrame, max_distance: int = 3, id_col: str = "doc_i
     ).select(id_col, "simhash", "bb.blk", "bb.blk_val")
     a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "blk_val")
     b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "blk_val")
+
+    # Canonical-block dedup: a pair agreeing on k blocks would surface k
+    # times; keep it ONLY at its first agreeing block (all earlier blocks
+    # differ). That predicate is pure codegen'd bit math on columns the
+    # row already carries, so the post-join DISTINCT — a full shuffle of
+    # every candidate row (27.5M at sf0.1) — disappears from the plan.
+    def block_bits(c: Column, j: int) -> Column:
+        return F.shiftright(c, j * width).bitwiseAND(F.lit(mask))
+
+    first_agreeing = F.lit(True)
+    for j in range(n_blocks - 1):
+        first_agreeing = first_agreeing & (
+            (F.col("blk") <= j) | (block_bits(F.col("sh_a"), j) != block_bits(F.col("sh_b"), j))
+        )
     result = (
         a.join(b, ["blk", "blk_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
+        .where((F.col("doc_a") < F.col("doc_b")) & first_agreeing)
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))

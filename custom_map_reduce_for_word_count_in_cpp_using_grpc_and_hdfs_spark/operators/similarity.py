@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.vector import cosine, dot, norm2
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
 
 #: Fixed seed for the hyperplane projections — part of the operator
 #: definition (same planes at write and query time).
@@ -62,7 +63,9 @@ def brute_force_topk(
         )
 
     q = normalized(queries, "query_id", "q_vec")
-    c = normalized(corpus, "neighbor_id", "c_vec")
+    # the corpus side carries the per-pair dot folds — spread a
+    # few-split scan so scoring parallelizes (no-op on a real corpus)
+    c = normalized(spread(corpus), "neighbor_id", "c_vec")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -134,31 +137,44 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
-            sig.alias("sig"),
+            sig.alias(f"{role}_sig"),
         ).select(
             f"{role}_id",
             f"{role}_vec",
+            f"{role}_sig",
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+                            F.shiftright(F.col(f"{role}_sig"), b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
                         )
                         for b in range(bands)
                     ]
                 )
             ).alias("bb"),
-        ).select(f"{role}_id", f"{role}_vec", "bb.band", "bb.band_val")
+        ).select(f"{role}_id", f"{role}_vec", f"{role}_sig", "bb.band", "bb.band_val")
 
     q = banded(queries, "query")
-    c = banded(corpus, "neighbor")
+    c = banded(spread(corpus), "neighbor")
+    # Canonical-band dedup: keep a candidate pair only at its FIRST
+    # agreeing band, so the exact same candidate set survives without a
+    # DISTINCT over (id, vector-array) rows — the predicate is bit math
+    # on the signature longs both sides already carry.
+    first_agreeing = F.lit(True)
+    for j in range(bands - 1):
+        first_agreeing = first_agreeing & (
+            (F.col("band") <= j)
+            | (
+                F.shiftright(F.col("query_sig"), j * width).bitwiseAND(F.lit(mask))
+                != F.shiftright(F.col("neighbor_sig"), j * width).bitwiseAND(F.lit(mask))
+            )
+        )
     cands = (
         F.broadcast(q)
         .join(c, ["band", "band_val"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where((F.col("query_id") != F.col("neighbor_id")) & first_agreeing)
         .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
-        .distinct()
     )
     scored = cands.select(
         "query_id", "neighbor_id", cosine("query_vec", "neighbor_vec").alias("score")
@@ -190,7 +206,7 @@ def cosine_batch_near_dups(
     self-join). Scores use the same un-normalized cosine fold as the SQL
     oracle rendering, so results are bit-exact."""
     a = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    b = spread(corpus).select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
         F.broadcast(a)
         .crossJoin(b)
@@ -247,18 +263,30 @@ def cosine_near_dup_pairs(
     at 1. Recall-vs-brute-force parity on planted dups is asserted in
     tests/test_dedup_similarity.py."""
     planes = hyperplanes(dim, n_planes)
-    banded = df.select(
+    banded = spread(df).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        F.posexplode(band_codes(vec_col, planes, bands)).alias("band", "code"),
+        band_codes(vec_col, planes, bands).alias("codes"),
+    ).select("vid", "vec", "codes", F.posexplode("codes").alias("band", "code"))
+    a = banded.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), F.col("codes").alias("codes_a"), "band", "code"
     )
-    a = banded.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "band", "code")
-    b = banded.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "band", "code")
+    b = banded.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), F.col("codes").alias("codes_b"), "band", "code"
+    )
+    # canonical-band dedup (see simhash_near_dups): emit a pair only at
+    # its first agreeing band — same candidate set, no DISTINCT shuffle
+    # over vector-array rows
+    first_agreeing = F.lit(True)
+    for j in range(bands - 1):
+        first_agreeing = first_agreeing & (
+            (F.col("band") <= j)
+            | (F.element_at("codes_a", j + 1) != F.element_at("codes_b", j + 1))
+        )
     cands = (
         a.join(b, ["band", "code"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & first_agreeing)
         .select("id_a", "id_b", "vec_a", "vec_b")
-        .distinct()
     )
     return (
         cands.select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos_sim"))
@@ -303,6 +331,7 @@ def ivf_centroids(
     # short corpus: fewer centroids than requested beats a sampling crash
     k = min(k, len(pool))
     centroids = pool[rng.choice(len(pool), size=k, replace=False)]
+    corpus = spread(corpus)
     for _ in range(iters):
         assigned = corpus.select(
             F.col(vec_col).alias("v"),
@@ -360,7 +389,7 @@ def ivf_topk(
     nearest centroid buckets and rescores exactly within them."""
     from pyspark.sql import Window
 
-    c_assigned = corpus.select(
+    c_assigned = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _nearest_centroid_col(F.col(vec_col), centroids).alias("bucket"),

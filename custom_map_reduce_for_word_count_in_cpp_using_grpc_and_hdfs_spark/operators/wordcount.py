@@ -34,8 +34,10 @@ def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "word") -> Da
     Exact reference semantics: split on space/newline only, drop empty
     tokens (slave.cc:103 guards ``word != ""``), keep case and punctuation.
     """
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
+
     word = F.explode(F.split(F.col(text_col), TOKEN_DELIMITERS)).alias(out_col)
-    return df.select(word).where(F.col(out_col) != "")
+    return spread(df).select(word).where(F.col(out_col) != "")
 
 
 def key_range_filter(df: DataFrame, word_col: str = "word", low: str = "a", high: str = "z") -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import text as T
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import query
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
 
@@ -77,7 +78,7 @@ _OSQL["text_doc_profile"] = _OSQL["text_doc_profile"].replace(
 )
 def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary under the BPE-ish pre-tokenizer (top 50)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(F.regexp_extract_all("text", F.lit(T.BPE_PATTERN), 0)).alias("tok"))
         .groupBy("tok")
@@ -107,7 +108,7 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery as dedup, exposed as a text-analysis query."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import shingles_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(shingles_col("text", 2)).alias("bigram"))
         .groupBy("bigram")
@@ -149,7 +150,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col
 
-    words = docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    words = spread(docs).select("doc_id", F.explode(tokens_col("text")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
