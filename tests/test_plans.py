@@ -118,3 +118,101 @@ def test_interval_join_equi_no_cross(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+# --------------------------------------------------------------------------
+# Canonical-band candidate dedup (round 3): the post-join DISTINCT over
+# candidate rows is replaced by a first-agreeing-band bit predicate, so
+# the candidate stream must reach verification without any aggregate.
+# --------------------------------------------------------------------------
+
+
+def _op_plan(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_lsh_topk_candidates_no_distinct_aggregate(spark):
+    """lsh_topk's candidate join must contain NO aggregate at all — the
+    only dedup is the codegen'd first-agreeing-band predicate; a
+    reintroduced .distinct() shows up as HashAggregate + an Exchange of
+    (id, vector) rows."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.similarity import lsh_topk
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    plan = _op_plan(spark, lsh_topk(emb.limit(20), emb, k=5))
+    assert plan.count("HashAggregate") == 0
+    assert plan.count("SortAggregate") == 0
+
+
+def test_banded_cosine_candidates_no_distinct_aggregate(spark):
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    plan = _op_plan(spark, cosine_near_dup_pairs(load_table(spark, SF_CORRECT, "embeddings"), threshold=0.9))
+    assert plan.count("HashAggregate") == 0
+    assert plan.count("SortAggregate") == 0
+
+
+def test_simhash_candidates_no_distinct_shuffle(spark):
+    """simhash_near_dups: the only aggregates are the per-side simhash
+    vote-sums (3 plan instances x partial+final = 6); the candidate join
+    output flows straight into the hamming filter. A DISTINCT would add
+    aggregate nodes and an Exchange of candidate rows (27.5M at sf0.1)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import simhash_near_dups
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    plan = _op_plan(spark, simhash_near_dups(load_table(spark, SF_CORRECT, "documents")))
+    assert plan.count("HashAggregate") <= 6
+    assert len(re.findall(r"\bExchange\b", plan)) <= 6
+
+
+def test_candidate_pairs_unique_without_distinct(spark):
+    """Behavioral half of the canonical-band contract: a pair agreeing on
+    several bands/blocks must still surface exactly once."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import simhash_near_dups
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    # near-identical docs agree on ALL 4 simhash blocks — the stress case
+    dup_max = (
+        simhash_near_dups(docs, max_distance=0)
+        .groupBy("doc_a", "doc_b").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert dup_max in (None, 1)
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    dup_max = (
+        cosine_near_dup_pairs(emb, threshold=0.8)
+        .groupBy("id_a", "id_b").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert dup_max in (None, 1)
+
+
+# --------------------------------------------------------------------------
+# Scan-parallelism guard (plans/parallelism.py)
+# --------------------------------------------------------------------------
+
+
+def test_spread_repartitions_only_when_starved(spark):
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
+
+    narrow = spark.range(0, 1000).coalesce(1)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert spread(narrow).rdd.getNumPartitions() == n_shuffle
+    wide = spark.range(0, 1000).repartition(n_shuffle + 4)
+    assert spread(wide) is wide  # already parallel: no shuffle added
+
+
+def test_spread_streaming_passthrough(spark, tmp_path):
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
+
+    spark.range(0, 10).write.mode("overwrite").parquet(str(tmp_path / "d"))
+    schema = spark.read.parquet(str(tmp_path / "d")).schema
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "d"))
+    assert spread(stream) is stream
