@@ -214,29 +214,35 @@ def lsh_candidate_pairs(
             F.size("sig").cast("string"),
         ),
     )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
     banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.when(width_ok.isNull(), F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            ))
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.band_hash")
-    a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
+        F.col(id_col), F.when(width_ok.isNull(), band_hashes).alias("bhs")
+    ).select(id_col, "bhs", F.posexplode("bhs").alias("band", "band_hash"))
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col("bhs").alias("bhs_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), F.col("bhs").alias("bhs_b"), "band", "band_hash")
+    # Canonical-band dedup (same shape as simhash_near_dups): a pair
+    # agreeing on k bands would surface k times; keep it only at its
+    # FIRST agreeing band — all earlier band hashes differ. The banded
+    # rows carry the compact per-band hash array (bands × 8 bytes), so
+    # the predicate is pure codegen'd comparisons and the post-join
+    # DISTINCT — a full extra shuffle of the candidate stream — is gone.
+    first_agreeing = F.lit(True)
+    for j in range(bands - 1):
+        first_agreeing = first_agreeing & (
+            (F.col("band") <= j)
+            | (F.element_at("bhs_a", j + 1) != F.element_at("bhs_b", j + 1))
+        )
     result = (
         a.join(b, ["band", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where((F.col("doc_a") < F.col("doc_b")) & first_agreeing)
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return tie_cache_lifetime(result, sigs)
 

@@ -194,6 +194,26 @@ def test_candidate_pairs_unique_without_distinct(spark):
     assert dup_max in (None, 1)
 
 
+def test_minhash_candidates_unique_and_no_distinct(spark):
+    """lsh_candidate_pairs: identical docs agree on ALL bands — each pair
+    must still surface once, with no aggregate anywhere in the plan."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    cands = lsh_candidate_pairs(minhash_signature(docs), bands=8)
+    # the signature aggregation contributes HashAggregates; the candidate
+    # join itself must add none (a .distinct() would)
+    plan = _op_plan(spark, cands)
+    assert plan.count("HashAggregate") <= 8  # sig partial+final on each side x2 plans
+    dup_max = cands.groupBy("doc_a", "doc_b").count().agg(F.max("count")).collect()[0][0]
+    assert dup_max in (None, 1)
+
+
 # --------------------------------------------------------------------------
 # Scan-parallelism guard (plans/parallelism.py)
 # --------------------------------------------------------------------------
