@@ -195,6 +195,64 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) s ON s.l_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
       AND 5 * CAST(l.l_quantity AS BIGINT) * s.n_li < s.sum_qty
+  UNION ALL
+    SELECT 'q2', CAST(v.l_partkey AS VARCHAR) || '|' || CAST(v.l_suppkey AS VARCHAR),
+           v.cost, CAST(NULL AS DOUBLE)
+    FROM (
+        SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cost
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size < 10
+        GROUP BY l_partkey, l_suppkey
+    ) v
+    WHERE v.cost = (
+        SELECT min(v2.cost) FROM (
+            SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cost
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size < 10
+            GROUP BY l_partkey, l_suppkey
+        ) v2 WHERE v2.l_partkey = v.l_partkey
+    )
+  UNION ALL
+    SELECT 'q15', CAST(r.l_suppkey AS VARCHAR), CAST(NULL AS BIGINT), r.total_rev
+    FROM (
+        SELECT l_suppkey, {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    ) r
+    WHERE r.total_rev = (
+        SELECT max(total_rev) FROM (
+            SELECT l_suppkey, {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+    )
+  UNION ALL
+    SELECT 'q21', CAST(l_suppkey AS VARCHAR), count(*), CAST(NULL AS DOUBLE)
+    FROM (
+        SELECT *, SUM(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM (
+            SELECT *, max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+            FROM (
+                SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            )
+        )
+    )
+    WHERE n_supp > 1 AND smax = omax AND n_at_max = 1
+    GROUP BY l_suppkey
+  UNION ALL
+    SELECT 'q22', CAST(c_nationkey % 5 AS VARCHAR), count(*),
+           {dsum_expr('c_acctbal')}
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT {dsum_expr('c_acctbal')} / count(*) FROM customer WHERE c_acctbal > 0
+    )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey % 5
     """,
 )
 def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +269,21 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       decorrelated join-aggregate; the threshold compare is pure integer
       arithmetic (5·qty·n < Σqty ⟺ qty < 0.2·avg) so both engines agree
       bit-for-bit, and the revenue sum is the exact decimal fold.
+    - q2 (TPC-H Q2 shape): correlated MIN subquery (cheapest supplier per
+      small part, volume standing in for the missing partsupp cost) →
+      decorrelated per-part min-aggregate joined back on (part, min);
+      min ties survive on both engines.
+    - q15 (TPC-H Q15 shape): scalar MAX subquery over an aggregated
+      derived table (top revenue supplier for a quarter) → broadcast
+      1-row max joined on equality of the exact decimal revenue fold.
+    - q21 (TPC-H Q21 shape): the EXISTS(another supplier) AND NOT
+      EXISTS(another supplier shipped later) pair, decorrelated into
+      per-order window aggregates over per-(order, supplier) max ship
+      dates; counts orders per supplier where it was the UNIQUE latest
+      shipper in a multi-supplier order.
+    - q22 (TPC-H Q22 shape): uncorrelated scalar AVG threshold
+      (exact-decimal avg of positive balances) + NOT EXISTS anti join
+      against orders, grouped by country code (nationkey mod 5).
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -278,7 +351,84 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
         )
     )
-    return q4.unionAll(q13).unionAll(q17)
+
+    small = p.where(F.col("p_size") < 10).select("p_partkey")
+    vol = (
+        li.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("cost"))
+    )
+    part_min = vol.groupBy(F.col("l_partkey").alias("m_partkey")).agg(F.min("cost").alias("min_cost"))
+    q2 = (
+        vol.join(
+            part_min,
+            (F.col("l_partkey") == F.col("m_partkey")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            F.lit("q2").alias("q"),
+            F.concat_ws("|", F.col("l_partkey").cast("string"), F.col("l_suppkey").cast("string")).alias("key"),
+            F.col("cost").alias("n"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, alias="total_rev"))
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("mx"))
+    q15 = (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("mx"))
+        .select(
+            F.lit("q15").alias("q"),
+            F.col("l_suppkey").cast("string").alias("key"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("total_rev").alias("v"),
+        )
+    )
+
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("l_orderkey")
+    sm = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("smax"))
+    ann = sm.select(
+        "*",
+        F.max("smax").over(w_ord).alias("omax"),
+        F.count(F.lit(1)).over(w_ord).alias("n_supp"),
+    )
+    ann = ann.withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(w_ord),
+    )
+    q21 = (
+        ann.where((F.col("n_supp") > 1) & (F.col("smax") == F.col("omax")) & (F.col("n_at_max") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .select(
+            F.lit("q21").alias("q"),
+            F.col("l_suppkey").cast("string").alias("key"),
+            F.col("numwait").alias("n"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        (dsum("c_acctbal") / F.count(F.col("c_acctbal"))).alias("thr")
+    )
+    q22 = (
+        c.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal", alias="v"))
+        .select(F.lit("q22").alias("q"), "key", "n", "v")
+    )
+
+    return q4.unionAll(q13).unionAll(q17).unionAll(q2).unionAll(q15).unionAll(q21).unionAll(q22)
 
 
 @query(
