@@ -123,39 +123,129 @@ def rel_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_tpch_scalar_suite",
     oracle=f"""
-    SELECT 'q6' AS q, {dsum_expr('l_extendedprice * l_discount', 6)} AS value, count(*) AS n_rows
+    SELECT 'q6' AS q, CAST(NULL AS VARCHAR) AS key, {dsum_expr('l_extendedprice * l_discount', 6)} AS value, count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
   UNION ALL
-    SELECT 'q14', CAST(100.0 AS DOUBLE) * {dsum_expr("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+    SELECT 'q14', CAST(NULL AS VARCHAR), CAST(100.0 AS DOUBLE) * {dsum_expr("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
              / {dsum_expr('l_extendedprice * (1 - l_discount)', 6)}, CAST(NULL AS BIGINT)
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
   UNION ALL
-    SELECT 'q19', {dsum_expr('l_extendedprice * (1 - l_discount)', 6)}, CAST(NULL AS BIGINT)
+    SELECT 'q19', CAST(NULL AS VARCHAR), {dsum_expr('l_extendedprice * (1 - l_discount)', 6)}, CAST(NULL AS BIGINT)
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+  UNION ALL
+    SELECT 'q7', s_nat || '|' || c_nat || '|' || CAST(yr AS VARCHAR),
+           {dsum_expr('rev', 6)}, count(*)
+    FROM (
+        SELECT ns.n_name AS s_nat, nc.n_name AS c_nat,
+               CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+               l.l_extendedprice * (1 - l.l_discount) AS rev
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+           OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    )
+    GROUP BY s_nat, c_nat, yr
+  UNION ALL
+    SELECT 'q10', CAST(c_custkey AS VARCHAR), rev, n_li FROM (
+        SELECT c.c_custkey, {dsum_expr('l.l_extendedprice * (1 - l.l_discount)', 6)} AS rev,
+               count(*) AS n_li
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey
+        ORDER BY rev DESC, c.c_custkey ASC
+        LIMIT 20
+    )
     """,
 )
 def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consolidated single-row TPC-H shapes (registry-slot discipline —
-    the driver verifies ~50 entries): Q6 pure scan-filter-agg, Q14
-    broadcast-dim conditional ratio, Q19 disjunctive mixed-table
-    predicates. Each branch keeps its original plan; the union is three
-    independent 1-row aggregates."""
+    """Consolidated TPC-H shapes, one tagged union (registry-slot
+    discipline — the driver verifies ~50 entries): Q6 pure
+    scan-filter-agg, Q14 broadcast-dim conditional ratio, Q19
+    disjunctive mixed-table predicates, Q7 nation-pair volume (two
+    broadcast nation joins on either side of the one fact-fact shuffle,
+    grouped by bi-directional pair and year), Q10 returned-item revenue
+    (top-20 customers by exact revenue fold — TakeOrderedAndProject,
+    custkey tiebreak for determinism). Each branch keeps its own plan;
+    the union never mixes their shuffles."""
 
     def tag(q: str, df: DataFrame, value_col: str, n_rows_col: str | None) -> DataFrame:
         n_rows = F.col(n_rows_col) if n_rows_col else F.lit(None).cast("long")
-        return df.select(F.lit(q).alias("q"), F.col(value_col).alias("value"), n_rows.alias("n_rows"))
+        return df.select(
+            F.lit(q).alias("q"),
+            F.lit(None).cast("string").alias("key"),
+            F.col(value_col).alias("value"),
+            n_rows.alias("n_rows"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    ns = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("s_nat"))
+    nc = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("c_nat"))
+    pair = (
+        ((F.col("s_nat") == "NATION_1") & (F.col("c_nat") == "NATION_2"))
+        | ((F.col("s_nat") == "NATION_2") & (F.col("c_nat") == "NATION_1"))
+    )
+    q7 = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nkey") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy("s_nat", "c_nat", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, alias="value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.lit("q7").alias("q"),
+            F.concat_ws("|", "s_nat", "c_nat", F.col("yr").cast("string")).alias("key"),
+            "value",
+            "n_rows",
+        )
+    )
+
+    q10 = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.where(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, alias="value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(F.col("value").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            F.lit("q10").alias("q"),
+            F.col("c_custkey").cast("string").alias("key"),
+            "value",
+            "n_rows",
+        )
+    )
 
     return (
         tag("q6", rel_q6_forecast_revenue(spark, sf_dir), "revenue", "n_rows")
         .unionAll(tag("q14", rel_q14_promo_ratio(spark, sf_dir), "promo_revenue_pct", None))
         .unionAll(tag("q19", rel_q19_or_predicates(spark, sf_dir), "revenue", None))
+        .unionAll(q7)
+        .unionAll(q10)
     )
 
 
