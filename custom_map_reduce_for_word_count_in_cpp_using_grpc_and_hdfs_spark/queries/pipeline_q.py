@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import dedup as D
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import sampling as S
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import text as T
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import query
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.dedup_q import JACCARD_T
@@ -87,7 +88,8 @@ _PIPELINE_ORACLE = f"""
         GROUP BY s.doc_id
     ),
     sized AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
-    SELECT q.doc_id, q.lang_label, q.lang_pred, q.n_tokens, q.n_chars, s.cluster_size
+    SELECT q.doc_id, q.lang_label, q.lang_pred, q.n_tokens, q.n_chars, s.cluster_size,
+           {S.hash_bucket_sql('q.doc_id', 10)} AS sample_bucket
     FROM comp c
     JOIN sized s ON c.component = s.component
     JOIN qual q ON q.doc_id = c.doc_id
@@ -120,7 +122,14 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sized.where(F.col("doc_id") == F.col("comp"))
         .join(qual, "doc_id")
-        .select("doc_id", "lang_label", "lang_pred", "n_tokens", "n_chars", "cluster_size")
+        # deterministic 10-bucket hash assignment: downstream "sample to
+        # budget" keeps buckets < k — retry-stable and table-consistent
+        # (operators/sampling.py)
+        .withColumn("sample_bucket", S.hash_bucket("doc_id", 10))
+        .select(
+            "doc_id", "lang_label", "lang_pred", "n_tokens", "n_chars",
+            "cluster_size", "sample_bucket",
+        )
     )
 
 
@@ -129,7 +138,9 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation end-to-end: quality gate (token count, stopword
     ratio, punctuation ratio) → exact dedup on the normalized rolling-hash
     fingerprint → exact-Jaccard near-dup connected components → keep one
-    survivor per cluster, reporting how many near-dups it absorbed. The
+    survivor per cluster, reporting how many near-dups it absorbed —
+    plus a deterministic hash-sample bucket per survivor (the
+    reproducible "sample to token budget" stage). The
     curated corpus is written partitioned by language label in
     tests/test_pipeline.py (same layout discipline as
     wc_partitioned_layout)."""

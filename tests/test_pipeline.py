@@ -50,3 +50,38 @@ def test_curated_corpus_partitioned_write(spark, tmp_path_factory):
     assert "PartitionFilters: [" in plan and "lang_label" in plan.split("PartitionFilters")[1][:200]
     # content parity language-by-language (write→read round trip is lossless)
     assert one.count() == cur.where(F.col("lang_label") == langs[0]).count()
+
+
+def test_hash_sampling_deterministic_and_consistent(spark):
+    """Deterministic sampling (operators/sampling.py): retry-stable
+    buckets, composable rates, cross-table consistency, and exact-k
+    stratified picks."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.sampling import (
+        deterministic_sample,
+        hash_bucket,
+        stratified_exact_k,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    # identical across independent evaluations (pure function of the key)
+    s1 = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 10).select("doc_id").collect())
+    s2 = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 10).select("doc_id").collect())
+    assert s1 == s2 and 0 < len(s1) < n
+    # a 1-bucket pilot is a subset of the 10-bucket run (composability)
+    pilot = set(r.doc_id for r in deterministic_sample(docs, "doc_id", 1).select("doc_id").collect())
+    assert pilot <= set(s1)
+    # bucket assignment is total and in range
+    rng = docs.select(hash_bucket("doc_id", 10).alias("b")).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi"), F.count(F.lit(1)).alias("cnt")
+    ).first()
+    assert rng["lo"] >= 0 and rng["hi"] <= 9 and rng["cnt"] == n
+    # stratified: exactly min(k, |stratum|) per language, deterministic
+    k = 5
+    per = (
+        stratified_exact_k(docs, ["lang"], k, "doc_id")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("got"))
+        .join(docs.groupBy("lang").agg(F.count(F.lit(1)).alias("avail")), "lang")
+        .collect()
+    )
+    assert per and all(r.got == min(k, r.avail) for r in per)
