@@ -105,8 +105,11 @@ def interval_self_join(
     """
     gap_us = max_gap_seconds * 1_000_000
     # integer floor-div: a double division could round across a bucket
-    # boundary and silently drop a candidate pair
-    bucket = F.expr(f"unix_micros({ts}) div {gap_us}")
+    # boundary and silently drop a candidate pair. The cast makes the
+    # expression total over TIMESTAMP_NTZ parquet columns too (Spark 4.1
+    # rejects unix_micros(ntz)); the engine pins the session timezone to
+    # UTC, so ntz→ltz is a deterministic identity on the epoch scale.
+    bucket = F.expr(f"unix_micros(cast({ts} as timestamp)) div {gap_us}")
     a = df.select(
         *( [F.col(key)] if key else [] ),
         F.col(id_col).alias("id_a"),
@@ -124,7 +127,13 @@ def interval_self_join(
         a.join(b, on)
         .where(
             (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.unix_micros("ts_a") - F.unix_micros("ts_b")) <= gap_us)
+            & (
+                F.abs(
+                    F.unix_micros(F.col("ts_a").cast("timestamp"))
+                    - F.unix_micros(F.col("ts_b").cast("timestamp"))
+                )
+                <= gap_us
+            )
         )
         .select(*( [key] if key else [] ), "id_a", "id_b", "ts_a", "ts_b")
         .distinct()

@@ -171,7 +171,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard, and recall ≥ 0.7 against the exact pairs). The
     threshold leaves margin under the ≥ 0.8 recall asserted in
     tests/test_dedup_similarity.py — same (exact, within-tolerance)
-    pattern as rel_approx_count_distinct."""
+    pattern as rel_sketch_suite (hll branch)."""
     docs = load_table(spark, sf_dir, "documents")
     found = D.minhash_near_dups(docs, threshold=JACCARD_T).select("doc_a", "doc_b")
     true_pairs = D.jaccard_pairs(docs, JACCARD_T).select("doc_a", "doc_b")

@@ -168,6 +168,33 @@ def rel_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY rev DESC, c.c_custkey ASC
         LIMIT 20
     )
+  UNION ALL
+    SELECT 'q8', CAST(yr AS VARCHAR), share, n FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               {dsum_expr("CASE WHEN sn.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+                 / {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS share,
+               count(*) AS n
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    )
+  UNION ALL
+    SELECT 'q9', sn.n_name || '|' || CAST(CAST(year(o_orderdate) AS BIGINT) AS VARCHAR),
+           {dsum_expr('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.5', 6)},
+           count(*)
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY sn.n_name, year(o_orderdate)
     """,
 )
 def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,8 +205,14 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast nation joins on either side of the one fact-fact shuffle,
     grouped by bi-directional pair and year), Q10 returned-item revenue
     (top-20 customers by exact revenue fold — TakeOrderedAndProject,
-    custkey tiebreak for determinism). Each branch keeps its own plan;
-    the union never mixes their shuffles."""
+    custkey tiebreak for determinism), Q8 market share (conditional
+    ratio per order-year; every dim — part filter, supplier nation,
+    region-restricted customer set — broadcasts around the single
+    lineitem⋈orders shuffle), Q9 product profit by supplier nation and
+    order year (retail cost stands in for the reference schema's missing
+    supplycost; the 0.5 cost factor is binary-exact so the double
+    arithmetic is engine-identical before the decimal fold). Each branch
+    keeps its own plan; the union never mixes their shuffles."""
 
     def tag(q: str, df: DataFrame, value_col: str, n_rows_col: str | None) -> DataFrame:
         n_rows = F.col(n_rows_col) if n_rows_col else F.lit(None).cast("long")
@@ -195,6 +228,8 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    r = load_table(spark, sf_dir, "region")
 
     ns = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("s_nat"))
     nc = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("c_nat"))
@@ -240,12 +275,74 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia_nations = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    asia_cust = c.join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp_nat = s.join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    std_parts = p.where(F.col("p_type") == "STANDARD").select("p_partkey")
+    q8 = (
+        li.join(F.broadcast(std_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0)), 6)
+                / dsum(rev, 6)
+            ).alias("value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.lit("q8").alias("q"),
+            F.col("yr").cast("string").alias("key"),
+            "value",
+            "n_rows",
+        )
+    )
+
+    widget_parts = p.where(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    amount = rev - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.5)
+    q9 = (
+        li.join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(dsum(amount, 6, alias="value"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("q9").alias("q"),
+            F.concat_ws("|", "supp_nation", F.col("yr").cast("string")).alias("key"),
+            "value",
+            "n_rows",
+        )
+    )
+
     return (
         tag("q6", rel_q6_forecast_revenue(spark, sf_dir), "revenue", "n_rows")
         .unionAll(tag("q14", rel_q14_promo_ratio(spark, sf_dir), "promo_revenue_pct", None))
         .unionAll(tag("q19", rel_q19_or_predicates(spark, sf_dir), "revenue", None))
         .unionAll(q7)
         .unionAll(q10)
+        .unionAll(q8)
+        .unionAll(q9)
     )
 
 
@@ -343,6 +440,54 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_nationkey % 5
+  UNION ALL
+    SELECT 'q11', CAST(l_partkey AS VARCHAR), CAST(NULL AS BIGINT), val FROM (
+        SELECT l_partkey, {dsum_expr('l_extendedprice')} AS val
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'AFRICA'
+        GROUP BY l_partkey
+    )
+    WHERE val > (
+        SELECT {dsum_expr('l_extendedprice')}
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'AFRICA'
+    ) * 0.001
+  UNION ALL
+    SELECT 'q16', p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR),
+           count(DISTINCT l_suppkey), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+    GROUP BY p_brand, p_type, p_size
+  UNION ALL
+    SELECT 'q20', CAST(l_suppkey AS VARCHAR), count(*), CAST(NULL AS DOUBLE) FROM (
+        SELECT ps.l_suppkey, ps.l_partkey
+        FROM (
+            SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqty
+            FROM lineitem JOIN part ON p_partkey = l_partkey AND p_type = 'SMALL'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ) ps
+        JOIN (
+            SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tqty
+            FROM lineitem JOIN part ON p_partkey = l_partkey AND p_type = 'SMALL'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey
+        ) pt ON pt.l_partkey = ps.l_partkey
+        WHERE 2 * ps.sqty > pt.tqty
+          AND ps.l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+          )
+    )
+    GROUP BY l_suppkey
     """,
 )
 def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +519,19 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - q22 (TPC-H Q22 shape): uncorrelated scalar AVG threshold
       (exact-decimal avg of positive balances) + NOT EXISTS anti join
       against orders, grouped by country code (nationkey mod 5).
+    - q11 (TPC-H Q11 shape): per-part value for one region's suppliers,
+      kept only where it exceeds a global-fraction threshold — the
+      uncorrelated scalar subquery becomes a broadcast 1-row join; both
+      sides of the compare are the same exact decimal fold so the
+      double inequality is engine-identical.
+    - q16 (TPC-H Q16 shape): distinct supplier count per (brand, type,
+      size) with a NOT IN exclusion subquery → broadcast anti join
+      before the count-distinct aggregation.
+    - q20 (TPC-H Q20 shape): nested IN + correlated scalar aggregate
+      (suppliers shipping >50% of a small part's 1997 volume) →
+      per-(part, supplier) integer sums, per-part totals re-aggregated
+      from them, a join on the threshold predicate, and a broadcast
+      semi join restricting to one region's suppliers.
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -518,7 +676,96 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("q22").alias("q"), "key", "n", "v")
     )
 
-    return q4.unionAll(q13).unionAll(q17).unionAll(q2).unionAll(q15).unionAll(q21).unionAll(q22)
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    r = load_table(spark, sf_dir, "region")
+
+    def region_suppliers(r_name: str) -> DataFrame:
+        keys = n.join(
+            F.broadcast(r.where(F.col("r_name") == r_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey")
+        return s.join(
+            F.broadcast(keys), F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey")
+
+    li_af = li.join(
+        F.broadcast(region_suppliers("AFRICA")), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    part_val = li_af.groupBy("l_partkey").agg(dsum("l_extendedprice", alias="val"))
+    total_val = li_af.agg(dsum("l_extendedprice", alias="tot"))
+    q11 = (
+        part_val.join(F.broadcast(total_val))
+        .where(F.col("val") > F.col("tot") * 0.001)
+        .select(
+            F.lit("q11").alias("q"),
+            F.col("l_partkey").cast("string").alias("key"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("val").alias("v"),
+        )
+    )
+
+    parts16 = p.where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl16 = s.where(F.col("s_acctbal") < 2000).select("s_suppkey")
+    q16 = (
+        li.join(F.broadcast(parts16), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excl16), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .select(
+            F.lit("q16").alias("q"),
+            F.concat_ws(
+                "|", "p_brand", "p_type", F.col("p_size").cast("string")
+            ).alias("key"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    small_parts = p.where(F.col("p_type") == "SMALL").select("p_partkey")
+    li97_small = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+    per_ps = li97_small.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sqty")
+    )
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("sqty").alias("tqty")
+    )
+    q20 = (
+        per_ps.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .where(2 * F.col("sqty") > F.col("tqty"))
+        .join(
+            F.broadcast(region_suppliers("EUROPE")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("q20").alias("q"),
+            F.col("l_suppkey").cast("string").alias("key"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    return (
+        q4.unionAll(q13)
+        .unionAll(q17)
+        .unionAll(q2)
+        .unionAll(q15)
+        .unionAll(q21)
+        .unionAll(q22)
+        .unionAll(q11)
+        .unionAll(q16)
+        .unionAll(q20)
+    )
 
 
 @query(

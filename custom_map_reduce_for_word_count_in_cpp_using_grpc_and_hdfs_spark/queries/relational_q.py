@@ -392,26 +392,156 @@ def rel_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rel_approx_count_distinct",
-    oracle="SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_6pct FROM lineitem",
+    "rel_sketch_suite",
+    oracle="""
+    SELECT 'hll' AS sketch, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v, true AS ok
+    FROM lineitem
+  UNION ALL
+    SELECT 'cms', max(cnt), CAST(NULL AS DOUBLE), true FROM (
+        SELECT count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '[ \n]')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    )
+  UNION ALL
+    SELECT 'bloom', count(*), CAST(NULL AS DOUBLE), true
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  UNION ALL
+    SELECT 'quantile', CAST(NULL AS BIGINT), quantile_cont(l_quantity, 0.5), true
+    FROM lineitem
+    """,
 )
-def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
-    COUNT(DISTINCT) when a small error is acceptable (single pass, no
-    count-distinct expansion). The estimate itself is engine-specific,
-    so the checkable row is (exact count, |est/exact - 1| <= tolerance).
-    The checked tolerance is 3× the requested rsd (0.02 is only a ~1σ
-    bound, which a different SF could legitimately exceed); the tight 2%
-    accuracy at the test SFs is asserted in tests instead."""
-    (li,) = _t(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+def rel_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic sketches, one tagged union — the 100 TB substitutes
+    for exact-but-expensive plans, each verified by a driver-checkable
+    invariant row (exact oracle-computable value + provable-or-generous
+    bound booleans, the rel/ann recall-invariant pattern):
+
+    - hll: HyperLogLog++ distinct estimate vs exact COUNT(DISTINCT).
+      Checked tolerance is 3x the requested rsd (0.02 is only a ~1σ
+      bound); the tight 2% accuracy at the test SFs is asserted in
+      tests instead.
+    - cms: count-min frequency sketch over the documents token stream
+      (operators/sketch.py). n = the exact max word frequency; ok =
+      (every estimate >= its exact count — provable) AND (max
+      overestimate <= ceil(e/width * N), the classic (eps, delta)
+      bound with width 2048 >> 31 distinct words, so the margin is
+      enormous).
+    - bloom: Bloom filter built from orders.o_custkey probed with true
+      members (customers holding orders) and a disjoint synthetic
+      negative set (custkey + 10^9). n = the exact member count; ok =
+      (no false negatives — provable) AND (false positives <= 1% of
+      negatives; expected rate at m=2^16 bits, k=4, n=1500 keys is
+      ~2e-4, a 50x margin).
+    - quantile: approx_percentile (GK sketch) vs the exact interpolated
+      median. v = exact percentile(l_quantity, 0.5) (integer-valued
+      doubles, so the (a+b)/2 interpolation is engine-exact); ok = the
+      returned element's rank interval overlaps [0.5*N +- (N/acc + 1)]
+      — the GK guarantee with accuracy 10000, so provable.
+    """
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import sketch as sk
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import wordcount as wc
+
+    li, c, o, docs = _t(spark, sf_dir, "lineitem", "customer", "orders", "documents")
+
+    hll = (
+        li.agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            F.lit("hll").alias("sketch"),
+            F.col("exact_parts").alias("n"),
+            F.lit(None).cast("double").alias("v"),
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.06
+            ).alias("ok"),
+        )
     )
-    within = (
-        F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") <= 0.06
+
+    words = wc.tokenize(docs)
+    exact_counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact"))
+    depth, width = 4, 2048
+    counters = sk.count_min_counters(words, "word", depth, width)
+    est = sk.count_min_estimates(counters, exact_counts.select("word"), "word", depth, width)
+    cms = (
+        exact_counts.join(est, "word")
+        .agg(
+            F.max("exact").alias("n"),
+            F.min(F.col("cms_est") - F.col("exact")).alias("min_err"),
+            F.max(F.col("cms_est") - F.col("exact")).alias("max_err"),
+            F.sum("exact").alias("total"),
+        )
+        .select(
+            F.lit("cms").alias("sketch"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+            (
+                (F.col("min_err") >= 0)
+                & (F.col("max_err") <= F.ceil(F.col("total") * (2.718281828 / width)))
+            ).alias("ok"),
+        )
     )
-    return agg.select("exact_parts", within.alias("within_6pct"))
+
+    num_bits, num_hashes = 1 << 16, 4
+    members = o.select(F.col("o_custkey").alias("key")).distinct()
+    positions = sk.bloom_build(members, "key", num_bits, num_hashes)
+    true_members = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    negatives = c.select((F.col("c_custkey") + F.lit(1_000_000_000)).alias("key"))
+    pos_stats = sk.bloom_probe(positions, true_members, "key", num_bits, num_hashes).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.col("might_contain").cast("int")).alias("all_pass"),
+    )
+    neg_stats = sk.bloom_probe(positions, negatives, "key", num_bits, num_hashes).agg(
+        F.sum(F.col("might_contain").cast("long")).alias("fps"),
+        F.count(F.lit(1)).alias("n_neg"),
+    )
+    bloom = (
+        pos_stats.join(F.broadcast(neg_stats))
+        .select(
+            F.lit("bloom").alias("sketch"),
+            F.col("n_members").alias("n"),
+            F.lit(None).cast("double").alias("v"),
+            (
+                (F.col("all_pass") == 1)
+                & (F.col("fps") <= F.lit(0.01) * F.col("n_neg"))
+            ).alias("ok"),
+        )
+    )
+
+    accuracy = 10000
+    qstats = li.agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med"),
+        F.expr(f"approx_percentile(l_quantity, 0.5, {accuracy})").alias("apx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    quantile = (
+        li.join(F.broadcast(qstats))
+        .agg(
+            F.sum((F.col("l_quantity") < F.col("apx")).cast("long")).alias("rank_lo"),
+            F.sum((F.col("l_quantity") <= F.col("apx")).cast("long")).alias("rank_hi"),
+            F.first("med").alias("med"),
+            F.first("n_rows").alias("n_rows"),
+        )
+        .select(
+            F.lit("quantile").alias("sketch"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("med").alias("v"),
+            (
+                (F.col("rank_lo") <= 0.5 * F.col("n_rows") + F.col("n_rows") / accuracy + 1)
+                & (F.col("rank_hi") >= 0.5 * F.col("n_rows") - F.col("n_rows") / accuracy - 1)
+            ).alias("ok"),
+        )
+    )
+
+    return hll.unionAll(cms).unionAll(bloom).unionAll(quantile)
 
 
 @query(

@@ -43,7 +43,7 @@ def _recall_invariant(approx: DataFrame, exact: DataFrame, queries: DataFrame, b
     """One driver-checkable row for an approximate top-k result: every
     count the oracle can know exactly (n_queries, k) plus the recall
     bound computed in-plan against the exact top-k — the
-    (exact, within-tolerance) pattern of rel_approx_count_distinct."""
+    (exact, within-tolerance) pattern of rel_sketch_suite."""
     n_q = queries.agg(F.count(F.lit(1)).alias("n_queries"))
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_hits = (

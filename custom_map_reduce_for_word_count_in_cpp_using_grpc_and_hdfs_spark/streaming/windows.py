@@ -84,8 +84,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = events_source(spark, {"kind": "file", "sf_dir": sf_dir})
-    if dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields).get("ts") == "bigint":
+    ts_kind = dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields).get("ts")
+    if ts_kind == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_kind == "timestamp_ntz":
+        # Parquet timestamp[us] without timezone reads as TIMESTAMP_NTZ,
+        # which watermarks/windows reject (Spark 4.1). The engine pins the
+        # session timezone to UTC, so ntz -> ltz is a deterministic
+        # identity on the epoch scale.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
