@@ -72,9 +72,36 @@ def events_source(spark: SparkSession, conf: dict | None = None) -> DataFrame:
         sf_dir = conf["sf_dir"]
         batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
         return spark.readStream.schema(batch_schema).parquet(_stage_dir(sf_dir))
+    if kind == "rate":
+        # Deterministic synthetic events from the built-in rate-micro-batch
+        # source (exactly rows_per_batch rows per micro-batch, monotone
+        # sequence numbers and timestamps) mapped onto the events schema —
+        # the load-generator shape for soak-testing a streaming query
+        # without any files.
+        reader = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", int(conf.get("rows_per_batch", 100)))
+            .option("numPartitions", int(conf.get("num_partitions", 2)))
+        )
+        if "start_timestamp_ms" in conf:
+            reader = reader.option("startTimestamp", int(conf["start_timestamp_ms"]))
+        raw = reader.load()
+        types = F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")])
+        return raw.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            F.pmod(F.col("value"), F.lit(1000)).alias("user_id"),
+            F.element_at(types, (F.pmod(F.col("value"), F.lit(5)) + 1).cast("int")).alias(
+                "event_type"
+            ),
+            (F.pmod(F.col("value"), F.lit(100)) / F.lit(10.0)).alias("value"),
+            F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+        )
     raise NotImplementedError(
-        f"events_source kind={kind!r}: this sandbox ships only the file "
-        "source; kafka/rate plug in here without query-code changes"
+        f"events_source kind={kind!r}: this sandbox ships file and rate "
+        "sources; a kafka source plugs in here without query-code changes "
+        '(readStream.format("kafka").option("subscribe", ...) + from_json '
+        "into the same events schema)"
     )
 
 

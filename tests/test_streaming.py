@@ -102,3 +102,33 @@ def test_drop_duplicates_within_watermark(spark):
     out = _drain(deduped, "append")
     ids = sorted(r.event_id for r in out.collect())
     assert ids == [1, 2, 3], f"cross-batch duplicate must be dropped: {ids}"
+
+
+def test_rate_source_seam_produces_events_schema(spark):
+    """The events_source 'rate' kind (streaming/windows.py) must emit the
+    exact events schema with deterministic values per sequence number, so
+    any registered streaming query can run against it unchanged."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import events_source
+
+    stream = events_source(
+        spark,
+        {"kind": "rate", "rows_per_batch": 100, "start_timestamp_ms": 1_700_000_000_000},
+    )
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    name = f"rate_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    rows = spark.table(name).collect()
+    assert len(rows) == 100
+    by_id = {r.event_id: r for r in rows}
+    assert by_id[0].event_type == "click" and by_id[4].event_type == "error"
+    assert by_id[7].user_id == 7 and by_id[13].value == 1.3
