@@ -345,16 +345,34 @@ _GROUPING_SUITE_ORACLE = f"""
     SELECT 'gsets', l_returnflag, l_linestatus,
            count(*), {dsum_expr('l_extendedprice')}
     FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+  UNION ALL
+    SELECT 'trollup',
+           CASE WHEN grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                ELSE 'month' END,
+           CAST(COALESCE(h, d, m) AS VARCHAR),
+           count(*), {dsum_expr('value')}
+    FROM (
+        SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+               date_trunc('month', ts) AS m, value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((h), (d), (m))
 """
 
 
 @query("rel_grouping_suite", oracle=_GROUPING_SUITE_ORACLE)
 def rel_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional aggregation: ROLLUP (hierarchical subtotals),
-    CUBE (all combinations), GROUPING SETS (explicit list) — one plan
-    each, unioned with a ``mode`` tag. Catalyst plans each as a single
-    Expand + hash aggregate (no per-set re-scan)."""
+    CUBE (all combinations), GROUPING SETS (explicit list), and a
+    hypertable-style continuous aggregate (``trollup``: hour/day/month
+    time buckets of the events stream materialized in ONE pass via
+    grouping sets over three date_truncs — the batch form of a rollup
+    a time-series store keeps incrementally) — one plan each, unioned
+    with a ``mode`` tag. Catalyst plans each as a single Expand + hash
+    aggregate (no per-set re-scan)."""
     li, o = _t(spark, sf_dir, "lineitem", "orders")
+    e = _t(spark, sf_dir, "events")[0]
     rollup = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", alias="val"))
@@ -388,7 +406,27 @@ def rel_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
-    return rollup.unionAll(cube).unionAll(gsets)
+    buckets = e.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "value",
+    )
+    trollup = (
+        buckets.groupingSets([["h"], ["d"], ["m"]], "h", "d", "m")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", alias="val"))
+        .select(
+            F.lit("trollup").alias("mode"),
+            F.when(F.col("h").isNotNull(), "hour")
+            .when(F.col("d").isNotNull(), "day")
+            .otherwise("month")
+            .alias("k1"),
+            F.coalesce(F.col("h"), F.col("d"), F.col("m")).cast("string").alias("k2"),
+            "cnt",
+            "val",
+        )
+    )
+    return rollup.unionAll(cube).unionAll(gsets).unionAll(trollup)
 
 
 @query(
