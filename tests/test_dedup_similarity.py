@@ -262,3 +262,33 @@ def test_connected_components_raises_when_unconverged(spark):
         D.connected_components(vertices, edges, max_iters=2)
     full = D.connected_components(vertices, edges, max_iters=n + 1)
     assert {r.comp for r in full.collect()} == {0}
+
+
+def test_quantized_topk_recall_vs_bruteforce(spark):
+    """Int8 quantization + 4x-overfetch exact rescore must recover nearly
+    all of the exact top-10 (the first pass only has to land true
+    neighbors inside the candidate pool)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(queries, emb, 10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.quantized_topk(queries, emb, 10).collect()
+    }
+    assert exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_quantized_topk_zero_vector_safe(spark):
+    """A zero vector must quantize to the zero vector (scale guard), not
+    NaN, and score 0 against everything (ranking below any positive
+    cosine; the zero-vs-orthogonal tie at score 0 breaks by id)."""
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]), (3, [0.1, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.quantized_topk(df.where("vec_id = 1"), df, k=2).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(2, 1), (3, 2)], got
