@@ -468,3 +468,37 @@ def simhash_near_dups(df: DataFrame, max_distance: int = 3, id_col: str = "doc_i
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )
     return tie_cache_lifetime(result, fps)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def contaminated_docs(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-corpus decontamination: ids of documents sharing at least
+    one word n-gram with an evaluation set (the overlap rule used to
+    scrub benchmark text out of pretraining data).
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    KBs-MBs), so its distinct shingle set BROADCASTS; the corpus side
+    explodes to (doc, shingle) rows and a left-semi join + distinct
+    flags contaminated ids — one scan of the corpus, no shuffle of
+    document text, same inverted-index discipline as `jaccard_pairs`.
+    The n-gram length is a parameter: production decontamination uses
+    8-13; the synthetic fixture's 31-word vocabulary makes 3 the
+    discriminative setting (see queries/dedup_q.py).
+    """
+    ev = eval_df.select(F.explode(shingles_col(text_col, n)).alias("shingle")).distinct()
+    sh = df.select(F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle"))
+    return (
+        sh.join(F.broadcast(ev), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

@@ -40,6 +40,17 @@ _EXACT_SUITE_ORACLE = f"""
   UNION ALL
     SELECT 'fingerprint', CAST({T.fingerprint_sql('text')} AS VARCHAR), min(doc_id), count(*)
     FROM documents GROUP BY 2
+  UNION ALL
+    SELECT 'contaminated', lang, min(doc_id), count(*) FROM (
+        WITH eval_sh AS (
+            SELECT flatten(list({D.shingles_sql('text', 3)})) AS l
+            FROM documents WHERE doc_id % 101 = 0
+        )
+        SELECT d.lang, d.doc_id FROM documents d, eval_sh
+        WHERE d.doc_id % 101 <> 0
+          AND list_has_any({D.shingles_sql('d.text', 3)}, eval_sh.l)
+    )
+    GROUP BY lang
 """
 
 
@@ -50,7 +61,14 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, and the 30-bit rolling-hash fingerprint — at scale the
     fingerprint key is 8 bytes instead of the document, shrinking the
     dedup shuffle by the full text width. Deterministic survivor =
-    min(doc_id) in every mode."""
+    min(doc_id) in every mode.
+
+    Plus benchmark decontamination (`contaminated` branch): documents
+    sharing a word n-gram with the held-out eval slice (doc_id % 101),
+    counted per language with the first contaminated id as the
+    deterministic witness — operators/dedup.py::contaminated_docs,
+    broadcast eval-shingle semi join. n=3 because the fixture's 31-word
+    vocabulary makes production-length 8-grams vacuously rare."""
     docs = load_table(spark, sf_dir, "documents")
 
     def tagged(kind: str, keyed: DataFrame, key_col: str) -> DataFrame:
@@ -64,7 +82,21 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = tagged("raw", docs, "text")
     norm = tagged("normalized", docs.withColumn("norm_text", T.normalized_text("text")), "norm_text")
     fp = tagged("fingerprint", docs.withColumn("fp", T.fingerprint("text")), "fp")
-    return raw.unionAll(norm).unionAll(fp)
+
+    eval_slice = docs.where(F.col("doc_id") % 101 == 0)
+    rest = docs.where(F.col("doc_id") % 101 != 0)
+    contaminated = (
+        rest.join(D.contaminated_docs(rest, eval_slice, n=3), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.lit("contaminated").alias("kind"),
+            F.col("lang").alias("key"),
+            "survivor_id",
+            "n_copies",
+        )
+    )
+    return raw.unionAll(norm).unionAll(fp).unionAll(contaminated)
 
 
 #: Shared oracle CTE list computing exact Jaccard near-dup pairs.

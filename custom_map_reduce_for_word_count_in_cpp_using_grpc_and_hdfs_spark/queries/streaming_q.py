@@ -112,10 +112,23 @@ _DEDUP_STATE_ORACLE = """
     JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON c.user_id = p.user_id
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+  UNION ALL
+    SELECT 'incr_dedup', lang, count(*), CAST(NULL AS BIGINT)
+    FROM documents
+    WHERE {fp} NOT IN (
+        SELECT {fp} FROM documents WHERE doc_id % 3 = 0
+    )
+    GROUP BY lang
 """
 
 
-@query("stream_dedup_state_suite", oracle=_DEDUP_STATE_ORACLE)
+def _dedup_state_oracle() -> str:
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import poly_hash_chars_sql
+
+    return _DEDUP_STATE_ORACLE.format(fp=poly_hash_chars_sql("text"))
+
+
+@query("stream_dedup_state_suite", oracle=_dedup_state_oracle())
 def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming, four surfaces as real concurrent jobs:
 
@@ -131,10 +144,21 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - stream-stream inner join: clicks × purchases by user within
       30 min, watermarked + time-bounded on BOTH sides so join state
       evicts; pair-level append output equals the batch join.
+    - incremental corpus dedup: the production training-data update
+      flow — a stream of incoming documents is fingerprinted (portable
+      rolling hash, 8-byte keys) and anti-joined against the broadcast
+      fingerprint set of the existing corpus (every doc_id % 3 == 0
+      document); only unseen texts survive, counted per language. At
+      100 TB the existing-fingerprint side is a compact table updated
+      per batch, not the corpus itself.
     """
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import poly_hash_chars
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.stateful import user_activity_state
-    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import click_purchase_join
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import (
+        click_purchase_join,
+        documents_stream,
+    )
 
     ev = events_stream(spark, sf_dir)
     doubled = ev.unionAll(ev)
@@ -150,12 +174,26 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir).where(F.col("event_type") == "click"),
         events_stream(spark, sf_dir).where(F.col("event_type") == "purchase"),
     )
-    deduped, state_raw, enriched_raw, ss_raw = run_available_now_many(
+    existing_fps = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(poly_hash_chars("text").alias("fp"))
+        .distinct()
+    )
+    incr_stream = (
+        documents_stream(spark, sf_dir)
+        .withColumn("fp", poly_hash_chars("text"))
+        .join(F.broadcast(existing_fps), "fp", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    deduped, state_raw, enriched_raw, ss_raw, incr_raw = run_available_now_many(
         [
             (stream_dedup(doubled), "append"),
             (user_activity_state(events_stream(spark, sf_dir)), "update"),
             (enriched_stream, "complete"),
             (ss, "append"),
+            (incr_stream, "complete"),
         ]
     )
     dedup_counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).select(
@@ -184,7 +222,13 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("n"),
         F.round(F.col("purchase_value") * 100).cast("long").alias("cents"),
     )
-    return dedup_counts.unionAll(state).unionAll(enriched).unionAll(ss_pairs)
+    incr = incr_raw.select(
+        F.lit("incr_dedup").alias("kind"),
+        F.col("lang").alias("key"),
+        "n",
+        F.lit(None).cast("long").alias("cents"),
+    )
+    return dedup_counts.unionAll(state).unionAll(enriched).unionAll(ss_pairs).unionAll(incr)
 
 
 @query(
