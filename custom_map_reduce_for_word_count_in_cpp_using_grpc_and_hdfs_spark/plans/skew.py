@@ -64,3 +64,36 @@ def salted_word_count(words: DataFrame, word_col: str = "word", num_salts: int =
         {"cnt": (F.count(F.lit(1)), F.sum("cnt"))},
         num_salts,
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when AQE's skew splitting isn't available
+    (legacy engines, disabled AQE, or a skew AQE can't see because stats
+    arrive too late): salt the big side, REPLICATE the small side once
+    per salt, join on (key, salt).
+
+    The big side's hot key spreads over ``num_salts`` tasks; the small
+    side grows num_salts-fold — acceptable exactly when it is small
+    (the same precondition as a broadcast, which is why this helper is
+    the fallback, not the default: prefer `F.broadcast` or AQE skew
+    join, in that order; see SCALE.md).
+
+    Supports inner and left joins (big side preserved); result equals
+    the unsalted join row-for-row because each big row matches exactly
+    one replica of each small match (its own salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.spark_partition_id()), F.lit(num_salts)).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return salted_big.join(replicated_small, [key, "_salt"], how).drop("_salt")

@@ -83,3 +83,28 @@ def test_salted_word_count_equals_plain(spark):
     plain = {(r.word, r.cnt) for r in wc.word_count(docs).collect()}
     salted = {(r.word, r.cnt) for r in salted_word_count(words).collect()}
     assert salted == plain
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-for-row identical to the plain equi-join,
+    including unmatched-left rows under how='left'."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_join
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey").groupBy("l_orderkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left join: rows with no match must survive exactly once per big row
+    o_half = o.where(F.col("l_orderkey") % 2 == 0)
+    plain_l = li.join(o_half, "l_orderkey", "left")
+    salted_l = salted_join(li, o_half, "l_orderkey", how="left")
+    assert plain_l.count() == salted_l.count()
+    assert plain_l.where(F.col("o_orderpriority").isNull()).count() == \
+        salted_l.where(F.col("o_orderpriority").isNull()).count()
