@@ -36,6 +36,9 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "text_doc_profile",  # superset of round-1's text_quality (adds lang-id, fingerprints, simhash)
     "stream_window_suite",  # superset of round-1's stream_tumbling_counts (adds sliding)
+    # round-3 additions (not in the r1/r2 comparable set):
+    "pipeline_corpus_curation",  # end-to-end quality->dedup->cluster->sample pipeline
+    "rel_sketch_suite",  # count-min + bloom + HLL + percentile invariants
 ]
 
 
