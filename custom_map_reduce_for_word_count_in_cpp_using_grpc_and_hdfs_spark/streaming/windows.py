@@ -48,9 +48,19 @@ def _stage_dir(sf_dir: str, table: str = "events") -> str:
     key = f"{table}-{digest}"
     target = os.path.join(SCRATCH, "streams", key)
     marker = os.path.join(target, f"{table}.parquet")
-    if not os.path.exists(marker):
+    source = os.path.join(sf_dir, f"{table}.parquet")
+    # staleness guard: if the source was regenerated (size or mtime
+    # changed) since we staged it, re-copy — otherwise a long-lived
+    # .scratch dir silently streams last round's data
+    src_stat = os.stat(source)
+    fresh = (
+        os.path.exists(marker)
+        and os.stat(marker).st_size == src_stat.st_size
+        and os.stat(marker).st_mtime >= src_stat.st_mtime
+    )
+    if not fresh:
         os.makedirs(target, exist_ok=True)
-        shutil.copyfile(os.path.join(sf_dir, f"{table}.parquet"), marker)
+        shutil.copyfile(source, marker)
     return target
 
 
