@@ -97,3 +97,38 @@ def test_sketch_probe_plans_broadcast(spark):
     positions = sk.bloom_build(df.distinct(), "key", 1 << 12, 4)
     probed = sk.bloom_probe(positions, df.distinct(), "key", 1 << 12, 4)
     assert plan_has_broadcast_join(probed)
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input robustness: empty corpora and empty build sides
+    must produce empty (not erroring) results across the sketch, dedup,
+    and similarity operators."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import dedup as D
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import similarity as S
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id long, text string"
+    )
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+
+    assert D.contaminated_docs(docs, empty_docs).count() == 0
+    assert D.contaminated_docs(empty_docs, docs).count() == 0
+    assert D.jaccard_pairs(empty_docs, 0.3).count() == 0
+    assert S.quantized_topk(empty_vecs, vecs).count() == 0
+    assert S.quantized_topk(vecs, empty_vecs).count() == 0
+    assert S.brute_force_topk(vecs, empty_vecs).count() == 0
+
+    empty_keys = spark.createDataFrame([], "key long")
+    keys = spark.createDataFrame([(i,) for i in range(10)], "key long")
+    counters = sk.count_min_counters(empty_keys, "key", 2, 16)
+    assert counters.count() == 0
+    est = sk.count_min_estimates(counters, keys, "key", 2, 16)
+    assert est.count() == 10  # every probe estimates 0 against an empty sketch
+    assert est.agg(F.max("cms_est")).collect()[0][0] == 0
+    pos = sk.bloom_build(empty_keys, "key", 64, 2)
+    probed = sk.bloom_probe(pos, keys, "key", 64, 2)
+    assert probed.where(F.col("might_contain")).count() == 0
