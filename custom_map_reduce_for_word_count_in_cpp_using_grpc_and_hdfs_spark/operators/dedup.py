@@ -314,16 +314,20 @@ def connected_components(
     the correct unit is the connected component (cluster), keeping one
     survivor per cluster.
 
-    Iterative DataFrame algorithm: each round every vertex adopts the
-    minimum label among itself and its neighbors — one equi-join + one
-    min-aggregate per round, converging in O(component diameter) rounds
-    (near-dup clusters are shallow; ≤ 20 is generous). Per round the
-    frame is localCheckpoint()ed: iterative self-referential plans
+    Iterative DataFrame algorithm: each round every vertex (1) adopts
+    the minimum label among itself and its neighbors (one equi-join +
+    one min-aggregate), then (2) path-halves — adopts its LABEL's label
+    (one more join; pointer jumping). Hash-min alone converges in
+    O(component diameter) rounds; the halving step contracts chains
+    geometrically, so convergence is O(log diameter) — a 1M-node path
+    graph needs ~20 rounds, not 1M (the chain-shaped near-dup cluster
+    is exactly the transitive case this operator exists for). Per round
+    the frame is localCheckpoint()ed: iterative self-referential plans
     otherwise grow lineage exponentially, and the convergence check
     (count of changed labels) is the natural materialization point.
-    At 100 TB this is the standard hash-min pattern (GraphX/GraphFrames
-    use the same shape); for power-law graphs swap in large-star/
-    small-star rounds — near-dup clusters don't need it.
+    At 100 TB this is the standard hash-min + pointer-jumping pattern
+    (GraphX/GraphFrames use the same shape); for power-law graphs swap
+    in large-star/small-star rounds — near-dup clusters don't need it.
     """
     labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp"))
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
@@ -341,12 +345,27 @@ def connected_components(
             .groupBy("vid")
             .agg(F.min("msg").alias("msg"))
         )
-        proposed = (
+        propagated = (
             labels.join(msgs, "vid", "left")
             .select(
                 "vid",
                 F.col("comp").alias("old_comp"),
                 F.least(F.col("comp"), F.coalesce(F.col("msg"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        # path halving: every vertex adopts its label's label, contracting
+        # chains geometrically (labels are always vertex ids, so the
+        # lookup join is total; left + coalesce guards the root)
+        lookup = propagated.select(
+            F.col("vid").alias("l_vid"), F.col("comp").alias("l_comp")
+        )
+        proposed = (
+            propagated.join(lookup, propagated.comp == lookup.l_vid, "left")
+            .select(
+                "vid",
+                "old_comp",
+                F.least(F.col("comp"), F.coalesce(F.col("l_comp"), F.col("comp"))).alias("comp"),
             )
             .localCheckpoint()
         )

@@ -292,3 +292,15 @@ def test_quantized_topk_zero_vector_safe(spark):
     out = S.quantized_topk(df.where("vec_id = 1"), df, k=2).collect()
     got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
     assert got == [(2, 1), (3, 2)], got
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """Path halving must collapse a 200-node path graph well inside
+    max_iters=12 (2^12 >> 200) — plain hash-min would need ~200 rounds."""
+    n = 200
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    comps = D.connected_components(verts, chain, max_iters=12)
+    rows = comps.collect()
+    assert len(rows) == n
+    assert {r.comp for r in rows} == {0}, "one component rooted at min id"

@@ -132,3 +132,46 @@ def test_rate_source_seam_produces_events_schema(spark):
     by_id = {r.event_id: r for r in rows}
     assert by_id[0].event_type == "click" and by_id[4].event_type == "error"
     assert by_id[7].user_id == 7 and by_id[13].value == 1.3
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Checkpointed restart semantics: a file-sink query stopped and
+    restarted from the same checkpointLocation must process each input
+    file exactly once — new files picked up, no reprocessing of committed
+    offsets, idempotent when nothing new arrived."""
+    root = os.path.join(SCRATCH, f"ckpt_src_{uuid.uuid4().hex[:8]}")
+    os.makedirs(root, exist_ok=True)
+    out = os.path.join(SCRATCH, f"ckpt_out_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(SCRATCH, f"ckpt_loc_{uuid.uuid4().hex[:8]}")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def add_file(i, rows):
+        df = spark.createDataFrame(rows, schema)
+        tmp = os.path.join(root, f"tmp_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part), os.path.join(root, f"batch_{i}.parquet"))
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+
+    add_file(0, [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 5), 1, 2.0)])
+    drain()
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    add_file(1, [(3, _ts(10, 10), 2, 3.0)])
+    drain()  # restart from checkpoint: only the new file is processed
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+    drain()  # nothing new: restart must be a no-op, not a re-emit
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
