@@ -442,24 +442,27 @@ def quantized_topk(
     approx_dot(a, b) = s_a * s_b * <qa, qb> with integer <qa, qb> — exact
     long arithmetic, so candidate ranking is order-deterministic. At
     100 TB the quantized columns are computed at WRITE time and stored
-    alongside (or instead of) the float vectors; the rescore joins the
-    float column back by id for only k*overfetch rows per query. Recall
-    vs brute force is measured in tests, not assumed.
+    alongside (or instead of) the float vectors. The candidate window
+    and the rescore both run WITHOUT the float vectors attached: the
+    first pass scores (query_id, neighbor_id, approx_score) only, and
+    the k*overfetch survivors are joined back to the float columns by id
+    with the CANDIDATE side broadcast — the corpus streams through both
+    passes, never shuffled and never carrying arrays into a window.
+    Recall vs brute force is measured in tests, not assumed.
     """
 
-    def quant(df: DataFrame, out_id: str, out_vec: str, out_q: str, out_s: str) -> DataFrame:
+    def quant(df: DataFrame, out_id: str, out_q: str, out_s: str) -> DataFrame:
         vec = F.col(vec_col)
         mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
         s = F.when(mx == 0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
         return df.select(
             F.col(id_col).alias(out_id),
-            vec.alias(out_vec),
             F.transform(vec, lambda x: F.round(x.cast("double") / s).cast("long")).alias(out_q),
             s.alias(out_s),
         )
 
-    q = quant(queries, "query_id", "q_vec", "q_q", "q_s")
-    c = quant(spread(corpus), "neighbor_id", "c_vec", "c_q", "c_s")
+    q = quant(queries, "query_id", "q_q", "q_s")
+    c = quant(spread(corpus), "neighbor_id", "c_q", "c_s")
     int_dot = F.aggregate(
         F.zip_with(F.col("q_q"), F.col("c_q"), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -472,16 +475,25 @@ def quantized_topk(
         .select(
             "query_id",
             "neighbor_id",
-            "q_vec",
-            "c_vec",
             (F.col("q_s") * F.col("c_s") * int_dot).alias("approx_score"),
         )
     )
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("approx_score").desc(), F.col("neighbor_id").asc()
     )
-    candidates = approx.withColumn("r", F.row_number().over(w_cand)).where(
-        F.col("r") <= k * overfetch
+    candidates = (
+        approx.withColumn("r", F.row_number().over(w_cand))
+        .where(F.col("r") <= k * overfetch)
+        .select("query_id", "neighbor_id")
+    )
+    # join the float vectors back by id: candidates (|Q| * k * overfetch
+    # rows) broadcast against the streaming corpus, then the tiny query
+    # set — no corpus shuffle, no arrays through a window
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    paired = (
+        c_vecs.join(F.broadcast(candidates), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
     )
     # zero-norm guard: cosine's norm division would raise under ANSI mode
     # (and 0/0-NaN otherwise); a directionless vector scores 0 everywhere
@@ -489,7 +501,7 @@ def quantized_topk(
     safe_cosine = F.when((qn == 0) | (cn == 0), F.lit(0.0)).otherwise(
         dot("q_vec", "c_vec") / (qn * cn)
     )
-    rescored = candidates.select("query_id", "neighbor_id", safe_cosine.alias("score"))
+    rescored = paired.select("query_id", "neighbor_id", safe_cosine.alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         rescored.withColumn("rank", F.row_number().over(w))
