@@ -66,7 +66,8 @@ def rel_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rel_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + conditional revenue ratio."""
+    """TPC-H Q14 shape: dim join (auto-broadcast while part fits the
+    threshold) + conditional revenue ratio."""
     li, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
@@ -75,7 +76,7 @@ def rel_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * dsum(promo_rev, 6) / dsum(rev, 6)).alias("promo_revenue_pct")
         )
@@ -105,7 +106,7 @@ def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive mixed-table predicates over a join."""
     li, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     cond1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -206,9 +207,9 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped by bi-directional pair and year), Q10 returned-item revenue
     (top-20 customers by exact revenue fold — TakeOrderedAndProject,
     custkey tiebreak for determinism), Q8 market share (conditional
-    ratio per order-year; every dim — part filter, supplier nation,
-    region-restricted customer set — broadcasts around the single
-    lineitem⋈orders shuffle), Q9 product profit by supplier nation and
+    ratio per order-year; the part filter, supplier nation, and
+    region-restricted customer set join around the single
+    lineitem⋈orders shuffle — auto-broadcast while they fit), Q9 product profit by supplier nation and
     order year (retail cost stands in for the reference schema's missing
     supplycost; the 0.5 cost factor is binary-exact so the double
     arithmetic is engine-identical before the decimal fold). Each branch
@@ -238,10 +239,10 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("s_nat") == "NATION_2") & (F.col("c_nat") == "NATION_1"))
     )
     q7 = (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(ns), F.col("s_nkey") == F.col("s_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nc), F.col("c_nkey") == F.col("c_nationkey"))
         .where(pair)
         .groupBy("s_nat", "c_nat", F.year("l_shipdate").cast("long").alias("yr"))
@@ -291,8 +292,8 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "supp_nation")
     std_parts = p.where(F.col("p_type") == "STANDARD").select("p_partkey")
     q8 = (
-        li.join(F.broadcast(std_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(std_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             o.where(
                 (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -300,7 +301,7 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
         .agg(
             (
@@ -322,8 +323,8 @@ def rel_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amount = rev - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.5)
     q9 = (
-        li.join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(widget_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("yr"))
         .agg(dsum(amount, 6, alias="value"), F.count(F.lit(1)).alias("n_rows"))
@@ -580,7 +581,7 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     brand_parts = p.where(F.col("p_brand") == "Brand#1").select("p_partkey")
-    li_brand = li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")).drop(
+    li_brand = li.join(brand_parts, F.col("l_partkey") == F.col("p_partkey")).drop(
         "p_partkey"
     )
     stats = li_brand.groupBy("l_partkey").agg(
@@ -602,7 +603,7 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     small = p.where(F.col("p_size") < 10).select("p_partkey")
     vol = (
-        li.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(small, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("cost"))
     )
@@ -690,7 +691,7 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("s_suppkey")
 
     li_af = li.join(
-        F.broadcast(region_suppliers("AFRICA")), F.col("l_suppkey") == F.col("s_suppkey")
+        region_suppliers("AFRICA"), F.col("l_suppkey") == F.col("s_suppkey")
     )
     part_val = li_af.groupBy("l_partkey").agg(dsum("l_extendedprice", alias="val"))
     total_val = li_af.agg(dsum("l_extendedprice", alias="tot"))
@@ -712,8 +713,8 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     excl16 = s.where(F.col("s_acctbal") < 2000).select("s_suppkey")
     q16 = (
-        li.join(F.broadcast(parts16), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(excl16), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        li.join(parts16, F.col("l_partkey") == F.col("p_partkey"))
+        .join(excl16, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("n"))
         .select(
@@ -730,7 +731,7 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li97_small = li.where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    ).join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
     per_ps = li97_small.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("sqty")
     )
@@ -741,7 +742,7 @@ def rel_subquery_deep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_ps.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
         .where(2 * F.col("sqty") > F.col("tqty"))
         .join(
-            F.broadcast(region_suppliers("EUROPE")),
+            region_suppliers("EUROPE"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )

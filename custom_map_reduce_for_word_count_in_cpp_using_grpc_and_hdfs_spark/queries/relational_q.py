@@ -89,14 +89,18 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → broadcast join into the fact
-    chain → grouped revenue → top-10. Customer broadcasts; the
-    orders↔lineitem join shuffles on orderkey (co-partitioned keys)."""
+    """TPC-H Q3 shape: selective dim filter joined into the fact chain →
+    grouped revenue → top-10. No forced broadcast hint on customer: it
+    scales WITH the fact tables (≈2% of a 100 TB deployment — far past
+    any driver), so the size-based planner + AQE pick broadcast while it
+    fits (it does at every test SF — plan-pinned) and fall back to a
+    shuffle join when it doesn't. The orders↔lineitem join shuffles on
+    orderkey (co-partitioned keys)."""
     li, o, c = _t(spark, sf_dir, "lineitem", "orders", "customer")
     building = c.where(F.col("c_mktsegment") == "BUILDING")
     joined = (
         o.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-        .join(F.broadcast(building), o.o_custkey == building.c_custkey)
+        .join(building, o.o_custkey == building.c_custkey)
         .join(
             li.where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -128,8 +132,11 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: five-way star join, every dimension broadcast, one
-    fact-fact shuffle join (orders↔lineitem)."""
+    """TPC-H Q5 shape: five-way star join, one fact-fact shuffle join
+    (orders↔lineitem). nation⋈region is hint-broadcast (provably tiny at
+    any scale); customer/supplier carry no hint — they broadcast via the
+    size-based planner at test SFs (plan-pinned) and degrade to shuffle
+    joins at deployments where they outgrow the threshold."""
     li, o, c, s, n, r = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region")
     asia_nations = (
         n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
@@ -137,9 +144,9 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         o.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -220,7 +227,7 @@ def rel_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inner = tagged(
         "inner",
-        o.where(F.col("o_orderstatus") == "F").join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        o.where(F.col("o_orderstatus") == "F").join(c, o.o_custkey == c.c_custkey),
         F.col("o_orderkey"), null_i,
         F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")),
         F.col("o_totalprice"),
@@ -816,7 +823,7 @@ def rel_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = _t(spark, sf_dir, "orders", "customer")
     debtors = c.where(F.col("c_acctbal") < 0).select("c_custkey")
     in_q = o.join(
-        F.broadcast(debtors), o.o_custkey == debtors.c_custkey, "left_semi"
+        debtors, o.o_custkey == debtors.c_custkey, "left_semi"
     ).select(F.lit("in").alias("kind"), "o_orderkey", "o_custkey", "o_totalprice")
     w = Window.partitionBy("o_custkey")
     cust_avg = (

@@ -146,11 +146,12 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       evicts; pair-level append output equals the batch join.
     - incremental corpus dedup: the production training-data update
       flow — a stream of incoming documents is fingerprinted (portable
-      rolling hash, 8-byte keys) and anti-joined against the broadcast
-      fingerprint set of the existing corpus (every doc_id % 3 == 0
-      document); only unseen texts survive, counted per language. At
-      100 TB the existing-fingerprint side is a compact table updated
-      per batch, not the corpus itself.
+      rolling hash, 8-byte keys) and anti-joined against the existing
+      corpus's fingerprint set (every doc_id % 3 == 0 document); only
+      unseen texts survive, counted per language. The static side is
+      8 bytes/doc — auto-broadcast at test SFs; at 100 TB (~10^10 docs
+      → tens of GB) the planner shuffles it instead, or a Bloom
+      pre-filter (operators/sketch.py) cuts the stream first.
     """
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import poly_hash_chars
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
@@ -183,7 +184,7 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     incr_stream = (
         documents_stream(spark, sf_dir)
         .withColumn("fp", poly_hash_chars("text"))
-        .join(F.broadcast(existing_fps), "fp", "left_anti")
+        .join(existing_fps, "fp", "left_anti")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
