@@ -478,8 +478,9 @@ def rel_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       members (customers holding orders) and a disjoint synthetic
       negative set (custkey + 10^9). n = the exact member count; ok =
       (no false negatives — provable) AND (false positives <= 1% of
-      negatives; expected rate at m=2^16 bits, k=4, n=1500 keys is
-      ~2e-4, a 50x margin).
+      negatives; the filter is sized at ~32 bits/key from the build
+      cardinality, keeping the expected rate ~2e-4 — a 50x margin —
+      at every scale factor).
     - quantile: approx_percentile (GK sketch) vs the exact interpolated
       median. v = exact percentile(l_quantity, 0.5) (integer-valued
       doubles, so the (a+b)/2 interpolation is engine-exact); ok = the
@@ -532,8 +533,14 @@ def rel_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    num_bits, num_hashes = 1 << 16, 4
+    # Size the filter to the build cardinality: ~32 bits/key keeps the
+    # expected fp rate ~2e-4 at ANY scale factor (a fixed 2^16 would
+    # blow the 1% bound already at sf0.1's 15k keys). The count is one
+    # tiny distinct-agg job; at production scale you'd size from table
+    # stats instead.
     members = o.select(F.col("o_custkey").alias("key")).distinct()
+    n_keys = members.count()
+    num_bits, num_hashes = max(1 << 16, 1 << (32 * n_keys).bit_length()), 4
     positions = sk.bloom_build(members, "key", num_bits, num_hashes)
     true_members = (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
