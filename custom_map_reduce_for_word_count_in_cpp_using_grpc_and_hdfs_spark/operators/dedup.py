@@ -60,12 +60,19 @@ def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str = "doc_id
 
 
 def shingles_col(text, n: int = 3):
-    """Word n-gram shingles as an array column (space-joined)."""
+    """Word n-gram shingles as an array column (space-joined).
+
+    Texts with fewer than ``n`` tokens produce an EMPTY list via an
+    explicit guard: Spark's ``sequence(1, 0)`` counts DOWN to [1, 0]
+    (and slice(…, 0, n) then errors), unlike DuckDB's empty
+    ``generate_series(1, 0)`` — found by the cross-engine fuzz
+    (tests/test_engine_parity_fuzz.py)."""
     toks = tokens_col(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    count = F.size(toks) - (n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
     )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
 def shingles_sql(text_expr: str, n: int = 3) -> str:

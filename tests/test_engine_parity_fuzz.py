@@ -81,3 +81,26 @@ def test_vector_folds_match_duckdb(spark, seed):
         finally:
             con.close()
         assert r.d == o[0] and r.c == o[1], f"dim={len(a)}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(TEXT.map(lambda s: s + "\n" if len(s) % 3 == 0 else s), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=5),
+)
+def test_shingles_match_duckdb(spark, texts, n):
+    """The word n-gram shingle primitive (the decontamination and Jaccard
+    candidate key) must agree on arbitrary inputs including texts shorter
+    than n tokens (empty shingle lists on both engines)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import shingles_col, shingles_sql
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(shingles_col("t", n)).collect()]
+    con = duckdb.connect()
+    try:
+        for t, sh in zip(texts, got):
+            # tokens_sql('?') appears twice inside shingles_sql -> two params
+            o = con.execute(f"SELECT {shingles_sql('?', n)}", [t, t]).fetchone()[0]
+            assert sh == o, (n, repr(t))
+    finally:
+        con.close()
