@@ -104,3 +104,44 @@ def test_shingles_match_duckdb(spark, texts, n):
             assert sh == o, (n, repr(t))
     finally:
         con.close()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(TEXT.map(lambda s: s + "\n" if len(s) % 3 == 0 else s), min_size=1, max_size=6))
+def test_text_profile_primitives_match_duckdb(spark, texts):
+    """Every portable text primitive the dedup/profile oracles stand on:
+    normalized form, BPE-ish token count, stopword/punct counts, lang-id,
+    fingerprint, and the sampling hash bucket — on arbitrary inputs."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import sampling as SA
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import text as T
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(
+        T.normalized_text("t").alias("norm"),
+        T.token_count_bpe("t").alias("bpe"),
+        T.stopword_count("t").alias("stop"),
+        T.punct_count("t").alias("punct"),
+        T.lang_id("t").alias("lang"),
+        T.fingerprint("t").alias("fp"),
+        SA.hash_bucket("t", 13).alias("bucket"),
+    ).collect()
+    con = duckdb.connect()
+    try:
+        for t, row in zip(texts, got):
+            sql = "SELECT " + ", ".join(
+                [
+                    T.normalized_text_sql("?"),
+                    T.token_count_bpe_sql("?"),
+                    T.stopword_count_sql("?"),
+                    T.punct_count_sql("?"),
+                    T.lang_id_sql("?"),
+                    T.fingerprint_sql("?"),
+                    SA.hash_bucket_sql("?", 13),
+                ]
+            )
+            # each twin may expand '?' several times (lang_id alone
+            # re-tokenizes per CASE branch)
+            o = con.execute(sql, [t] * sql.count("?")).fetchone()
+            assert (row.norm, row.bpe, row.stop, row.punct, row.lang, row.fp, row.bucket) == o, repr(t)
+    finally:
+        con.close()
