@@ -236,3 +236,12 @@ def test_spread_streaming_passthrough(spark, tmp_path):
     schema = spark.read.parquet(str(tmp_path / "d")).schema
     stream = spark.readStream.schema(schema).parquet(str(tmp_path / "d"))
     assert spread(stream) is stream
+
+
+def test_ann_topk_plans_window_group_limit(spark):
+    """The row_number+filter top-k shape must get WindowGroupLimit
+    (partial per-partition top-k heaps BEFORE the window sort) — the
+    plan every ANN rescore path relies on; without it the full scored
+    pair set sorts inside each window partition."""
+    plan = plan_of(spark, "ann_topk_bruteforce")
+    assert "WindowGroupLimit" in plan
