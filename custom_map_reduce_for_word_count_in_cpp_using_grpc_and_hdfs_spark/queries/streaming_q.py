@@ -139,8 +139,10 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (count, value-cents) accumulator; after draining one AvailableNow
       pass the emitted state equals the batch aggregate.
     - stream-static enrichment: the event stream joins the static
-      customer dimension (broadcast per micro-batch — the canonical
-      dimension-enrichment shape) and aggregates per segment.
+      customer dimension (auto-broadcast per micro-batch while it fits
+      the threshold — the canonical dimension-enrichment shape; a dim
+      that outgrows it becomes a per-batch shuffle join or a keyed
+      state store) and aggregates per segment.
     - stream-stream inner join: clicks × purchases by user within
       30 min, watermarked + time-bounded on BOTH sides so join state
       evicts; pair-level append output equals the batch join.
@@ -167,7 +169,7 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("value") * 100).cast("long")
     enriched_stream = (
         events_stream(spark, sf_dir)
-        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .join(customers, F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
     )

@@ -156,7 +156,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     idf_micro = F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) * 1000000).cast("long")
     return (
-        tf.join(F.broadcast(df.withColumn("idf_micro", idf_micro)), "word")
+        tf.join(df.withColumn("idf_micro", idf_micro), "word")
         .where(F.col("doc_id") % 25 == 0)
         .select("doc_id", "word", (F.col("tf") * F.col("idf_micro")).alias("tfidf_micro"))
     )
