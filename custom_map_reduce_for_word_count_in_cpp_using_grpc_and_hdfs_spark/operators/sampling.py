@@ -73,3 +73,45 @@ def stratified_exact_k(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column | str | float
+) -> DataFrame:
+    """Keep each row with probability ``weight`` (a column, column name,
+    or constant in [0, 1]), decided by the row's own key hash — the
+    quality-weighted downsampling step of a curation pipeline ("keep 90%
+    of high-quality docs, 10% of low").
+
+    Deterministic (same key + weight → same decision across runs, stage
+    retries, and engines via the portable hash), composable with
+    ``deterministic_sample``'s independent bucket space, and a pure
+    codegen predicate that pushes below joins. Integer compare: the
+    hash's uniform residue in [0, 10^6) is kept iff < round(w * 10^6).
+    """
+    if isinstance(weight, (int, float)):
+        weight = F.lit(float(weight))
+    elif isinstance(weight, str):
+        weight = F.col(weight)
+    # The rolling hash is positional, NOT mixing — sequential keys give
+    # sequential hash values (fine for hash_bucket, whose small modulus
+    # cycles uniformly; useless against a wide threshold). A Fibonacci
+    # multiplicative mix (Knuth 2654435761 mod 2^32) equidistributes
+    # sequential inputs; all arithmetic stays inside int64 on both
+    # engines (h < 10^9, product < 2.7*10^18). The "w|" salt keeps this
+    # residue space independent of hash_bucket's, so a bucket-sampled
+    # frame re-weighted afterwards stays unbiased.
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = poly_hash_chars(F.concat(F.lit("w|"), key.cast("string")))
+    mixed = F.pmod(h * F.lit(2654435761), F.lit(4294967296))
+    residue = F.pmod(mixed, F.lit(1_000_000))
+    return df.where(residue < F.round(weight * 1_000_000).cast("long"))
+
+
+def weighted_sample_sql(key_expr: str, weight_expr: str) -> str:
+    """DuckDB rendering of :func:`weighted_sample`'s predicate."""
+    h = poly_hash_chars_sql(f"'w|' || CAST({key_expr} AS VARCHAR)")
+    return (
+        f"(((({h}) * 2654435761) % 4294967296) % 1000000)"
+        f" < CAST(round(({weight_expr}) * 1000000) AS BIGINT)"
+    )

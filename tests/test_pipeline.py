@@ -85,3 +85,38 @@ def test_hash_sampling_deterministic_and_consistent(spark):
         .collect()
     )
     assert per and all(r.got == min(k, r.avail) for r in per)
+
+
+def test_weighted_sample_deterministic_and_calibrated(spark):
+    """weighted_sample: decisions are stable across evaluations, the kept
+    fraction tracks the weight, weight 0/1 are exact, and the predicate
+    matches its DuckDB rendering (oracle-portable)."""
+    import duckdb
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    assert weighted_sample(df, "k", 0.0).count() == 0
+    assert weighted_sample(df, "k", 1.0).count() == 4000
+    kept = weighted_sample(df, "k", 0.3)
+    n1, n2 = kept.count(), kept.count()
+    assert n1 == n2  # deterministic under re-evaluation
+    assert abs(n1 / 4000 - 0.3) < 0.05  # calibrated within sampling noise
+
+    # per-row weight column + cross-engine parity of the predicate
+    wdf = df.withColumn("w", (F.col("k") % 10) / 10.0)
+    got = sorted(r.k for r in weighted_sample(wdf, "k", "w").collect())
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t AS SELECT range AS k, (range % 10) / 10.0 AS w FROM range(0, 4000)")
+        want = sorted(
+            r[0] for r in con.execute(
+                f"SELECT k FROM t WHERE {weighted_sample_sql('k', 'w')}"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want

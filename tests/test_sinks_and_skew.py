@@ -108,3 +108,31 @@ def test_salted_join_equals_plain_join(spark):
     assert plain_l.count() == salted_l.count()
     assert plain_l.where(F.col("o_orderpriority").isNull()).count() == \
         salted_l.where(F.col("o_orderpriority").isNull()).count()
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """Schema evolution on read: a corpus whose later shards add columns
+    must read as the merged schema with NULLs for early shards
+    (mergeSchema) — and default reads still project the requested
+    columns without error."""
+    import os
+    import uuid
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", f"evolve_{uuid.uuid4().hex[:8]}",
+    )
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.parquet(
+        os.path.join(root, "shard=0")
+    )
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(os.path.join(root, "shard=1"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "shard"}
+    rows = {r.doc_id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+
+    projected = spark.read.option("mergeSchema", "true").parquet(root).select("doc_id", "text")
+    assert projected.count() == 2
