@@ -120,3 +120,31 @@ def test_weighted_sample_deterministic_and_calibrated(spark):
     finally:
         con.close()
     assert got == want
+
+
+def test_hash_bucket_calibration_and_independence(spark):
+    """hash_bucket must spread integer AND string keys near-uniformly
+    (the weighted_sample lesson: positional hashes can pass one shape
+    and fail another), and composing the bucket sample with
+    weighted_sample must keep ~the product fraction (independent
+    residue spaces)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.sampling import (
+        deterministic_sample,
+        hash_bucket,
+        weighted_sample,
+    )
+
+    n = 5000
+    ints = spark.range(0, n).withColumnRenamed("id", "k")
+    strs = ints.selectExpr("concat('doc-', k) AS k")
+    for df in (ints, strs):
+        counts = [
+            r.c for r in df.select(hash_bucket("k", 10).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+        ]
+        assert len(counts) == 10
+        assert max(counts) < 1.25 * n / 10 and min(counts) > 0.75 * n / 10, counts
+
+    composed = weighted_sample(deterministic_sample(ints, "k", 50, 100), "k", 0.5)
+    frac = composed.count() / n
+    assert abs(frac - 0.25) < 0.05, frac
