@@ -84,16 +84,51 @@ def salted_join(
     the fallback, not the default: prefer `F.broadcast` or AQE skew
     join, in that order; see SCALE.md).
 
-    Supports inner and left joins (big side preserved); result equals
-    the unsalted join row-for-row because each big row matches exactly
-    one replica of each small match (its own salt).
+    The salt is PER-ROW — ``pmod(xxhash64(monotonically_increasing_id()),
+    S)`` — not per-partition: a partition-id salt is constant for every
+    row of an input partition, so a hot key concentrated in few
+    partitions (the typical post-shuffle / bucketed-scan skew scenario
+    this helper exists for) would still land in ~one reduce task and get
+    zero relief. monotonically_increasing_id varies within a partition,
+    so a hot key spreads over all ``num_salts`` subkeys regardless of
+    input clustering. Which salt a row gets never affects the result
+    (each big row matches exactly the replica carrying its own salt), so
+    the id's instability under retries is harmless here.
+
+    All four equi-join types are supported. ``inner``/``left`` preserve
+    the (salted) big side directly. ``right``/``full`` need care: a
+    small row's key may match big rows under *some* salts and not
+    others, so a per-replica outer join would emit spurious
+    null-extended rows (and ``num_salts`` duplicates for truly
+    unmatched keys). Instead the preserved-small half is rebuilt
+    exactly: salted inner/left join ∪ (small rows whose key appears
+    nowhere in big — a left_anti against big's distinct keys —
+    null-extended on the big columns). ``big.select(key).distinct()``
+    is itself skew-safe: partial aggregation collapses a hot key
+    map-side, so the distinct shuffle moves one row per key per
+    partition.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"salted_join supports inner/left/right/full, got {how!r}")
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.spark_partition_id()), F.lit(num_salts)).cast("int")
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)).cast("int")
     )
     replicated_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
-    return salted_big.join(replicated_small, [key, "_salt"], how).drop("_salt")
+    base_how = "left" if how in ("left", "full") else "inner"
+    joined = salted_big.join(replicated_small, [key, "_salt"], base_how).drop("_salt")
+    if how in ("inner", "left"):
+        return joined
+    # right/full: append each small row whose key never occurs in big,
+    # once, null-extended on the big columns. Null-keyed small rows are
+    # kept (a null key never equals anything — standard outer-join
+    # semantics, same as left_anti's null-unsafe match).
+    unmatched = small.join(big.select(key).distinct(), [key], "left_anti")
+    big_types = {f.name: f.dataType for f in big.schema.fields}
+    extended = unmatched.select(
+        F.col(key),
+        *[F.lit(None).cast(big_types[c]).alias(c) for c in big.columns if c != key],
+        *[F.col(c) for c in small.columns if c != key],
+    )
+    return joined.unionByName(extended)

@@ -421,13 +421,21 @@ def rel_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trollup = (
         buckets.groupingSets([["h"], ["d"], ["m"]], "h", "d", "m")
-        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", alias="val"))
-        .select(
-            F.lit("trollup").alias("mode"),
-            F.when(F.col("h").isNotNull(), "hour")
-            .when(F.col("d").isNotNull(), "day")
+        .agg(
+            # Label with grouping() (NULL-safe: a NULL ts date_truncs to
+            # NULL in all three buckets; isNotNull would then mislabel the
+            # (h)/(d) grouping-set rows as 'month' while the oracle's
+            # grouping(h)/grouping(d) labels them correctly).
+            F.when(F.grouping("h") == 0, "hour")
+            .when(F.grouping("d") == 0, "day")
             .otherwise("month")
             .alias("k1"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value", alias="val"),
+        )
+        .select(
+            F.lit("trollup").alias("mode"),
+            "k1",
             F.coalesce(F.col("h"), F.col("d"), F.col("m")).cast("string").alias("k2"),
             "cnt",
             "val",

@@ -114,9 +114,14 @@ _DEDUP_STATE_ORACLE = """
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
   UNION ALL
     SELECT 'incr_dedup', lang, count(*), CAST(NULL AS BIGINT)
-    FROM documents
-    WHERE {fp} NOT IN (
-        SELECT {fp} FROM documents WHERE doc_id % 3 = 0
+    FROM documents d
+    -- NOT EXISTS, not NOT IN: the Spark side is a left_anti join, which
+    -- KEEPS null-keyed rows (a null key never equals anything), while
+    -- NOT IN's three-valued logic would drop a NULL fingerprint (NULL
+    -- text). NOT EXISTS with plain = is exactly anti-join semantics.
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents s
+        WHERE s.doc_id % 3 = 0 AND {fp_s} = {fp_d}
     )
     GROUP BY lang
 """
@@ -125,7 +130,9 @@ _DEDUP_STATE_ORACLE = """
 def _dedup_state_oracle() -> str:
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import poly_hash_chars_sql
 
-    return _DEDUP_STATE_ORACLE.format(fp=poly_hash_chars_sql("text"))
+    return _DEDUP_STATE_ORACLE.format(
+        fp_s=poly_hash_chars_sql("s.text"), fp_d=poly_hash_chars_sql("d.text")
+    )
 
 
 @query("stream_dedup_state_suite", oracle=_dedup_state_oracle())

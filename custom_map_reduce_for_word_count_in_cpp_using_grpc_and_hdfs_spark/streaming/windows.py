@@ -49,18 +49,21 @@ def _stage_dir(sf_dir: str, table: str = "events") -> str:
     target = os.path.join(SCRATCH, "streams", key)
     marker = os.path.join(target, f"{table}.parquet")
     source = os.path.join(sf_dir, f"{table}.parquet")
-    # staleness guard: if the source was regenerated (size or mtime
-    # changed) since we staged it, re-copy — otherwise a long-lived
-    # .scratch dir silently streams last round's data
+    # staleness guard: if the source was regenerated since we staged it,
+    # re-copy — otherwise a long-lived .scratch dir silently streams last
+    # round's data. copy2 preserves the source mtime, so freshness is an
+    # EXACT (size, mtime) match: a restored/checked-out source whose mtime
+    # moved *backwards* (same size) also re-stages, which the previous
+    # `marker >= source` heuristic silently treated as fresh.
     src_stat = os.stat(source)
     fresh = (
         os.path.exists(marker)
         and os.stat(marker).st_size == src_stat.st_size
-        and os.stat(marker).st_mtime >= src_stat.st_mtime
+        and abs(os.stat(marker).st_mtime - src_stat.st_mtime) < 1e-6
     )
     if not fresh:
         os.makedirs(target, exist_ok=True)
-        shutil.copyfile(source, marker)
+        shutil.copy2(source, marker)
     return target
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import wordcount as wc
@@ -85,9 +86,34 @@ def test_salted_word_count_equals_plain(spark):
     assert salted == plain
 
 
-def test_salted_join_equals_plain_join(spark):
-    """salted_join must be row-for-row identical to the plain equi-join,
-    including unmatched-left rows under how='left'."""
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_salted_join_equals_plain_join(spark, how):
+    """salted_join must be multiset-identical to the plain equi-join for
+    every supported join type, on a fixture with all the hard cases:
+    null keys on both sides, keys unmatched on either side, duplicate
+    keys on both sides (fan-out), and a hot key concentrated in ONE
+    input partition (the scenario the per-row salt exists for)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_join
+
+    big_rows = (
+        [(7, f"hot{i}") for i in range(500)]  # hot key, single partition
+        + [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "n1"), (None, "n2"), (9, "only_big")]
+    )
+    big = spark.createDataFrame(big_rows, "k int, bv string").repartitionByRange(4, "k")
+    small = spark.createDataFrame(
+        [(7, "s7"), (1, "s1a"), (1, "s1b"), (2, "s2"), (None, "sn"), (42, "only_small")],
+        "k int, sv string",
+    )
+    plain = big.join(small, ["k"], how).select("k", "bv", "sv")
+    salted = salted_join(big, small, "k", num_salts=8, how=how).select("k", "bv", "sv")
+    nullsafe = lambda rows: sorted(
+        (tuple((v is None, v) for v in r) for r in rows), key=str
+    )
+    assert nullsafe(plain.collect()) == nullsafe(salted.collect())
+
+
+def test_salted_join_tpch_inner(spark):
+    """Same equality on real tables (lineitem ⋈ orders aggregate)."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_join
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
 
@@ -100,14 +126,6 @@ def test_salted_join_equals_plain_join(spark):
     plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
     salted = salted_join(li, o, "l_orderkey").groupBy("l_orderkey").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
-
-    # left join: rows with no match must survive exactly once per big row
-    o_half = o.where(F.col("l_orderkey") % 2 == 0)
-    plain_l = li.join(o_half, "l_orderkey", "left")
-    salted_l = salted_join(li, o_half, "l_orderkey", how="left")
-    assert plain_l.count() == salted_l.count()
-    assert plain_l.where(F.col("o_orderpriority").isNull()).count() == \
-        salted_l.where(F.col("o_orderpriority").isNull()).count()
 
 
 def test_parquet_schema_evolution_merge(spark):
