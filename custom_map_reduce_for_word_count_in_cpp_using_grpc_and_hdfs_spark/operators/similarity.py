@@ -301,6 +301,60 @@ def cosine_near_dup_pairs(
 IVF_SEED = 7_2024
 
 
+def centroid_relation(spark, centroids: np.ndarray) -> DataFrame:
+    """Centroids as DATA, not plan literals: a ONE-ROW relation holding
+    ``_centroids: array<struct<bucket:int, cvec:array<double>>>`` (sorted
+    by bucket, so downstream argmin tie-breaks are deterministic).
+
+    Why this shape and not k×dim literal expressions (the round-3
+    design): a literal centroid table bakes k×dim constants into the
+    Catalyst plan, so analysis time, codegen method size (64 KB JVM
+    limit) and plan serialization all grow with k — a 100 TB IVF index
+    wants k in the thousands, where the *plan itself* becomes the
+    bottleneck. And not a (bucket, cvec) row-per-centroid relation
+    joined + min_by-aggregated either: the argmin groupBy would shuffle
+    the full corpus once per assignment. Broadcasting ONE row and
+    folding over the array column keeps the plan O(1) in k, ships the
+    centroid payload through the broadcast (data plane, not plan), and
+    assigns buckets with zero shuffle."""
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    flat = spark.createDataFrame(rows, "bucket int, cvec array<double>")
+    return flat.agg(F.array_sort(F.collect_list(F.struct("bucket", "cvec"))).alias("_centroids"))
+
+
+def _centroid_dists(vec, centroids_col):
+    """array<struct<d:double, bucket:int>> of squared L2 distances from
+    ``vec`` to every centroid in the (broadcast) centroid array column —
+    struct order (d, bucket) makes array_min/array_sort argmin with
+    deterministic smallest-bucket tie-breaks."""
+    return F.transform(
+        centroids_col,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec, c["cvec"], lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["bucket"].alias("bucket"),
+        ),
+    )
+
+
+def with_bucket(
+    df: DataFrame, crel: DataFrame, vec_col: str = "embedding", out: str = "bucket"
+) -> DataFrame:
+    """Attach each row's nearest-centroid bucket via the broadcast one-row
+    centroid relation — no shuffle, plan size independent of k. This is
+    the write-time assignment used by :func:`write_ivf_index`."""
+    return (
+        df.crossJoin(F.broadcast(crel))
+        .withColumn(out, F.array_min(_centroid_dists(F.col(vec_col), F.col("_centroids")))["bucket"])
+        .drop("_centroids")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -309,11 +363,13 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic-ish k-means centroids: seeded sample init + a few
-    Lloyd iterations. Per iteration: one broadcast of k×dim floats down,
-    one groupBy-mean up — the corpus is never collected. (Float means
-    are aggregation-order-sensitive, so borderline assignments may flip
-    between runs; IVF is an approximate index, its quality is measured
-    by recall, not by bit-stable centroids.)"""
+    Lloyd iterations. Per iteration: one broadcast of k×dim floats down
+    (as the one-row centroid relation), one groupBy-mean up — the corpus
+    is never collected. (Float means are aggregation-order-sensitive, so
+    borderline assignments may flip between runs; IVF is an approximate
+    index, its quality is measured by recall, not by bit-stable
+    centroids.)"""
+    spark = corpus.sparkSession
     # hash-ordered sample: deterministic AND spread across the corpus no
     # matter how ids correlate with storage/cluster layout (a prefix-of-ids
     # sample seeds every centroid inside whatever clusters come first,
@@ -333,9 +389,8 @@ def ivf_centroids(
     centroids = pool[rng.choice(len(pool), size=k, replace=False)]
     corpus = spread(corpus)
     for _ in range(iters):
-        assigned = corpus.select(
-            F.col(vec_col).alias("v"),
-            _nearest_centroid_col(F.col(vec_col), centroids).alias("c"),
+        assigned = with_bucket(
+            corpus.select(F.col(vec_col).alias("v")), centroid_relation(spark, centroids), "v", "c"
         )
         means = (
             assigned.select("c", F.posexplode("v").alias("i", "x"))
@@ -353,25 +408,31 @@ def ivf_centroids(
     return centroids
 
 
-def _nearest_centroid_col(vec, centroids: np.ndarray):
-    """argmin over squared L2 distance to each centroid — pure expression
-    (k fused dot products per row)."""
-    best_idx = F.lit(0)
-    best_dist = None
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        diff2 = F.aggregate(
-            F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def _probe_buckets(queries: DataFrame, crel: DataFrame, nprobe: int, id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, q_vec, bucket) — each query exploded to its ``nprobe``
+    nearest centroid buckets, distances computed against the broadcast
+    centroid array."""
+    return (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(crel))
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.slice(F.array_sort(_centroid_dists(F.col("q_vec"), F.col("_centroids"))), 1, nprobe)
+            ).alias("p"),
         )
-        if best_dist is None:
-            best_dist = diff2
-            best_idx = F.lit(0)
-        else:
-            best_idx = F.when(diff2 < best_dist, F.lit(i)).otherwise(best_idx)
-            best_dist = F.least(best_dist, diff2)
-    return best_idx
+        .select("query_id", "q_vec", F.col("p.bucket").alias("bucket"))
+    )
+
+
+def _topk_by_score(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def ivf_topk(
@@ -384,45 +445,75 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF search: corpus rows carry their nearest-centroid bucket
-    (computable at write time → store partitioned by bucket and a query
-    reads only ``nprobe`` partitions); each query probes its nprobe
-    nearest centroid buckets and rescores exactly within them."""
-    from pyspark.sql import Window
-
-    c_assigned = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _nearest_centroid_col(F.col(vec_col), centroids).alias("bucket"),
+    (assigned via the broadcast centroid relation — at scale the
+    assignment happens at write time instead, see :func:`write_ivf_index`
+    / :func:`ivf_topk_stored`); each query probes its nprobe nearest
+    centroid buckets and rescores exactly within them."""
+    crel = centroid_relation(corpus.sparkSession, centroids)
+    c_assigned = with_bucket(
+        spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        crel,
+        "c_vec",
+        "bucket",
     )
-    # per-query centroid distances → nprobe probe buckets
-    probes = None
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    dist_structs = []
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(F.col("q_vec"), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("bucket")))
-    probed = q.select(
-        "query_id",
-        "q_vec",
-        F.explode(F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe)).alias("p"),
-    ).select("query_id", "q_vec", F.col("p.bucket").alias("bucket"))
+    probed = _probe_buckets(queries, crel, nprobe, id_col, vec_col)
     scored = (
         F.broadcast(probed)
         .join(c_assigned, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    return _topk_by_score(scored, k)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: assign each corpus row's bucket ONCE at
+    write time and store the corpus hive-partitioned by bucket. At 100 TB
+    this is the whole point of IVF — the per-row assignment cost is paid
+    once at ingest, and a probe becomes a partition-pruned read of
+    ``nprobe`` directories instead of a full scan + assignment."""
+    crel = centroid_relation(corpus.sparkSession, centroids)
+    with_bucket(corpus, crel, vec_col, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def ivf_topk_stored(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a :func:`write_ivf_index` layout. The query
+    batch's probe buckets (≤ |Q|·nprobe values, bounded because the query
+    side is bounded) become a partition FILTER on the index read, so only
+    the probed bucket directories are scanned and NO bucket assignment
+    runs at query time — the plan is scan → broadcast-join → rescore
+    (pinned in tests/test_scale_layout.py)."""
+    crel = centroid_relation(spark, centroids)
+    probed = _probe_buckets(queries, crel, nprobe, id_col, vec_col)
+    buckets = sorted(r["bucket"] for r in probed.select("bucket").distinct().collect())
+    index = spark.read.parquet(index_path).where(F.col("bucket").isin(buckets))
+    scored = (
+        F.broadcast(probed)
+        .join(
+            index.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"),
+            "bucket",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("score"))
     )
+    return _topk_by_score(scored, k)
 
 
 def quantized_topk(

@@ -84,3 +84,57 @@ def test_partition_pruning(spark):
     got = df.count()
     expected = o.where(F.date_format("o_orderdate", "yyyy-MM") == "1997-03").count()
     assert got == expected > 0
+
+
+def test_ivf_plan_size_independent_of_k(spark):
+    """The IVF centroid set is DATA (one-row broadcast relation), not
+    plan literals: the physical plan must not grow with k, and k=1024
+    must execute without codegen fallback (a literal-per-centroid plan
+    dies on 64 KB JVM method limits / analysis time long before that)."""
+    import numpy as np
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    rng = np.random.default_rng(7)
+    plans = {}
+    for k in (16, 1024):
+        centroids = rng.standard_normal((k, 64))
+        plans[k] = formatted_plan(S.ivf_topk(queries, emb, centroids, k=5, nprobe=2))
+    assert "Broadcast" in plans[1024]
+    # plan text may differ by a few bytes (ids), but must not scale with k
+    assert len(plans[1024]) < 2 * len(plans[16]), (len(plans[16]), len(plans[1024]))
+    # and the k=1024 query actually runs end to end
+    centroids = rng.standard_normal((1024, 64))
+    out = S.ivf_topk(queries, emb, centroids, k=5, nprobe=8).collect()
+    assert len(out) > 0
+
+
+def test_ivf_stored_index_partition_pruned_probe(spark):
+    """write_ivf_index assigns buckets at WRITE time; a probe against the
+    stored layout must (a) carry a bucket partition filter — only nprobe
+    directories are scanned — and (b) run NO bucket assignment over index
+    rows at query time (no distance fold on the scan side), and (c)
+    return exactly what the in-flight ivf_topk returns."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    centroids = S.ivf_centroids(emb, k=8, iters=2)
+    path = os.path.join(SCRATCH, "ivf_index")
+    S.write_ivf_index(emb, centroids, path)
+
+    stored = S.ivf_topk_stored(spark, queries, path, centroids, k=5, nprobe=3)
+    plan = formatted_plan(stored)
+    scan_section = plan[plan.index("Scan parquet") :] if "Scan parquet" in plan else plan
+    assert "PartitionFilters" in scan_section and "bucket" in scan_section, plan
+    # the index scan must not recompute assignments at query time:
+    # nearest-bucket assignment is the array_min argmin (with_bucket),
+    # which must be ABSENT from the stored-path plan (buckets come from
+    # the partition column) and present in the in-flight plan
+    assert "array_min" not in plan, plan
+
+    inflight = S.ivf_topk(queries, emb, centroids, k=5, nprobe=3)
+    assert "array_min" in formatted_plan(inflight)
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, inflight.collect()))
