@@ -33,6 +33,17 @@ MIN_TOKENS = 20
 MIN_STOPWORD_RATIO = 0.02
 MAX_PUNCT_RATIO = 0.10
 
+#: Hot-shingle document-frequency cap for the near-dup candidate stage —
+#: part of the PIPELINE's query definition (mirrored in the oracle). At
+#: 100 TB one stopword shingle shared by 10⁶ docs is 10¹² candidate
+#: pairs; dropping shingles with df > cap from candidate generation
+#: bounds any shingle's contribution at cap² pairs while union sizes
+#: stay exact (capped jaccard ≤ true jaccard, so capped pairs ⊆ uncapped
+#: pairs — the subset invariant pipeline_jaccard_cap_invariant checks).
+#: 20 ≈ 2× the sf0.1 p99.9 shingle df, so genuine near-dup shingles
+#: (df 2-3) are untouched.
+SHINGLE_DF_CAP = 20
+
 _TOKS = T.tokens_sql("text")
 
 _PIPELINE_ORACLE = f"""
@@ -60,9 +71,13 @@ _PIPELINE_ORACLE = f"""
         SELECT DISTINCT doc_id, unnest({D.shingles_sql('text')}) AS shingle FROM surv
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    -- hot-shingle cap, same semantics as the Spark side: shingles with
+    -- df > cap leave CANDIDATE GENERATION only; union sizes stay full
+    freq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle),
+    idx AS (SELECT ds.* FROM ds JOIN freq USING (shingle) WHERE df <= {SHINGLE_DF_CAP}),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-        FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     jpairs AS (
@@ -101,7 +116,12 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline body, reusable by the partitioned-write test: returns
     one row per kept document with its profile features and the size of
     the near-dup cluster it survived."""
-    docs = load_table(spark, sf_dir, "documents")
+    return curate(load_table(spark, sf_dir, "documents"))
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """Pipeline over an arbitrary documents DataFrame (doc_id, text, lang)
+    — the seam the pathological hot-shingle fixture test drives."""
     prof = T.doc_profile(docs)
     qual = prof.where(
         (F.col("n_tokens") >= MIN_TOKENS)
@@ -111,8 +131,11 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact dedup on the 8-byte normalized fingerprint; survivor = min id.
     exact_survivors = qual.groupBy("fp_normalized").agg(F.min("doc_id").alias("doc_id"))
     surv_docs = docs.join(exact_survivors.select("doc_id"), "doc_id", "left_semi")
-    # Near-dup clustering over the exact-dedup survivors.
-    edges = D.jaccard_pairs(surv_docs, JACCARD_T).select("doc_a", "doc_b")
+    # Near-dup clustering over the exact-dedup survivors, hot shingles
+    # capped out of candidate generation (see SHINGLE_DF_CAP).
+    edges = D.jaccard_pairs(surv_docs, JACCARD_T, max_shingle_df=SHINGLE_DF_CAP).select(
+        "doc_a", "doc_b"
+    )
     comps = D.connected_components(
         surv_docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )
@@ -129,6 +152,86 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "lang_label", "lang_pred", "n_tokens", "n_chars",
             "cluster_size", "sample_bucket",
+        )
+    )
+
+
+#: Tight cap for the invariant query so the cap BITES at the correctness
+#: SF (sf0.01 shingle df tops out at 7 — a cap of 5 actually drops
+#: shingles there, making the subset check non-vacuous).
+CAP_TIGHT = 5
+
+_CAP_INVARIANT_ORACLE = f"""
+    WITH ds AS (
+        SELECT DISTINCT doc_id, unnest({D.shingles_sql('text')}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    freq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle),
+    idx AS (SELECT ds.* FROM ds JOIN freq USING (shingle) WHERE df <= {CAP_TIGHT}),
+    inter_c AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    inter_u AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jp_c AS (
+        SELECT doc_a, doc_b FROM inter_c
+        JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ni / (sa.n + sb.n - ni) >= {JACCARD_T}
+    ),
+    jp_u AS (
+        SELECT doc_a, doc_b FROM inter_u
+        JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ni / (sa.n + sb.n - ni) >= {JACCARD_T}
+    )
+    SELECT (SELECT count(*) FROM freq WHERE df > {CAP_TIGHT}) AS n_hot_shingles,
+           (SELECT count(*) FROM jp_c) AS n_pairs_capped,
+           (SELECT count(*) FROM jp_u) AS n_pairs_uncapped,
+           (SELECT count(*) FROM jp_u) - (SELECT count(*) FROM jp_c) AS n_lost_pairs,
+           true AS capped_subset_of_uncapped
+"""
+
+
+@query("pipeline_jaccard_cap_invariant", oracle=_CAP_INVARIANT_ORACLE)
+def pipeline_jaccard_cap_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable proof that the hot-shingle cap behaves: exact
+    counts of hot shingles and of capped/uncapped near-dup pairs (both
+    SQL-derivable), plus the subset invariant — every capped pair must
+    also be an uncapped pair (capping lowers intersection counts while
+    union sizes stay full, so capped jaccard ≤ true jaccard). The oracle
+    states ``true``; the Spark side COMPUTES the flag via an anti-join,
+    so a capping bug that invented pairs would go red. A tight cap
+    (df > {CAP_TIGHT}) is used so hot shingles actually exist at the
+    correctness SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = D.jaccard_pairs(docs, JACCARD_T, max_shingle_df=CAP_TIGHT).select("doc_a", "doc_b")
+    uncapped = D.jaccard_pairs(docs, JACCARD_T).select("doc_a", "doc_b")
+    ds = D.doc_shingles(docs)
+    n_hot = (
+        ds.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > CAP_TIGHT)
+        .agg(F.count(F.lit(1)).alias("n_hot_shingles"))
+    )
+    n_c = capped.agg(F.count(F.lit(1)).alias("n_pairs_capped"))
+    n_u = uncapped.agg(F.count(F.lit(1)).alias("n_pairs_uncapped"))
+    escaped = capped.join(uncapped, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_escaped")
+    )
+    return (
+        n_hot.crossJoin(n_c)
+        .crossJoin(n_u)
+        .crossJoin(escaped)
+        .select(
+            "n_hot_shingles",
+            "n_pairs_capped",
+            "n_pairs_uncapped",
+            (F.col("n_pairs_uncapped") - F.col("n_pairs_capped")).alias("n_lost_pairs"),
+            (F.col("n_escaped") == 0).alias("capped_subset_of_uncapped"),
         )
     )
 

@@ -35,6 +35,48 @@ def test_curation_is_strict_and_survivors_are_cluster_minima(spark):
         cur.unpersist()
 
 
+def test_hot_shingle_cap_kills_quadratic_candidates(spark):
+    """Pathological fixture: every document shares one boilerplate
+    sentence (its shingles have df = n_docs), and two documents are
+    genuine near-dups through their COLD shingles. The capped candidate
+    join must stay linear-ish (the uncapped one is quadratic in the
+    boilerplate clique) while still finding the genuine pair."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import dedup as D
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q import SHINGLE_DF_CAP, curate
+
+    n = 300
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    body = lambda i: " ".join(f"tok{i}w{j} filler{i} common the of" for j in range(8))
+    rows = [(i, f"{boiler} {body(i)}", "en") for i in range(n)]
+    # planted near-dup pair: 9000/9001 share their whole body
+    rows.append((9000, f"{boiler} " + " ".join(f"dupw{j} extra the of and to in is it" for j in range(12)), "en"))
+    rows.append((9001, f"{boiler} " + " ".join(f"dupw{j} extra the of and to in is it" for j in range(12)) + " tail", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def candidate_rows(max_df):
+        ds = D.doc_shingles(docs)
+        index = ds
+        if max_df is not None:
+            freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            index = ds.join(freq.where(F.col("df") <= max_df), "shingle")
+        a = index.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = index.select(F.col("doc_id").alias("doc_b"), "shingle")
+        return a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b")).count()
+
+    uncapped = candidate_rows(None)
+    capped = candidate_rows(SHINGLE_DF_CAP)
+    # boilerplate shingles alone contribute >= C(302,2) ~ 45k uncapped rows
+    assert uncapped > 40_000, uncapped
+    assert capped < uncapped / 10, (capped, uncapped)
+    # the genuine near-dup pair still comes out of the capped pipeline
+    pairs = D.jaccard_pairs(docs, 0.3, max_shingle_df=SHINGLE_DF_CAP)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} >= {(9000, 9001)}
+    # and end-to-end: curate() keeps 9000 as the cluster survivor with 9001 absorbed
+    cur = curate(docs)
+    surv = {r.doc_id: r.cluster_size for r in cur.collect()}
+    assert surv.get(9000) == 2 and 9001 not in surv
+
+
 def test_curated_corpus_partitioned_write(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("curated") / "corpus")
     cur = curated_corpus(spark, SF_SMOKE)
