@@ -190,6 +190,75 @@ def minhash_signature(
     )
 
 
+def band_hashes_col(sig_col, bands: int, num_perm: int):
+    """array<long> of per-band hashes over a minhash signature column —
+    band b = xxhash64 of its ``num_perm // bands`` signature slots. Pure
+    expression: computable at WRITE time (see :func:`write_minhash_store`)."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    rows_per_band = num_perm // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _banded_candidate_join(banded: DataFrame, bands: int) -> DataFrame:
+    """Candidate pairs from a (id-as-doc, bhs, band, band_hash) frame:
+    equi-join on (band, band_hash) with canonical-band dedup — a pair
+    agreeing on k bands surfaces only at its FIRST agreeing band (all
+    earlier band hashes differ), so the post-join DISTINCT shuffle is
+    replaced by codegen'd comparisons over the compact bhs arrays."""
+    a = banded.select(F.col("_id").alias("doc_a"), F.col("bhs").alias("bhs_a"), "band", "band_hash")
+    b = banded.select(F.col("_id").alias("doc_b"), F.col("bhs").alias("bhs_b"), "band", "band_hash")
+    first_agreeing = F.lit(True)
+    for j in range(bands - 1):
+        first_agreeing = first_agreeing & (
+            (F.col("band") <= j)
+            | (F.element_at("bhs_a", j + 1) != F.element_at("bhs_b", j + 1))
+        )
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where((F.col("doc_a") < F.col("doc_b")) & first_agreeing)
+        .select("doc_a", "doc_b")
+    )
+
+
+def write_minhash_store(
+    df: DataFrame,
+    path: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Materialize (id, sig, bhs) at WRITE time. At 100 TB signatures are
+    computed once at ingest and every dedup run starts from this compact
+    store (num_perm+bands longs per doc, no text) — candidate generation
+    then never tokenizes, hashes, or aggregates the corpus again
+    (:func:`lsh_candidate_pairs_stored`, plan-pinned in
+    tests/test_scale_layout.py)."""
+    sigs = minhash_signature(df, num_perm, id_col, text_col, n)
+    sigs.select(
+        F.col(id_col), "sig", band_hashes_col("sig", bands, num_perm).alias("bhs")
+    ).write.mode("overwrite").parquet(path)
+
+
+def lsh_candidate_pairs_stored(spark, path: str, bands: int, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs straight from a :func:`write_minhash_store`
+    layout: scan → posexplode(bhs) → equi-join. No shingling, no minhash
+    aggregation, no band hashing at query time."""
+    stored = spark.read.parquet(path)
+    banded = stored.select(
+        F.col(id_col).alias("_id"), "bhs", F.posexplode("bhs").alias("band", "band_hash")
+    )
+    return _banded_candidate_join(banded, bands)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int, id_col: str = "doc_id", num_perm: int = 32
 ) -> DataFrame:
@@ -210,7 +279,6 @@ def lsh_candidate_pairs(
     (tie_cache_lifetime).
     """
     sigs = sigs.persist()
-    rows_per_band = num_perm // bands
     # Guard against a sigs frame built with a DIFFERENT num_perm: slicing
     # past the array end would silently band over null hashes, degrading
     # recall with no error. assert_true fails the job instead.
@@ -221,37 +289,11 @@ def lsh_candidate_pairs(
             F.size("sig").cast("string"),
         ),
     )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
-    )
     banded = sigs.select(
-        F.col(id_col), F.when(width_ok.isNull(), band_hashes).alias("bhs")
-    ).select(id_col, "bhs", F.posexplode("bhs").alias("band", "band_hash"))
-    a = banded.select(F.col(id_col).alias("doc_a"), F.col("bhs").alias("bhs_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("doc_b"), F.col("bhs").alias("bhs_b"), "band", "band_hash")
-    # Canonical-band dedup (same shape as simhash_near_dups): a pair
-    # agreeing on k bands would surface k times; keep it only at its
-    # FIRST agreeing band — all earlier band hashes differ. The banded
-    # rows carry the compact per-band hash array (bands × 8 bytes), so
-    # the predicate is pure codegen'd comparisons and the post-join
-    # DISTINCT — a full extra shuffle of the candidate stream — is gone.
-    first_agreeing = F.lit(True)
-    for j in range(bands - 1):
-        first_agreeing = first_agreeing & (
-            (F.col("band") <= j)
-            | (F.element_at("bhs_a", j + 1) != F.element_at("bhs_b", j + 1))
-        )
-    result = (
-        a.join(b, ["band", "band_hash"])
-        .where((F.col("doc_a") < F.col("doc_b")) & first_agreeing)
-        .select("doc_a", "doc_b")
-    )
-    return tie_cache_lifetime(result, sigs)
+        F.col(id_col).alias("_id"),
+        F.when(width_ok.isNull(), band_hashes_col("sig", bands, num_perm)).alias("bhs"),
+    ).select("_id", "bhs", F.posexplode("bhs").alias("band", "band_hash"))
+    return tie_cache_lifetime(_banded_candidate_join(banded, bands), sigs)
 
 
 def minhash_near_dups(
