@@ -1,15 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with decode/feature-extraction as Arrow-batched ``mapInPandas`` stages.
 
-The Spark-side design is the real deliverable: binary columns travel as
-``BinaryType`` with a metadata struct alongside; decoding happens in
-``mapInPandas`` so each Arrow batch is processed vectorized in Python
-and oversized rows never materialize on the driver. Actual image/audio
-codecs are NOT available in this environment, so the codec call is
-isolated behind ``decode_image_real`` (raises NotImplementedError) and
-the deterministic ``fake_decode_meta`` below exercises the identical
-plumbing — schema contract, batch iteration, partitioning — with
-oracle-checkable output.
+The Spark-side design: binary columns travel as ``BinaryType`` with a
+metadata struct alongside; decoding happens in ``mapInPandas`` so each
+Arrow batch is processed vectorized in Python and oversized rows never
+materialize on the driver. ``decode_image_real`` dispatches on magic
+bytes: PPM (P6) and uncompressed 24-bit BMP are decoded FOR REAL by the
+pure-numpy codecs below (header grammar, raster layout, BMP's bottom-up
+BGR padded rows); compressed formats (JPEG/PNG/video) raise
+NotImplementedError because their codec libraries are not shipped here —
+PIL/libvips/ffmpeg slot in at that seam with zero Spark-side changes.
+``fake_decode_meta`` keeps a fully-arithmetic variant whose every output
+is oracle-checkable in ANSI SQL.
 
 At 100 TB: payloads should be read through ``spark.read.format
 ("binaryFile")`` or parquet binary columns with
@@ -19,8 +21,10 @@ and partitioned so a single batch stays << executor memory.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -45,16 +49,165 @@ def attach_payload(df: DataFrame, text_col: str = "text", modality: str = "text"
 
 
 def decode_image_real(payload_bytes: bytes) -> dict:
-    """Real codec hook (PIL/libvips/ffmpeg live here in production).
+    """Real codec hook, dispatched on the payload's magic bytes.
 
-    The container ships no media libraries, so this is an explicit stub —
-    the mapInPandas plumbing around it is real and tested via
-    :func:`fake_decode_meta`.
+    PPM (P6) and BMP (uncompressed 24-bit) are decoded for real in pure
+    numpy below — no media libraries needed. Compressed formats
+    (JPEG/PNG/video) require codec libraries this container does not
+    ship, so those raise with the exact production drop-in documented
+    (PIL/libvips/ffmpeg slot in at this seam; the mapInPandas plumbing
+    around it is identical — see :func:`decode_image_stats`).
     """
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_decode_meta for plumbing tests"
+    if payload_bytes[:2] == b"P6":
+        w, h, maxval, px = decode_ppm(payload_bytes)
+    elif payload_bytes[:2] == b"BM":
+        w, h, maxval, px = decode_bmp(payload_bytes)
+    else:
+        raise NotImplementedError(
+            "compressed image/video codecs (JPEG/PNG/...) need PIL/libvips/"
+            "ffmpeg, which this environment does not ship; PPM and BMP "
+            "decode natively here"
+        )
+    return {"width": w, "height": h, "maxval": maxval, "pixels": px}
+
+
+# --------------------------------------------------------------------------
+# Real codecs: PPM (P6) and BMP (BITMAPINFOHEADER, uncompressed 24-bit).
+# Pure numpy — genuinely parse the byte layout of two real image formats.
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6): ASCII header ``P6 <w> <h> <maxval>`` then raw RGB
+    rows, top to bottom. ``pixels`` is uint8 of shape (h, w, 3)."""
+    if pixels.shape != (height, width, 3):
+        raise ValueError(f"pixel block {pixels.shape} != ({height}, {width}, 3)")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse binary PPM: magic, whitespace-separated header tokens with
+    ``#`` comment support (the real grammar, not just our encoder's
+    output), then the raw RGB block. Returns (w, h, maxval, (h,w,3) u8)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = tokens
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, maxval, raster.reshape(h, w, 3)
+
+
+def encode_bmp(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): rows bottom-up, BGR
+    channel order, each row padded to a 4-byte boundary — the three
+    layout quirks that make BMP a real parsing exercise."""
+    row_bytes = (width * 3 + 3) & ~3
+    raster = np.zeros((height, row_bytes), dtype=np.uint8)
+    raster[:, : width * 3] = pixels[::-1, :, ::-1].reshape(height, width * 3)
+    data = raster.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse uncompressed 24-bit BMP back to (w, h, 255, (h,w,3) RGB u8),
+    undoing bottom-up row order, BGR, and row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    row_bytes = (width * 3 + 3) & ~3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=height * row_bytes, offset=data_offset)
+    rows = raster.reshape(height, row_bytes)[:, : width * 3]
+    return width, height, 255, rows.reshape(height, width, 3)[::-1, :, ::-1]
+
+
+#: Dimension formulas for the deterministic fixture images (arithmetic on
+#: doc_id so a SQL oracle can regenerate every pixel via generate_series).
+PPM_W_MOD, PPM_H_MOD = 13, 11
+
+
+def _fixture_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % PPM_W_MOD, 4 + doc_id % PPM_H_MOD
+
+
+def _fixture_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """Pixel at flat index i (row-major RGB) = (7*doc_id + 31*i) mod 256."""
+    i = np.arange(w * h * 3, dtype=np.int64)
+    return ((7 * doc_id + 31 * i) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def render_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture-image renderer: one real PPM binary per row, content a
+    deterministic function of the id (``_fixture_pixels``). mapInPandas
+    so the binary payloads are born executor-side in Arrow batches and
+    never touch the driver — the ingest shape of a real media pipeline
+    (which reads bytes via binaryFile/parquet instead of rendering)."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h = _fixture_dims(doc_id)
+                imgs.append(encode_ppm(w, h, _fixture_pixels(doc_id, w, h)))
+            yield pd.DataFrame({id_col: pdf[id_col], "img": imgs})
+
+    return df.select(id_col).mapInPandas(render, f"{id_col} long, img binary")
+
+
+def decode_image_stats(df: DataFrame, id_col: str = "doc_id", img_col: str = "img") -> DataFrame:
+    """REAL decode stage: parse each binary payload with
+    :func:`decode_image_real` (PPM/BMP numpy codecs) and emit per-image
+    stats — dimensions plus whole-image and per-channel pixel sums. The
+    stats are pure functions of the decoded raster, so any header
+    mis-parse, row-padding slip, or channel-order bug shows up as a
+    value mismatch against the arithmetic oracle."""
+    schema = (
+        f"{id_col} long, width long, height long, maxval long, "
+        "pixel_sum long, r_sum long, g_sum long, b_sum long"
     )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[img_col]):
+                d = decode_image_real(bytes(payload))
+                px = d["pixels"].astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        d["width"],
+                        d["height"],
+                        d["maxval"],
+                        int(px.sum()),
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum"],
+            )
+
+    return df.select(id_col, img_col).mapInPandas(decode, schema)
 
 
 #: Resize target box (the usual vision-model input side).

@@ -150,3 +150,41 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload_md5", "modality", "byte_len", "width", "height", "n_frames",
         "resized_w", "resized_h", "sampled_frames",
     )
+
+
+@query(
+    "mm_real_decode",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % {MM.PPM_W_MOD} AS BIGINT) AS width,
+               CAST(4 + doc_id % {MM.PPM_H_MOD} AS BIGINT) AS height
+        FROM documents
+    ), px AS (
+        SELECT doc_id, width, height,
+               unnest(generate_series(0, width*height*3 - 1)) AS i
+        FROM dims
+    )
+    SELECT doc_id, width, height, CAST(255 AS BIGINT) AS maxval,
+           CAST(SUM((7*doc_id + 31*i) % 256) AS BIGINT) AS pixel_sum,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS b_sum
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: per document, render an actual
+    binary PPM (P6) payload executor-side (pixel values a deterministic
+    arithmetic function of doc_id), then DECODE THE BYTES with the pure-
+    numpy PPM parser — header grammar, raster layout — and emit decoded
+    dimensions + whole-image and per-channel pixel sums. The oracle
+    regenerates every pixel arithmetically via generate_series, so any
+    codec bug (header mis-parse, offset slip, channel-order swap) is a
+    hash mismatch. Both stages are Arrow-batched mapInPandas: binary
+    payloads are born and consumed on executors, never on the driver —
+    the exact plumbing a JPEG/ffmpeg pipeline uses at 100 TB (see
+    operators/multimodal.py decode_image_real for the dispatch seam)."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = MM.render_ppm_payloads(docs)
+    return MM.decode_image_stats(imgs)
