@@ -48,11 +48,79 @@ def _accumulate(
 
 def user_activity_state(events: DataFrame) -> DataFrame:
     """Per-user stateful accumulator over a stream: one output row per
-    user per trigger carrying the running (count, value-cents) state."""
+    user per trigger carrying the running (count, value-cents) state.
+
+    Unbounded state lifetime (NoTimeout) — correct for bounded drains and
+    small key spaces; production streams with open-ended key spaces use
+    :func:`user_activity_state_with_timeout` so idle keys are evicted."""
     return events.groupBy("user_id").applyInPandasWithState(
         _accumulate,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: Timeout-variant output: the running state plus whether this row is an
+#: eviction tombstone (the key's final state at idle-timeout).
+TIMEOUT_OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value_cents BIGINT, evicted BOOLEAN"
+
+
+def _accumulate_with_timeout(timeout_ms: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-timeout fired with no new data: emit the tombstone
+            # carrying the final state, then drop the state entry — the
+            # bounded-state guarantee. If the key returns later it starts
+            # a FRESH accumulator (re-registration).
+            count, value_cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "total_value_cents": [value_cents],
+                    "evicted": [True],
+                }
+            )
+            return
+        count, value_cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            value_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((count, value_cents))
+        # the deadline must be re-armed on EVERY invocation that touches
+        # the key — ProcessingTimeTimeout deadlines are absolute, not
+        # sliding, and are cleared by update()
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value_cents": [value_cents],
+                "evicted": [False],
+            }
+        )
+
+    return fn
+
+
+def user_activity_state_with_timeout(events: DataFrame, timeout_ms: int = 500) -> DataFrame:
+    """Bounded-state variant of :func:`user_activity_state`: keys idle
+    for ``timeout_ms`` of processing time are evicted (state removed,
+    tombstone row emitted with ``evicted=true``), and a key arriving
+    after its eviction re-registers from scratch. At 100 TB this is the
+    difference between a state store proportional to ACTIVE keys and one
+    proportional to ALL keys ever seen."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate_with_timeout(timeout_ms),
+        outputStructType=TIMEOUT_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

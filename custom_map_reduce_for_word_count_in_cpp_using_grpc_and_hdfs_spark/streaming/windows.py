@@ -72,12 +72,12 @@ def events_source(spark: SparkSession, conf: dict | None = None) -> DataFrame:
     table from a source-kind config, so a Kafka/rate source slots in
     without touching any query code.
 
-    ``conf`` keys: ``kind`` ("file" — default; "kafka" and "rate" are the
-    documented production shapes) plus kind-specific options. The file
-    kind needs ``sf_dir``. A Kafka source would be
-    ``spark.readStream.format("kafka").option("subscribe", topic)...``
-    followed by ``from_json(value)`` into the same events schema — only
-    this function changes.
+    ``conf`` keys: ``kind`` ("file" — default; "rate"; "kafka") plus
+    kind-specific options: the file kind needs ``sf_dir``, kafka needs
+    ``bootstrap_servers`` (plus optional ``topic``/``starting_offsets``)
+    and decodes JSON record values via :func:`decode_kafka_events` into
+    the same events schema — downstream query code never changes across
+    kinds.
     """
     conf = conf or {}
     kind = conf.get("kind", "file")
@@ -110,11 +110,50 @@ def events_source(spark: SparkSession, conf: dict | None = None) -> DataFrame:
             (F.pmod(F.col("value"), F.lit(100)) / F.lit(10.0)).alias("value"),
             F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
         )
-    raise NotImplementedError(
-        f"events_source kind={kind!r}: this sandbox ships file and rate "
-        "sources; a kafka source plugs in here without query-code changes "
-        '(readStream.format("kafka").option("subscribe", ...) + from_json '
-        "into the same events schema)"
+    if kind == "kafka":
+        # Wire format: one JSON event per Kafka record value. The reader
+        # below is the standard kafka source; decode_kafka_events maps the
+        # kafka wire schema to the events schema and is shared verbatim by
+        # the broker-less unit test (tests/test_streaming.py), so the only
+        # untestable-in-sandbox piece is the broker connection itself.
+        # Needs the spark-sql-kafka connector jar on the classpath
+        # (--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>).
+        if "bootstrap_servers" not in conf:
+            raise ValueError(
+                "kafka source needs conf['bootstrap_servers'] (and optionally "
+                "'topic', 'starting_offsets')"
+            )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")  # ts parse determinism
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", conf["bootstrap_servers"])
+            .option("subscribe", conf.get("topic", "events"))
+            .option("startingOffsets", conf.get("starting_offsets", "earliest"))
+            .load()
+        )
+        return decode_kafka_events(raw)
+    raise ValueError(f"events_source kind={kind!r}: expected file | rate | kafka")
+
+
+#: JSON value schema on the kafka events topic (matches the events table).
+KAFKA_EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka wire rows → events schema: cast the binary value to string,
+    ``from_json`` it with :data:`KAFKA_EVENTS_SCHEMA`, drop the envelope.
+    Malformed values become all-NULL structs rather than failing the
+    stream (from_json's PERMISSIVE default — poison-pill records must not
+    kill a production topic; filter ``event_id IS NULL`` downstream to
+    quarantine them). Works identically on a batch DataFrame with the
+    same (value binary) column, which is how the sandbox tests it without
+    a broker."""
+    return (
+        raw.select(F.from_json(F.col("value").cast("string"), KAFKA_EVENTS_SCHEMA).alias("e"))
+        .select("e.*")
     )
 
 

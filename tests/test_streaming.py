@@ -13,6 +13,8 @@ import os
 import time
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "late-data")
@@ -175,3 +177,189 @@ def test_checkpoint_recovery_exactly_once(spark):
 
     drain()  # nothing new: restart must be a no-op, not a re-emit
     assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+# --------------------------------------------------------------------------
+# Kafka source kind: the JSON value decoder is the only kafka-specific
+# logic; it is exercised broker-less on (a) a batch frame with the kafka
+# wire schema and (b) a real streaming query over wire-shaped files.
+# --------------------------------------------------------------------------
+
+#: Kafka wire schema as the kafka source emits it (envelope + binary value).
+_WIRE = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def _wire_rows(spark, events_df):
+    """Wrap events rows as kafka records: value = JSON encoding of the row."""
+    return events_df.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode(
+            F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value", "props")),
+            "UTF-8",
+        ).alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def test_kafka_decoder_roundtrip(spark):
+    """decode_kafka_events(wire(e)) == e, field for field — the schema
+    mapper is the entire kafka-specific surface, so this plus the
+    streaming test below is the broker-less proof of the kafka kind."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import (
+        KAFKA_EVENTS_SCHEMA,
+        decode_kafka_events,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts(10, 0), 7, "click", 1.5, '{"seq": 1}'),
+            (2, _ts(10, 5), 8, "view", 0.0, None),
+            (3, _ts(23, 59), 7, "purchase", -2.25, '{"a": [1, 2]}'),
+        ],
+        KAFKA_EVENTS_SCHEMA,
+    )
+    decoded = decode_kafka_events(_wire_rows(spark, events))
+    assert decoded.schema == events.schema
+    assert sorted(map(tuple, decoded.collect())) == sorted(map(tuple, events.collect()))
+
+
+def test_kafka_decoder_poison_pill(spark):
+    """A malformed record value must become an all-NULL row (quarantine
+    downstream), never a stream-killing exception."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import decode_kafka_events
+
+    wire = spark.createDataFrame(
+        [(None, b"{not json", "events", 0, 0, _ts(1, 0), 0)], _WIRE
+    )
+    rows = decode_kafka_events(wire).collect()
+    assert len(rows) == 1 and rows[0]["event_id"] is None
+
+
+def test_kafka_mapper_in_streaming_query(spark):
+    """The kafka decode path inside an actual streaming query: stream
+    wire-shaped records (binary JSON values) from files, decode, run the
+    same tumbling-window agg every other source kind runs, and match the
+    batch answer — proving query code is source-kind agnostic."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import (
+        KAFKA_EVENTS_SCHEMA,
+        decode_kafka_events,
+        tumbling_counts,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (i, _ts(9 + i % 3, (i * 7) % 60), i % 5, ["click", "view"][i % 2], i / 4.0, None)
+            for i in range(40)
+        ],
+        KAFKA_EVENTS_SCHEMA,
+    )
+    root = os.path.join(SCRATCH, f"kafka_wire_{uuid.uuid4().hex[:8]}")
+    _wire_rows(spark, events).write.mode("overwrite").parquet(root)
+
+    wire_stream = spark.readStream.schema(_WIRE).parquet(root)
+    got = _drain(tumbling_counts(decode_kafka_events(wire_stream)), "complete")
+    want = tumbling_counts(events)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_processing_time_timeout_evicts_and_rearms(spark):
+    """Bounded-state guarantee of user_activity_state_with_timeout, over
+    real micro-batches: (1) an idle key's state is evicted and a
+    tombstone emitted; (2) the key's later return starts a FRESH
+    accumulator (no resurrected counts); (3) a key that keeps arriving
+    accumulates across batches as before."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.stateful import (
+        user_activity_state_with_timeout,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    root = os.path.join(SCRATCH, f"timeout_src_{uuid.uuid4().hex[:8]}")
+    os.makedirs(root, exist_ok=True)
+
+    def add_file(i, rows):
+        df = spark.createDataFrame(rows, schema)
+        tmp = os.path.join(root, f"tmp_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part), os.path.join(root, f"batch_{i}.parquet"))
+
+    add_file(0, [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 0), 2, 2.0)])
+
+    stream = spark.readStream.schema(schema).parquet(root)
+    name = f"timeout_{uuid.uuid4().hex[:10]}"
+    # 10s idle timeout >> worst-case feed latency (file-write job +
+    # source discovery + stateful-batch time measured at ~5s here): key 2
+    # is fed again inside the horizon (stays live, accumulates), key 1
+    # goes idle and must expire
+    q = (
+        user_activity_state_with_timeout(stream, timeout_ms=10000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def wait_for(pred, desc, timeout_s=90):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            rows = [tuple(r) for r in spark.table(name).collect()]
+            if pred(rows):
+                return rows
+            if q.exception() is not None:
+                raise q.exception()
+            time.sleep(0.5)
+        raise TimeoutError(f"{desc}; sink so far: {sorted(rows)}")
+
+    try:
+        wait_for(lambda rs: (1, 1, 100, False) in rs and (2, 1, 200, False) in rs, "batch-1 rows")
+        add_file(1, [(3, _ts(10, 5), 2, 3.0)])  # only user 2, well inside its horizon
+        wait_for(
+            lambda rs: (2, 2, 500, False) in rs,
+            "user-2 accumulation across batches (not evicted while active)",
+        )
+        # user 1 has been idle since batch 1 → its 5s deadline expires and
+        # the state store drops it, emitting the tombstone
+        wait_for(lambda rs: (1, 1, 100, True) in rs, "user-1 eviction tombstone")
+        add_file(2, [(4, _ts(10, 10), 1, 4.0)])  # user 1 returns after eviction
+        rows = wait_for(lambda rs: (1, 1, 400, False) in rs, "user-1 re-registration")
+        # fresh re-registration: count restarted at 1 with only the new
+        # value — a resurrected accumulator would show (1, 2, 500, False)
+        assert (1, 2, 500, False) not in rows
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+
+@pytest.mark.kafka
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"),
+    reason="SPARK_GRAFT_KAFKA_BOOTSTRAP not set (no broker in sandbox)",
+)
+def test_kafka_live_source_smoke(spark):
+    """Live-broker smoke: the kafka kind of events_source drains a real
+    topic through the same tumbling-window query every other kind runs
+    (README 'Integration smokes' recipe). Requires the spark-sql-kafka
+    connector jar and an `events` topic carrying JSON event rows."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import (
+        events_source,
+        tumbling_counts,
+    )
+
+    stream = events_source(
+        spark,
+        {
+            "kind": "kafka",
+            "bootstrap_servers": os.environ["SPARK_GRAFT_KAFKA_BOOTSTRAP"],
+            "topic": os.environ.get("SPARK_GRAFT_KAFKA_TOPIC", "events"),
+        },
+    )
+    out = _drain(tumbling_counts(stream), "complete")
+    assert out.count() >= 0  # schema + plumbing; content depends on the live topic
