@@ -39,7 +39,45 @@ HEADLINE = [
     # round-3 additions (not in the r1/r2 comparable set):
     "pipeline_corpus_curation",  # end-to-end quality->dedup->cluster->sample pipeline
     "rel_sketch_suite",  # count-min + bloom + HLL + percentile invariants
+    # round-4 additions: Zipf-head skew stress — the same skewed token
+    # stream (one token amplified to ~5% of all mass) counted plain vs
+    # via the salted two-phase aggregate, so the skew ladder's crossover
+    # is MEASURED, not advised (SCALE.md §skew)
+    "wc_zipf_plain",
+    "wc_zipf_salted",
 ]
+
+
+def _zipf_words(spark, sf_dir):
+    """Skewed token stream derived from the documents table: every ~20th
+    token occurrence (per-occurrence hash, not per-vocab-word) rewritten
+    to one hot token, putting ~5% of total mass on a single group-by key
+    on top of the corpus's own Zipf head."""
+    from pyspark.sql import functions as F
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.wordcount import tokenize
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    words = tokenize(load_table(spark, sf_dir, "documents"))
+    return words.withColumn(
+        "word",
+        F.when(
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(20)) == 0,
+            F.lit("__zipf_hot__"),
+        ).otherwise(F.col("word")),
+    )
+
+
+def _bench_zipf_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _zipf_words(spark, sf_dir).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _bench_zipf_salted(spark, sf_dir):
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_word_count
+
+    return salted_word_count(_zipf_words(spark, sf_dir))
 
 
 def _bench_minhash_lsh(spark, sf_dir):
@@ -55,8 +93,13 @@ def _bench_minhash_lsh(spark, sf_dir):
 
 
 #: name → callable overriding the registry entry for TIMING only (the
-#: correctness gate still runs the registered query).
-BENCH_IMPL = {"dedup_minhash_lsh": _bench_minhash_lsh}
+#: correctness gate still runs the registered query), or providing a
+#: bench-only workload (the Zipf skew stress pair).
+BENCH_IMPL = {
+    "dedup_minhash_lsh": _bench_minhash_lsh,
+    "wc_zipf_plain": _bench_zipf_plain,
+    "wc_zipf_salted": _bench_zipf_salted,
+}
 
 
 def main() -> None:
@@ -73,7 +116,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     for name in HEADLINE:
-        fn = BENCH_IMPL.get(name, QUERIES[name])
+        fn = BENCH_IMPL[name] if name in BENCH_IMPL else QUERIES[name]
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()

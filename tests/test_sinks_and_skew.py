@@ -154,3 +154,18 @@ def test_parquet_schema_evolution_merge(spark):
 
     projected = spark.read.option("mergeSchema", "true").parquet(root).select("doc_id", "text")
     assert projected.count() == 2
+
+
+def test_zipf_bench_workload_salted_equals_plain(spark):
+    """The bench's Zipf stress pair must be the SAME workload two ways:
+    identical per-word counts from the plain and salted aggregations."""
+    import bench
+
+    from .conftest import SF_SMOKE
+
+    plain = {r["word"]: r["cnt"] for r in bench._bench_zipf_plain(spark, SF_SMOKE).collect()}
+    salted = {r["word"]: r["cnt"] for r in bench._bench_zipf_salted(spark, SF_SMOKE).collect()}
+    assert plain == salted
+    total = sum(plain.values())
+    hot = plain["__zipf_hot__"]
+    assert 0.03 <= hot / total <= 0.07, f"hot mass {hot}/{total} out of the ~5% design band"
