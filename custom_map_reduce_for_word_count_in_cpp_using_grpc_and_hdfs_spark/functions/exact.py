@@ -37,5 +37,64 @@ def davg(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
 
 
 def dsum_expr(sql_expr: str, scale: int = 4) -> str:
-    """The oracle-side (ANSI/DuckDB) rendering of :func:`dsum`."""
-    return f"CAST(SUM(CAST({sql_expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
+    """The oracle-side (ANSI/DuckDB) rendering of :func:`dsum`.
+
+    The final decimal→double conversion goes THROUGH VARCHAR: DuckDB's
+    direct ``CAST(decimal AS DOUBLE)`` converts the int128 unscaled value
+    and divides by 10^scale — two roundings, which for sums whose
+    unscaled value exceeds 2^53 can land 1 ulp away from the correctly
+    rounded double (observed at sf1: Q1 sum_charge off by 6e-6). The
+    string route uses strtod (correctly rounded), which is also what
+    Spark's Decimal→double produces (BigDecimal.doubleValue) — so both
+    engines emit the bit-identical double at ANY scale factor.
+
+    VARCHAR(64), not bare VARCHAR: rel_sql_frontend runs this exact text
+    on BOTH engines, and Spark's parser requires the length parameter
+    (DuckDB accepts and ignores it)."""
+    return f"CAST(CAST(SUM(CAST({sql_expr} AS DECIMAL(27,{scale}))) AS VARCHAR(64)) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Exact PRODUCTS. Casting a double *product* to decimal rounds a value
+# whose last bits differ from the mathematically exact product — and Spark
+# and DuckDB can legally round such near-tie doubles to different scale-6
+# decimals (observed at sf1: a handful of lineitem rows put rel_q1's
+# sum_charge off by 6e-6). The fix is to never multiply in double: cast
+# each FACTOR to a value-exact small decimal (money has 2 digits, rates
+# have 2 digits, quantities are integers — all exact), multiply in
+# decimal, sum in decimal. Factor precisions are chosen so every product
+# stays well under precision 38 ⇒ no engine rounds anywhere.
+# --------------------------------------------------------------------------
+
+#: Value-exact factor types for the star schema's domains.
+MONEY = "decimal(12,2)"  # l_extendedprice, p_retailprice, *_acctbal, o_totalprice
+RATE = "decimal(3,2)"  # l_discount / l_tax and 1±them (all 2-digit, < 10)
+QTY = "decimal(12,2)"  # l_quantity (integer-valued double)
+
+
+def dmul(*factors: Column) -> Column:
+    """Exact decimal product of pre-cast factors (pyspark side)."""
+    out = factors[0]
+    for f in factors[1:]:
+        out = out * f
+    return out
+
+
+def rev_col(ep: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """``ep * (1 - disc)`` as an exact decimal(16,4)."""
+    return F.col(ep).cast(MONEY) * (F.lit(1) - F.col(disc)).cast(RATE)
+
+
+def rev_sql(ep: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    """Oracle rendering of :func:`rev_col` — identical factor casts, so
+    both engines compute the same exact decimal."""
+    return f"(CAST({ep} AS DECIMAL(12,2)) * CAST(1 - {disc} AS DECIMAL(3,2)))"
+
+
+def charge_col() -> Column:
+    """Q1's charge ``rev * (1 + l_tax)`` as an exact decimal(20,6)."""
+    return rev_col() * (F.lit(1) + F.col("l_tax")).cast(RATE)
+
+
+def charge_sql() -> str:
+    return f"({rev_sql()} * CAST(1 + l_tax AS DECIMAL(3,2)))"

@@ -798,7 +798,7 @@ def rel_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONTEND_SQL = """
     SELECT n_name, count(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS total_balance,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS VARCHAR(64)) AS DOUBLE) AS total_balance,
            (SELECT max(c_acctbal) FROM customer) AS best_balance
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name

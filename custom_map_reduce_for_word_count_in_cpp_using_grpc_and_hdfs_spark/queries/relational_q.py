@@ -18,7 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.exact import davg, dsum, dsum_expr
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.exact import (
+    charge_col,
+    charge_sql,
+    davg,
+    dsum,
+    dsum_expr,
+    rev_col,
+    rev_sql,
+)
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.relational import top_n
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import query
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
@@ -39,8 +47,8 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     SELECT l_returnflag, l_linestatus,
            {dsum_expr('l_quantity')} AS sum_qty,
            {dsum_expr('l_extendedprice')} AS sum_base_price,
-           {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
-           {dsum_expr('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 6)} AS sum_charge,
+           {dsum_expr(rev_sql(), 6)} AS sum_disc_price,
+           {dsum_expr(charge_sql(), 6)} AS sum_charge,
            {dsum_expr('l_quantity')} / count(l_quantity) AS avg_qty,
            {dsum_expr('l_extendedprice')} / count(l_extendedprice) AS avg_price,
            {dsum_expr('l_discount')} / count(l_discount) AS avg_disc,
@@ -54,7 +62,7 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy grouped aggregate — the canonical
     partial/final hash-agg plan; the filter pushes to the parquet scan."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = rev_col()  # exact decimal product (see functions/exact.py)
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -62,7 +70,7 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity", alias="sum_qty"),
             dsum("l_extendedprice", alias="sum_base_price"),
             dsum(disc_price, 6, alias="sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax")), 6, alias="sum_charge"),
+            dsum(charge_col(), 6, alias="sum_charge"),
             davg("l_quantity", alias="avg_qty"),
             davg("l_extendedprice", alias="avg_price"),
             davg("l_discount", alias="avg_disc"),
@@ -75,7 +83,7 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q3_shipping_priority",
     oracle=f"""
     SELECT l.l_orderkey,
-           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           {dsum_expr(rev_sql('l.l_extendedprice', 'l.l_discount'), 6)} AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -106,7 +114,7 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = rev_col()  # exact decimal product
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue, 6, alias="revenue"))
@@ -120,7 +128,7 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q5_region_revenue",
     oracle=f"""
     SELECT n.n_name,
-           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+           {dsum_expr(rev_sql('l.l_extendedprice', 'l.l_discount'), 6)} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -149,7 +157,7 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = rev_col()  # exact decimal product
     return joined.groupBy("n_name").agg(dsum(revenue, 6, alias="revenue"))
 
 
@@ -615,11 +623,11 @@ def rel_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT event_type,
                count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(value * value AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(value * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS DOUBLE) AS sxy
+               CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(value * value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(CAST(user_id % 100 AS DOUBLE) * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(value * CAST(user_id % 100 AS DOUBLE) AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM events GROUP BY event_type
     )
     """,
@@ -819,7 +827,7 @@ _SUBQUERY_SUITE_ORACLE = """
   UNION ALL
     SELECT 'above_avg', o_orderkey, o_custkey, o_totalprice FROM (
         SELECT o_orderkey, o_custkey, o_totalprice,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
                  / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         FROM orders
     ) WHERE o_totalprice > cust_avg

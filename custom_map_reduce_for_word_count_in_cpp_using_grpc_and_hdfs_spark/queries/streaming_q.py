@@ -22,7 +22,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming
 _WINDOW_SUITE_ORACLE = """
     SELECT 'tumbling' AS kind, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
            count(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 2, 3
   UNION ALL

@@ -1,0 +1,120 @@
+"""Scale-proof runner: execute EVERY registered query at an arbitrary
+sf_dir, (a) timing the engine (noop sink — no driver collection), and
+(b) comparing against the DuckDB oracle under a wall-clock budget, so
+the 50-query correctness gate and the scaling measurement both run at
+10x data (VERDICT r3 item 1).
+
+Oracle budget: some oracles are intentionally naive (all-pairs SimHash,
+brute-force ANN) — correct at the driver's sf0.01 gate, quadratic at
+sf1. A DuckDB interrupt after --oracle-budget seconds downgrades those
+to a rows-only record (status=oracle_timeout) instead of hanging the
+run; the Spark side still executes and is timed.
+
+Usage:
+  python tools/scale_run.py --sf-dir .scratch/sf1 --out SCALE_SF1.json
+  python tools/scale_run.py --sf-dir /root/testdata/sf0.1 --out SCALE_SF01.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+
+def run_one(spark, con, name, fn, oracle, sf_dir, budget):
+    from tests.oracle_harness import compare_rows
+
+    rec = {"status": None, "spark_sec": None, "oracle_sec": None, "rows": None, "err": None}
+    t0 = time.perf_counter()
+    try:
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        rec["spark_sec"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        rec["status"], rec["err"] = "spark_error", f"{type(exc).__name__}: {exc}"[:500]
+        return rec
+    if oracle is None:
+        rec["status"] = "rows_only_by_design"
+        rec["rows"] = fn(spark, sf_dir).count()
+        return rec
+    t1 = time.perf_counter()
+    timer = threading.Timer(budget, con.interrupt)
+    timer.start()
+    try:
+        cur = con.execute(oracle)
+        sdf = fn(spark, sf_dir)
+        compare_rows(sdf, cur, name)
+        rec["status"] = "hash_exact"
+        rec["rows"] = fn(spark, sf_dir).count()
+    except duckdb.InterruptException:
+        rec["status"] = "oracle_timeout"
+        rec["rows"] = fn(spark, sf_dir).count()
+    except AssertionError as exc:
+        rec["status"], rec["err"] = "MISMATCH", str(exc)[:800]
+    except Exception as exc:  # noqa: BLE001
+        rec["status"], rec["err"] = "error", f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        timer.cancel()
+    rec["oracle_sec"] = round(time.perf_counter() - t1, 3)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--oracle-budget", type=float, default=180.0)
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    a = ap.parse_args()
+    sf_dir = os.path.abspath(a.sf_dir)
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark import get_session
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import ORACLE_SQL, QUERIES
+    from tests.oracle_harness import duckdb_conn
+
+    spark = get_session("scale-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+    con = duckdb_conn(sf_dir)
+
+    names = a.only.split(",") if a.only else list(QUERIES)
+    results = {}
+    for name in names:
+        rec = run_one(spark, con, name, QUERIES[name], ORACLE_SQL.get(name), sf_dir, a.oracle_budget)
+        results[name] = rec
+        print(
+            f"{name:34s} {rec['status']:22s} spark={rec['spark_sec']}s "
+            f"oracle={rec['oracle_sec']}s rows={rec['rows']} {rec['err'] or ''}",
+            flush=True,
+        )
+    ok = sum(1 for r in results.values() if r["status"] in ("hash_exact", "rows_only_by_design"))
+    summary = {
+        "sf_dir": sf_dir,
+        "oracle_budget_sec": a.oracle_budget,
+        "n_queries": len(results),
+        "n_hash_exact": sum(1 for r in results.values() if r["status"] == "hash_exact"),
+        "n_oracle_timeout": sum(1 for r in results.values() if r["status"] == "oracle_timeout"),
+        "n_fail": sum(
+            1 for r in results.values() if r["status"] in ("MISMATCH", "error", "spark_error")
+        ),
+        "spark_total_sec": round(sum(r["spark_sec"] or 0 for r in results.values()), 3),
+        "queries": results,
+    }
+    with open(a.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\n{ok + summary['n_oracle_timeout']}/{len(results)} ran; "
+          f"{summary['n_hash_exact']} hash-exact, {summary['n_oracle_timeout']} oracle-timeout, "
+          f"{summary['n_fail']} FAILED; spark total {summary['spark_total_sec']}s -> {a.out}")
+
+
+if __name__ == "__main__":
+    main()
