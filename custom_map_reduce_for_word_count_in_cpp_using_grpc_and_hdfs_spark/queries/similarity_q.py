@@ -121,41 +121,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                64 + octet_length(encode(text))::BIGINT % 149 AS height,
                1 + octet_length(encode(text))::BIGINT % 7 AS n_frames
         FROM documents
-    )
-    SELECT doc_id, payload_md5, modality, byte_len, width, height, n_frames,
-           (width * {MM.RESIZE_BOX}) // greatest(width, height) AS resized_w,
-           (height * {MM.RESIZE_BOX}) // greatest(width, height) AS resized_h,
-           array_to_string(generate_series(0, n_frames - 1, {MM.FRAME_STRIDE}), ',') AS sampled_frames
-    FROM decoded
-    """,
-)
-def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal surface end to end: rows carry (payload: binary,
-    meta: struct) — payload proven byte-exact via md5 over the bytes on
-    both engines, metadata projected from the struct — then the
-    deterministic stand-in codec decodes, resizes (aspect-preserving
-    integer fit into a 224-box) and frame-samples each Arrow batch via
-    mapInPandas (real codecs are stubbed; the batch plumbing, schema
-    contract and partitioning are what's under test; see
-    operators/multimodal.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    with_payload = MM.attach_payload(docs)
-    meta = with_payload.select(
-        "doc_id",
-        F.md5("payload").alias("payload_md5"),
-        F.col("meta.modality").alias("modality"),
-    )
-    decoded = MM.fake_decode_meta(with_payload)
-    return meta.join(decoded, "doc_id").select(
-        "doc_id", "payload_md5", "modality", "byte_len", "width", "height", "n_frames",
-        "resized_w", "resized_h", "sampled_frames",
-    )
-
-
-@query(
-    "mm_real_decode",
-    oracle=f"""
-    WITH dims AS (
+    ),
+    dims AS (
         SELECT doc_id,
                CAST(4 + doc_id % {MM.PPM_W_MOD} AS BIGINT) AS width,
                CAST(4 + doc_id % {MM.PPM_H_MOD} AS BIGINT) AS height
@@ -165,26 +132,72 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(generate_series(0, width*height*3 - 1)) AS i
         FROM dims
     )
-    SELECT doc_id, width, height, CAST(255 AS BIGINT) AS maxval,
-           CAST(SUM((7*doc_id + 31*i) % 256) AS BIGINT) AS pixel_sum,
-           CAST(SUM(CASE WHEN i % 3 = 0 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS r_sum,
-           CAST(SUM(CASE WHEN i % 3 = 1 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS g_sum,
-           CAST(SUM(CASE WHEN i % 3 = 2 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS b_sum
-    FROM px GROUP BY 1, 2, 3
+    SELECT 'meta_decode' AS op, doc_id, payload_md5, modality, byte_len, width, height,
+           n_frames,
+           (width * {MM.RESIZE_BOX}) // greatest(width, height) AS resized_w,
+           (height * {MM.RESIZE_BOX}) // greatest(width, height) AS resized_h,
+           array_to_string(generate_series(0, n_frames - 1, {MM.FRAME_STRIDE}), ',') AS sampled_frames,
+           CAST(NULL AS BIGINT) AS maxval, CAST(NULL AS BIGINT) AS pixel_sum,
+           CAST(NULL AS BIGINT) AS r_sum, CAST(NULL AS BIGINT) AS g_sum,
+           CAST(NULL AS BIGINT) AS b_sum
+    FROM decoded
+  UNION ALL
+    SELECT 'real_decode', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), width, height, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(255 AS BIGINT),
+           CAST(SUM((7*doc_id + 31*i) % 256) AS BIGINT),
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT)
+    FROM px GROUP BY doc_id, width, height
     """,
 )
-def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end to end: per document, render an actual
-    binary PPM (P6) payload executor-side (pixel values a deterministic
-    arithmetic function of doc_id), then DECODE THE BYTES with the pure-
-    numpy PPM parser — header grammar, raster layout — and emit decoded
-    dimensions + whole-image and per-channel pixel sums. The oracle
-    regenerates every pixel arithmetically via generate_series, so any
-    codec bug (header mis-parse, offset slip, channel-order swap) is a
-    hash mismatch. Both stages are Arrow-batched mapInPandas: binary
-    payloads are born and consumed on executors, never on the driver —
-    the exact plumbing a JPEG/ffmpeg pipeline uses at 100 TB (see
-    operators/multimodal.py decode_image_real for the dispatch seam)."""
+def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal surface end to end, one tagged union (round-4
+    registry consolidation of the former mm_suite + mm_real_decode):
+
+    - op='meta_decode': rows carry (payload: binary, meta: struct) —
+      payload proven byte-exact via md5 over the bytes on both engines,
+      metadata projected from the struct — then the deterministic
+      stand-in codec decodes, resizes (aspect-preserving integer fit
+      into a 224-box) and frame-samples each Arrow batch via mapInPandas
+      (see operators/multimodal.py).
+    - op='real_decode': REAL image decode end to end — per document,
+      render an actual binary PPM (P6) payload executor-side (pixel
+      values a deterministic arithmetic function of doc_id), then DECODE
+      THE BYTES with the pure-numpy PPM parser — header grammar, raster
+      layout — and emit decoded dimensions + whole-image and per-channel
+      pixel sums. The oracle regenerates every pixel arithmetically via
+      generate_series, so any codec bug (header mis-parse, offset slip,
+      channel-order swap) is a hash mismatch. Both stages are
+      Arrow-batched mapInPandas: binary payloads are born and consumed
+      on executors, never on the driver — the exact plumbing a
+      JPEG/ffmpeg pipeline uses at 100 TB (see
+      operators/multimodal.py decode_image_real for the dispatch seam).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    imgs = MM.render_ppm_payloads(docs)
-    return MM.decode_image_stats(imgs)
+    with_payload = MM.attach_payload(docs)
+    meta = with_payload.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.modality").alias("modality"),
+    )
+    decoded = MM.fake_decode_meta(with_payload)
+    nb = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    meta_rows = meta.join(decoded, "doc_id").select(
+        F.lit("meta_decode").alias("op"),
+        "doc_id", "payload_md5", "modality", "byte_len", "width", "height", "n_frames",
+        "resized_w", "resized_h", "sampled_frames",
+        nb.alias("maxval"), nb.alias("pixel_sum"),
+        nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
+    )
+    real_rows = MM.decode_image_stats(MM.render_ppm_payloads(docs)).select(
+        F.lit("real_decode").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), nb.alias("byte_len"),
+        "width", "height", nb.alias("n_frames"),
+        nb.alias("resized_w"), nb.alias("resized_h"), ns.alias("sampled_frames"),
+        "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum",
+    )
+    return meta_rows.unionAll(real_rows)

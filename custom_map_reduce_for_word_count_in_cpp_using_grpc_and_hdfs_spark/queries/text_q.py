@@ -66,56 +66,61 @@ _OSQL["text_doc_profile"] = _OSQL["text_doc_profile"].replace(
 
 
 @query(
-    "text_bpe_vocab",
+    "text_vocab_suite",
     oracle=f"""
-    SELECT tok, count(*) AS cnt FROM (
-        SELECT unnest(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS tok FROM documents
+    SELECT 'bpe' AS kind, term, cnt FROM (
+        SELECT tok AS term, count(*) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS tok FROM documents
+        )
+        GROUP BY tok
+        ORDER BY cnt DESC, tok ASC
+        LIMIT 50
     )
-    GROUP BY tok
-    ORDER BY cnt DESC, tok ASC
-    LIMIT 50
+  UNION ALL
+    SELECT 'bigram', term, cnt FROM (
+        SELECT bigram AS term, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len({T.tokens_sql('text')}) - 1, 0)),
+                i -> array_to_string(list_slice({T.tokens_sql('text')}, i, i + 1), ' ')
+            )) AS bigram
+            FROM documents
+        )
+        GROUP BY bigram
+        ORDER BY cnt DESC, bigram ASC
+        LIMIT 40
+    )
     """,
 )
-def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary under the BPE-ish pre-tokenizer (top 50)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.select(F.explode(F.regexp_extract_all("text", F.lit(T.BPE_PATTERN), 0)).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
-        .limit(50)
-    )
+def text_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary surfaces, one tagged union (round-4 registry
+    consolidation of the former text_bpe_vocab + text_bigrams):
 
+    - kind='bpe': top 50 under the BPE-ish pre-tokenizer.
+    - kind='bigram': top 40 word-bigram frequencies (n-gram surface,
+      n=2) — same shingle machinery as dedup, exposed as text analysis.
 
-@query(
-    "text_bigrams",
-    oracle=f"""
-    SELECT bigram, count(*) AS cnt FROM (
-        SELECT unnest(list_transform(
-            generate_series(1, greatest(len({T.tokens_sql('text')}) - 1, 0)),
-            i -> array_to_string(list_slice({T.tokens_sql('text')}, i, i + 1), ' ')
-        )) AS bigram
-        FROM documents
-    )
-    GROUP BY bigram
-    ORDER BY cnt DESC, bigram ASC
-    LIMIT 40
-    """,
-)
-def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word bigram frequencies (n-gram surface, n=2) — same shingle
-    machinery as dedup, exposed as a text-analysis query."""
+    Each branch keeps its own explode→groupBy→TakeOrderedAndProject
+    plan fragment over the spread scan."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import shingles_col
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.select(F.explode(shingles_col("text", 2)).alias("bigram"))
-        .groupBy("bigram")
+    bpe = (
+        docs.select(F.explode(F.regexp_extract_all("text", F.lit(T.BPE_PATTERN), 0)).alias("term"))
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
-        .limit(40)
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(50)
+        .select(F.lit("bpe").alias("kind"), "term", "cnt")
     )
+    bigrams = (
+        docs.select(F.explode(shingles_col("text", 2)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(40)
+        .select(F.lit("bigram").alias("kind"), "term", "cnt")
+    )
+    return bpe.unionAll(bigrams)
 
 
 @query(

@@ -47,8 +47,8 @@ def test_wc_top_k_over_hdfs(spark):
     dst = jvm.org.apache.hadoop.fs.Path(HDFS_URI + "/documents.parquet")
     fs.copyFromLocalFile(False, True, src, dst)
     try:
-        got = QUERIES["wc_top_k"](spark, HDFS_URI).collect()
-        want = QUERIES["wc_top_k"](spark, SF_SMOKE).collect()
+        got = QUERIES["wc_suite"](spark, HDFS_URI).collect()
+        want = QUERIES["wc_suite"](spark, SF_SMOKE).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     finally:
         fs.delete(dst, False)

@@ -22,7 +22,7 @@ def plan_of(spark, name: str, execute: bool = False) -> str:
 
 
 def test_wordcount_plan(spark):
-    plan = plan_of(spark, "wc_top_k")
+    plan = plan_of(spark, "wc_suite")
     assert "TakeOrderedAndProject" in plan  # top-K as bounded heaps, not global sort
     assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
     assert "ReadSchema: struct<text:string>" in plan  # column pruning to 1 col
@@ -68,7 +68,7 @@ def test_scan_shape_projection_filter_topn(spark):
 
 def test_no_python_udf_in_text_ops(spark):
     # text analysis must stay JVM-side (no BatchEvalPython / ArrowEvalPython)
-    for name in ["text_doc_profile", "text_bpe_vocab", "text_bigrams", "text_tfidf_top_terms"]:
+    for name in ["text_doc_profile", "text_vocab_suite", "text_tfidf_top_terms"]:
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, f"{name} fell off the codegen path"
 
