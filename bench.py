@@ -89,6 +89,17 @@ def _bench_wc_top_k(spark, sf_dir):
     return flagship(spark, sf_dir)
 
 
+def _bench_doc_profile(spark, sf_dir):
+    """Round 4 extended the registry text_doc_profile with PII-graft
+    columns and a gate flag; the bench keeps timing the profile operator
+    alone so the round 2-4 series stays comparable (the operator itself
+    did change shape in round 4: two-level token aggregation)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import doc_profile
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    return doc_profile(load_table(spark, sf_dir, "documents"))
+
+
 def _bench_minhash_lsh(spark, sf_dir):
     """The registry entry for dedup_minhash_lsh now ALSO computes the
     exact-Jaccard recall invariant for the correctness gate (round 3);
@@ -106,6 +117,7 @@ def _bench_minhash_lsh(spark, sf_dir):
 #: bench-only workload (the Zipf skew stress pair).
 BENCH_IMPL = {
     "wc_top_k": _bench_wc_top_k,
+    "text_doc_profile": _bench_doc_profile,
     "dedup_minhash_lsh": _bench_minhash_lsh,
     "wc_zipf_plain": _bench_zipf_plain,
     "wc_zipf_salted": _bench_zipf_salted,

@@ -151,17 +151,22 @@ def fingerprint_sql(text_expr: str) -> str:
 
 
 def doc_profile(df, id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"):
-    """The whole per-document feature profile in one scan + one shuffle.
+    """The whole per-document feature profile in one scan + two compact
+    shuffles.
 
-    Token-derived features (counts, distinct count, stopword hits,
-    language marker scores, SimHash bit votes) all come from ONE
-    explode → groupBy(doc_id) pass as flat aggregate expressions with
-    map-side partial aggregation — evaluating them per-row over the
-    token array would re-run the tokenizer lambda once per feature
+    Token-derived features (counts, distinct count, top-token count,
+    stopword hits, language marker scores, SimHash bit votes) come from
+    ONE explode pass, aggregated in two levels: partial-combined
+    groupBy(doc_id, tok) counts first — so the shuffle carries one row
+    per DISTINCT (doc, token) pair instead of one per occurrence — then
+    flat count-weighted aggregates per doc_id. Per-row evaluation over
+    the token array would re-run the tokenizer lambda once per feature
     (higher-order functions are exempt from Catalyst subexpression
-    elimination; measured ~2.5× slower at sf0.1). Character-level
-    scalars (lengths, punctuation, fingerprints) stay per-row and join
-    back on doc_id.
+    elimination; measured ~2.5× slower at sf0.1), and the two-level form
+    additionally yields the Gopher-style top-token fraction for free
+    (max(cnt)), which a single-level flat aggregate cannot express.
+    Character-level scalars (lengths, punctuation, fingerprints,
+    duplicate-n-gram fractions) stay per-row and join back on doc_id.
     """
     from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.hashing import (
@@ -173,20 +178,24 @@ def doc_profile(df, id_col: str = "doc_id", text_col: str = "text", lang_col: st
     df = spread(df)  # both branches are CPU-bound per-row work
     text = F.col(text_col)
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-    stop_arr = [F.lit(w) for w in STOPWORDS]
+    cnts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     h = poly_hash_token("tok")
+    cnt = F.col("cnt")
     aggs = [
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("tok").alias("n_distinct"),
-        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias("_n_stop"),
+        F.sum(cnt).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(cnt).alias("_top_cnt"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), cnt).otherwise(0)).alias("_n_stop"),
     ]
     for lang, markers in LANG_MARKERS.items():
-        aggs.append(F.sum(F.when(F.col("tok").isin(*markers), 1).otherwise(0)).alias(f"_s_{lang}"))
+        aggs.append(
+            F.sum(F.when(F.col("tok").isin(*markers), cnt).otherwise(0)).alias(f"_s_{lang}")
+        )
     aggs += [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{b}")
+        F.sum((F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1) * cnt).alias(f"_v{b}")
         for b in range(SIMHASH_BITS)
     ]
-    tok_feats = toks.groupBy(id_col).agg(*aggs)
+    tok_feats = cnts.groupBy(id_col).agg(*aggs)
 
     simhash = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
@@ -208,6 +217,8 @@ def doc_profile(df, id_col: str = "doc_id", text_col: str = "text", lang_col: st
         F.col(lang_col).alias("lang_label"),
         fingerprint(text).alias("fp"),
         fingerprint(normalized_text(text)).alias("fp_normalized"),
+        dup_ngram_frac(text, 2).alias("dup_bigram_frac"),
+        dup_ngram_frac(text, 3).alias("dup_trigram_frac"),
     )
     n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
     return scalars.join(tok_feats, id_col).select(
@@ -220,6 +231,9 @@ def doc_profile(df, id_col: str = "doc_id", text_col: str = "text", lang_col: st
         ((n_chars - (n_tokens - 1)) / n_tokens).alias("avg_token_len"),
         (F.col("_n_stop").cast("long") / n_tokens).alias("stopword_ratio"),
         (F.col("n_punct") / n_chars).alias("punct_ratio"),
+        (F.col("_top_cnt").cast("long") / n_tokens).alias("top_token_frac"),
+        "dup_bigram_frac",
+        "dup_trigram_frac",
         "lang_label",
         lang_pred.alias("lang_pred"),
         "fp",
@@ -237,3 +251,74 @@ def normalized_text(text: Column | str) -> Column:
 
 def normalized_text_sql(text_expr: str) -> str:
     return f"trim(regexp_replace(lower({text_expr}), '[ \t\n]+', ' ', 'g'))"
+
+
+# --- Gopher-style repetition gates -----------------------------------------
+# Repetition signals from the Gopher data-quality rules (Rae et al. 2021,
+# arXiv:2112.11446 table A1): the fraction of n-gram occurrences that are
+# repeats of an earlier n-gram in the same document. Heavily repetitive
+# documents (boilerplate, keyword stuffing, decode loops) score high.
+
+
+def dup_ngram_frac(text: Column | str, n: int) -> Column:
+    """(occurrences - distinct) / occurrences of word n-grams, 0.0 for
+    documents with no n-grams. A single division of two exact ints, so
+    values are bit-deterministic; O(len) array expressions per row,
+    fully inside codegen."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import shingles_col
+
+    grams = shingles_col(text, n)
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return F.when(total == 0, F.lit(0.0)).otherwise((total - distinct) / total)
+
+
+def dup_ngram_frac_sql(text_expr: str, n: int) -> str:
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import shingles_sql
+
+    grams = shingles_sql(text_expr, n)
+    return (
+        f"CASE WHEN len({grams}) = 0 THEN 0.0 ELSE "
+        f"(len({grams})::BIGINT - len(list_distinct({grams}))::BIGINT) "
+        f"/ len({grams})::BIGINT END"
+    )
+
+
+# --- PII detection / redaction ---------------------------------------------
+# Patterns restricted to syntax Java regex and RE2 interpret identically
+# (no backreferences, no lookaround, explicit character classes), so the
+# scrub is oracle-checkable bit-for-bit.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?"
+
+#: Redaction placeholders. Order matters and is part of the operator's
+#: definition: emails first (their domains contain dots that the IPv4
+#: pattern must never see), then IPv4.
+PII_RULES = (("email", PII_EMAIL, "<EMAIL>"), ("ipv4", PII_IPV4, "<IP>"))
+
+
+def pii_count(text: Column | str, pattern: str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def pii_count_sql(text_expr: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({text_expr}, '{pattern}'))::BIGINT"
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace every PII match with its placeholder, applying the rules
+    in PII_RULES order. Pure regexp_replace chain — at 100 TB this is a
+    map-only pass with no shuffle."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pattern, placeholder in PII_RULES:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_redact_sql(text_expr: str) -> str:
+    out = text_expr
+    for _, pattern, placeholder in PII_RULES:
+        out = f"regexp_replace({out}, '{pattern}', '{placeholder}', 'g')"
+    return out

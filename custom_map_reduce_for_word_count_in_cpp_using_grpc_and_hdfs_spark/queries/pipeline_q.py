@@ -248,3 +248,56 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pipeline.py (same layout discipline as
     wc_partitioned_layout)."""
     return curated_corpus(spark, sf_dir)
+
+
+#: Token budget per packed training sequence (≈ 12 documents at the
+#: fixture token distribution, so sequences and straddles both occur at
+#: every SF) and the id-space chunk width for the distributed prefix sum
+#: (small enough that sf0.01's 500 docs span 4 chunks — the parallel
+#: path is exercised even at the correctness SF).
+PACK_BUDGET = 512
+PACK_CHUNK = 128
+
+_PACKING_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, len({T.tokens_sql('text')})::BIGINT AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM toks
+    ),
+    seq AS (
+        SELECT doc_id, n_tokens, (cum_before // {PACK_BUDGET})::BIGINT AS seq_id FROM cum
+    )
+    SELECT seq_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           sum(n_tokens)::BIGINT / {PACK_BUDGET} AS fill_ratio
+    FROM seq GROUP BY seq_id
+"""
+
+
+@query("pipeline_sequence_packing", oracle=_PACKING_ORACLE)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the layout stage between a curated corpus and a
+    training run: lay documents on a token tape in id order, cut the
+    tape every PACK_BUDGET tokens, assign each document to the sequence
+    where it starts, and report per-sequence packing stats (doc count,
+    token count, id span, fill ratio).
+
+    The prefix sum behind the assignment is computed DISTRIBUTEDLY (the
+    two-phase scan in operators/packing.py — intra-chunk windows
+    partitioned by ``doc_id div {PACK_CHUNK}``, plus a bounded
+    chunk-offset relation broadcast back), while the oracle states the
+    semantics with the naive single global window — proving the
+    distributed scan exactly equals the serial one. The only
+    unpartitioned window in the Spark plan runs over the chunk-totals
+    relation (rows = n_docs/{PACK_CHUNK}), pinned in
+    tests/test_pipeline.py."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import packing as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.token_count_ws("text").alias("n_tokens"))
+    return P.sequence_stats(toks, PACK_BUDGET, chunk=PACK_CHUNK)

@@ -20,10 +20,34 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries i
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
 
 
+#: Gopher-style repetition gate thresholds (chosen so both classes are
+#: populated at every fixture SF: sf0.01 medians are top_token_frac
+#: 0.093, dup_bigram_frac 0.028).
+GATE_MAX_TOP_TOKEN_FRAC = 0.1
+GATE_MAX_DUP_BIGRAM_FRAC = 0.04
+
+#: Deterministic PII graft: the fixture corpus contains no PII, so both
+#: engines prepend the SAME synthetic email + IPv4 (pure functions of
+#: doc_id — the mm_suite payload pattern) and the detection + redaction
+#: machinery is then proven byte-exact via counts and a rolling-hash
+#: fingerprint of the scrubbed text.
+_PII_GRAFT_SQL = (
+    "('contact user' || d.doc_id || '@example.com from 10.' || (d.doc_id % 256)"
+    " || '.0.' || (d.doc_id % 100) || ' ' || d.text)"
+)
+
+
 @query(
     "text_doc_profile",
     oracle=f"""
-    WITH sh AS ({{SIMHASH_CTE}})
+    WITH sh AS ({{SIMHASH_CTE}}),
+    tt AS (
+        SELECT doc_id, max(c)::BIGINT AS top_cnt FROM (
+            SELECT doc_id, count(*) AS c FROM (
+                SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
+            ) GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    )
     SELECT d.doc_id,
            length(d.text)::BIGINT AS n_chars,
            len({T.tokens_sql('d.text')})::BIGINT AS n_tokens,
@@ -34,25 +58,61 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources i
              / len({T.tokens_sql('d.text')})::BIGINT AS avg_token_len,
            {T.stopword_count_sql('d.text')} / len({T.tokens_sql('d.text')})::BIGINT AS stopword_ratio,
            {T.punct_count_sql('d.text')} / length(d.text)::BIGINT AS punct_ratio,
+           tt.top_cnt / len({T.tokens_sql('d.text')})::BIGINT AS top_token_frac,
+           {T.dup_ngram_frac_sql('d.text', 2)} AS dup_bigram_frac,
+           {T.dup_ngram_frac_sql('d.text', 3)} AS dup_trigram_frac,
+           (tt.top_cnt / len({T.tokens_sql('d.text')})::BIGINT <= {GATE_MAX_TOP_TOKEN_FRAC}
+            AND {T.dup_ngram_frac_sql('d.text', 2)} <= {GATE_MAX_DUP_BIGRAM_FRAC})
+             AS gate_repetition,
+           {T.pii_count_sql(_PII_GRAFT_SQL, T.PII_EMAIL)} AS n_pii_emails,
+           {T.pii_count_sql(T.pii_redact_sql(_PII_GRAFT_SQL), T.PII_EMAIL)
+            } AS n_pii_emails_after,
+           {T.pii_count_sql(_PII_GRAFT_SQL, T.PII_IPV4)} AS n_pii_ipv4,
+           {T.fingerprint_sql(T.pii_redact_sql(_PII_GRAFT_SQL))} AS fp_pii_redacted,
            d.lang AS lang_label,
            {T.lang_id_sql('d.text')} AS lang_pred,
            {T.fingerprint_sql('d.text')} AS fp,
            {T.fingerprint_sql(T.normalized_text_sql('d.text'))} AS fp_normalized,
            sh.simhash
-    FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+    FROM documents d JOIN sh ON d.doc_id = sh.doc_id JOIN tt ON d.doc_id = tt.doc_id
     """,
 )
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document feature profile a training-data pipeline computes
     in one pass: size/token statistics (whitespace + BPE-ish counts),
-    quality signals (each ratio one division of exact ints), marker-word
-    language ID (argmax with lexicographic tiebreak, 'und' when no
-    marker hits), rolling-hash fingerprints of raw and normalized text,
-    and the 56-bit SimHash. One scan + one explode/groupBy pass computes
-    every token-derived feature as flat partial aggregates; character
-    scalars stay per-row (operators/text.py::doc_profile)."""
+    quality signals (each ratio one division of exact ints), Gopher-style
+    repetition gates (top-token fraction from the two-level token
+    aggregate; duplicate bi/trigram fractions as per-row array
+    expressions; a boolean pass flag), PII detection + redaction proven
+    byte-exact over a deterministic graft (emails + IPv4s are pure
+    functions of doc_id since the fixture has no real PII; the redacted
+    text's rolling-hash fingerprint and before/after match counts are
+    the evidence), marker-word language ID (argmax with lexicographic
+    tiebreak, 'und' when no marker hits), rolling-hash fingerprints of
+    raw and normalized text, and the 56-bit SimHash. One scan + one
+    explode pass with two compact shuffles computes every token-derived
+    feature; character scalars and the whole PII branch stay per-row,
+    shuffle-free (operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.doc_profile(docs)
+    profile = T.doc_profile(docs)
+    graft = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    pii = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.pii_count(graft, T.PII_EMAIL).alias("n_pii_emails"),
+        T.pii_count(T.pii_redact(graft), T.PII_EMAIL).alias("n_pii_emails_after"),
+        T.pii_count(graft, T.PII_IPV4).alias("n_pii_ipv4"),
+        T.fingerprint(T.pii_redact(graft)).alias("fp_pii_redacted"),
+    )
+    gate = (
+        (F.col("top_token_frac") <= GATE_MAX_TOP_TOKEN_FRAC)
+        & (F.col("dup_bigram_frac") <= GATE_MAX_DUP_BIGRAM_FRAC)
+    ).alias("gate_repetition")
+    return profile.withColumn("gate_repetition", gate).join(pii, "doc_id")
 
 
 # Render the simhash CTE into the oracle after registration (import-time

@@ -145,3 +145,77 @@ def test_text_profile_primitives_match_duckdb(spark, texts):
             assert (row.norm, row.bpe, row.stop, row.punct, row.lang, row.fp, row.bucket) == o, repr(t)
     finally:
         con.close()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6), st.sampled_from([2, 3]))
+def test_dup_ngram_frac_matches_duckdb(spark, texts, n):
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import (
+        dup_ngram_frac,
+        dup_ngram_frac_sql,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(dup_ngram_frac("t", n)).collect()]
+    con = duckdb.connect()
+    try:
+        for t, v in zip(texts, got):
+            o = con.execute(
+                f"SELECT {dup_ngram_frac_sql('t', n)} FROM (SELECT ? AS t)", [t]
+            ).fetchone()[0]
+            assert v == o, repr(t)
+    finally:
+        con.close()
+
+
+# PII-shaped fragments mixed into arbitrary text: real emails/IPs, near
+# misses (trailing dot, missing TLD, 4-digit octets are NOT validated —
+# the pattern is syntactic), and regex metacharacters.
+PII_FRAGMENTS = st.sampled_from(
+    [
+        "a.b-c_d@mail.example.org",
+        "x@y.io",
+        "@nodomain",
+        "user@.com",
+        "10.0.0.1",
+        "999.999.999.999",
+        "1.2.3",
+        "1.2.3.4.5",
+        "v1.2.3.4beta",
+        "a@b.c",
+    ]
+)
+PII_TEXT = st.lists(st.one_of(TEXT, PII_FRAGMENTS), min_size=1, max_size=5).map(" ".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(PII_TEXT, min_size=1, max_size=5))
+def test_pii_scrub_matches_duckdb(spark, texts):
+    """Counts AND redacted text must agree byte-for-byte on adversarial
+    near-PII inputs — the Java-regex/RE2 portability claim, fuzzed."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        pii_count,
+        pii_count_sql,
+        pii_redact,
+        pii_redact_sql,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(
+        pii_count("t", PII_EMAIL).alias("e"),
+        pii_count("t", PII_IPV4).alias("i"),
+        pii_redact("t").alias("red"),
+    ).collect()
+    con = duckdb.connect()
+    try:
+        for t, row in zip(texts, got):
+            o = con.execute(
+                f"SELECT {pii_count_sql('?', PII_EMAIL)}, {pii_count_sql('?', PII_IPV4)}, "
+                f"{pii_redact_sql('?')}",
+                [t, t, t],
+            ).fetchone()
+            assert (row.e, row.i, row.red) == (o[0], o[1], o[2]), repr(t)
+    finally:
+        con.close()

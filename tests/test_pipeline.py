@@ -190,3 +190,69 @@ def test_hash_bucket_calibration_and_independence(spark):
     composed = weighted_sample(deterministic_sample(ints, "k", 50, 100), "k", 0.5)
     frac = composed.count() / n
     assert abs(frac - 0.25) < 0.05, frac
+
+
+# --- sequence packing (operators/packing.py) --------------------------------
+
+
+def _naive_packed(spark, rows, budget):
+    """Reference implementation: the single global window the oracle
+    states — correct by inspection, serial by construction."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    ).withColumn("seq_id", F.expr("cum_before div 64").cast("long"))
+
+
+def test_distributed_prefix_sum_equals_global_window(spark):
+    """Sparse, gappy, skewed ids across many chunks — the distributed
+    two-phase scan must equal the naive global window row for row."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.packing import pack_sequences
+
+    rows = [(i * 7 + (i % 3) * 100, (i % 13) + 1) for i in range(500)]
+    rows = [(d, n) for d, n in dict(rows).items()]  # dedupe ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(16)
+    got = pack_sequences(df, 64, chunk=32).select("doc_id", "cum_before", "seq_id")
+    want = _naive_packed(spark, rows, 64).select("doc_id", "cum_before", "seq_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_packing_straddle_and_empty_docs(spark):
+    """A document straddling a budget boundary packs where it STARTS
+    (fill_ratio > 1 for its sequence); zero-token documents pack without
+    advancing the tape."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.packing import sequence_stats
+
+    # budget 64: doc1 starts at tape 50 (straddles the 64 boundary, packs
+    # into seq 0); docs 2-4 start at 80, 80, 120 -> all seq 1
+    rows = [(0, 50), (1, 30), (2, 0), (3, 40), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    stats = {r["seq_id"]: r.asDict() for r in sequence_stats(df, 64, chunk=2).collect()}
+    assert stats[0]["n_docs"] == 2 and stats[0]["seq_tokens"] == 80  # 50+30, straddle
+    assert stats[0]["fill_ratio"] > 1.0
+    assert stats[1]["n_docs"] == 3 and stats[1]["first_doc"] == 2  # incl. 0-token doc
+    assert sum(s["seq_tokens"] for s in stats.values()) == 130  # conservation
+
+
+def test_packing_plan_has_no_global_window_over_corpus(spark):
+    """The 100 TB claim, pinned: every Window over the full corpus is
+    partitioned by the chunk id; the one unpartitioned window runs over
+    the chunk-totals relation only (its input is an Aggregate, not the
+    scan)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import QUERIES
+
+    df = QUERIES["pipeline_sequence_packing"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln.lower()]
+    assert len(windows) == 2
+    # the corpus-wide window is PARTITIONED by the chunk id (its spec
+    # carries both the partition key and the doc_id ordering); the
+    # unpartitioned one orders by _range_id alone — chunk totals only
+    corpus = [ln for ln in windows if "doc_id" in ln]
+    assert len(corpus) == 1 and "_range_id" in corpus[0]
+    # and the broadcast of the bounded offsets relation is explicit
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys

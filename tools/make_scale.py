@@ -13,9 +13,10 @@ Replica design (replica i of K, i=0 is the identity copy):
 - orders: o_orderkey and o_custkey shifted with their tables' strides —
   each replica's orders reference that replica's customers.
 - lineitem: l_orderkey/l_partkey/l_suppkey shifted likewise.
-- events: event_id shifted; user_id/ts kept (the same user population
-  generates K-fold denser traffic — the realistic way an event stream
-  scales).
+- events: event_id shifted; user_id kept, ts jittered by +i µs (the
+  same user population generates K-fold denser traffic — the realistic
+  way an event stream scales — while keeping (user_id, ts) unique so
+  order-sensitive operators stay deterministic).
 - documents: doc_id shifted; every token suffixed "_r{i}" (regexp on the
   tokenizer's exact delimiter set), so each replica is its own corpus:
   vocabulary grows K-fold, near-dup structure replicates within replicas
@@ -88,7 +89,14 @@ def _replica(table: str, df: DataFrame, i: int, strides: dict[str, int]) -> Data
             .withColumn("l_suppkey", F.col("l_suppkey") + i * S)
         )
     if table == "events":
-        return df.withColumn("event_id", F.col("event_id") + i * strides["events"])
+        # +i microseconds: keeps per-replica traffic density (the same
+        # user population K-fold denser) while making every (user_id, ts)
+        # unique, so order-sensitive operators (as-of join tie-break,
+        # session-window assembly) stay deterministic at any K
+        jittered = F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp_ltz")) + i)
+        return df.withColumn("event_id", F.col("event_id") + i * strides["events"]).withColumn(
+            "ts", jittered
+        )
     if table == "documents":
         # suffix every token; delimiters are the tokenizer's exact set
         text = F.regexp_replace("text", "[^ \n]+", f"$0_r{i}")
