@@ -377,8 +377,30 @@ def connected_components(
     At 100 TB this is the standard hash-min + pointer-jumping pattern
     (GraphX/GraphFrames use the same shape); for power-law graphs swap
     in large-star/small-star rounds — near-dup clusters don't need it.
+
+    Only vertices touched by an edge enter the loop: a vertex with no
+    edges is its own component by definition and can never receive a
+    message, so iterating it just replays dead join work every round.
+    At corpus scale the split is decisive — near-dup edges cover a
+    small fraction of documents, so the per-round frames shrink from
+    |corpus| to |edge endpoints| while singletons ride along lazily as
+    a one-pass anti-join unioned onto the result. The active seed is
+    round 0 fused into an aggregate: initial labels are the vertex ids
+    themselves, so the first propagate's message to v is simply
+    min(neighbors(v)) — one groupBy over the edge list, no join, and
+    the grouping keys ARE the active vertex set (star-shaped clusters,
+    the common near-dup case, converge at the seed and pay exactly one
+    verification round). Precondition: every edge endpoint appears in
+    ``vertices`` (true by construction for dedup edges derived from the
+    same corpus) — an endpoint outside ``vertices`` would add a label
+    row of its own rather than being ignored.
     """
-    labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp"))
+    # materialize the vertex frame once — the singleton anti-join re-reads
+    # it, and vertices often come from an expensive upstream (the pipeline
+    # passes the exact-dedup survivor set)
+    all_labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
         edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
     )
@@ -386,6 +408,14 @@ def connected_components(
     # and edges often come from an expensive upstream (e.g. a Jaccard
     # similarity join) that must not be recomputed per iteration
     sym = sym.localCheckpoint()
+    # sym holds both directions, so grouping on "a" covers every endpoint
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select(F.col("a").alias("vid"), F.least("a", "nb").alias("comp"))
+        .localCheckpoint()
+    )
+    singletons = all_labels.join(labels.select("vid"), "vid", "left_anti")
     changed = 0
     for _ in range(max_iters):
         msgs = (
@@ -431,7 +461,7 @@ def connected_components(
             f"max_iters={max_iters} rounds — component diameter exceeds the "
             "iteration budget; raise max_iters"
         )
-    return labels.select(F.col("vid").alias(id_col), "comp")
+    return labels.unionAll(singletons).select(F.col("vid").alias(id_col), "comp")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -263,13 +263,20 @@ def normalized_text_sql(text_expr: str) -> str:
 def dup_ngram_frac(text: Column | str, n: int) -> Column:
     """(occurrences - distinct) / occurrences of word n-grams, 0.0 for
     documents with no n-grams. A single division of two exact ints, so
-    values are bit-deterministic; O(len) array expressions per row,
-    fully inside codegen."""
+    values are bit-deterministic.
+
+    The n-gram array is an interpreted ``transform`` lambda (exempt from
+    both whole-stage codegen and subexpression elimination), and
+    CollapseProject inlines an aliased expression into EVERY reference —
+    so the expensive ``shingles_col`` may appear exactly ONCE here (in
+    the distinct count). The total n-gram count is derived from the
+    token count instead: size(grams) == max(size(toks) - (n-1), 0) by
+    construction — pure codegen. Referencing grams for the total as well
+    measured ~4× slower at sf0.1."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import shingles_col
 
-    grams = shingles_col(text, n)
-    total = F.size(grams).cast("long")
-    distinct = F.size(F.array_distinct(grams)).cast("long")
+    total = F.greatest(F.size(tokens_col(text)) - (n - 1), F.lit(0)).cast("long")
+    distinct = F.size(F.array_distinct(shingles_col(text, n))).cast("long")
     return F.when(total == 0, F.lit(0.0)).otherwise((total - distinct) / total)
 
 
