@@ -27,7 +27,14 @@ POLY_MOD = 1_000_000_007
 
 def poly_hash_chars(text: Column | str) -> Column:
     """Rolling hash over the characters of a string column (document
-    fingerprint). O(len) per row, fully inside codegen."""
+    fingerprint). O(len) per row — but the ``transform``/``aggregate``
+    lambdas are INTERPRETED (higher-order functions sit outside
+    whole-stage codegen), so this is one of the most CPU-expensive
+    per-row expressions in the engine: callers running it over a
+    whole corpus must have real scan parallelism (``plans/parallelism
+    .spread`` when the layout under-splits; see SCALE.md lessons 7/12).
+    Portability (bit-identical fold on any engine) is the point; a
+    JVM-side xxhash64 is the right key where portability isn't needed."""
     text = F.col(text) if isinstance(text, str) else text
     codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
     return F.aggregate(

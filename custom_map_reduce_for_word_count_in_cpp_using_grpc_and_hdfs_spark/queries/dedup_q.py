@@ -69,7 +69,14 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic witness — operators/dedup.py::contaminated_docs,
     broadcast eval-shingle semi join. n=3 because the fixture's 31-word
     vocabulary makes production-length 8-grams vacuously rare."""
-    docs = load_table(spark, sf_dir, "documents")
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
+
+    # every branch runs CPU-heavy per-row work (normalization regex, the
+    # per-char fingerprint fold, shingling) before its first shuffle — a
+    # few-split scan would serialize all of it on a few cores (SCALE.md
+    # lesson 7), so spread once; the conditional repartition disappears
+    # at production split counts
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def tagged(kind: str, keyed: DataFrame, key_col: str) -> DataFrame:
         return D.exact_dedup_groups(keyed, [key_col]).select(

@@ -101,7 +101,10 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
         F.lit(" "), F.col("text"),
     )
-    pii = load_table(spark, sf_dir, "documents").select(
+    # the PII branch is all per-row regex chains plus the per-char
+    # fingerprint fold — spread the scan or it serializes on the file's
+    # split count (SCALE.md lesson 7; no-op at production split counts)
+    pii = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         T.pii_count(graft, T.PII_EMAIL).alias("n_pii_emails"),
         T.pii_count(T.pii_redact(graft), T.PII_EMAIL).alias("n_pii_emails_after"),

@@ -116,9 +116,22 @@ def _replica(table: str, df: DataFrame, i: int, strides: dict[str, int]) -> Data
     raise ValueError(table)
 
 
+#: Target row-group size. The driver's fixtures are single-row-group files,
+#: which caps Spark's EFFECTIVE scan parallelism at one task per table no
+#: matter how many byte-range splits it plans (parquet can only split at
+#: row-group boundaries, so every other split comes up empty — visible as
+#: "(27 + 1) / 28" straggler stages). Production data at any real scale
+#: arrives as many files / many row groups, so the scaled fixtures write
+#: ~4 MB row groups to measure the engine's actual scaling rather than a
+#: single-core artifact of the fixture layout.
+ROW_GROUP_BYTES = 4 * 1024 * 1024
+
+
 def _write_single_file(df: DataFrame, out_dir: str, table: str) -> None:
     tmp = os.path.join(out_dir, f"_tmp_{table}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.option("parquet.block.size", str(ROW_GROUP_BYTES)).mode(
+        "overwrite"
+    ).parquet(tmp)
     part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
     os.replace(os.path.join(tmp, part), os.path.join(out_dir, f"{table}.parquet"))
     shutil.rmtree(tmp)
