@@ -45,6 +45,12 @@ HEADLINE = [
     # is MEASURED, not advised (SCALE.md §skew)
     "wc_zipf_plain",
     "wc_zipf_salted",
+    # round-5 addition: the corpus-scale embedding near-dup route (banded
+    # hyperplane LSH self-join + exact rescore). The registry's
+    # dedup_embedding_cosine measures the batch-vs-corpus incremental
+    # shape; this is the corpus-vs-corpus shape whose scale ratio
+    # BASELINE.md §F records (VERDICT r4 item 3).
+    "dedup_cosine_corpus",
 ]
 
 
@@ -100,6 +106,18 @@ def _bench_doc_profile(spark, sf_dir):
     return doc_profile(load_table(spark, sf_dir, "documents"))
 
 
+def _bench_cosine_corpus(spark, sf_dir):
+    """Corpus-vs-corpus embedding near-dup at threshold 0.9: banded
+    hyperplane LSH self-join + exact rescoring — candidates from a
+    (band, code) equi-join, never all-pairs, so the cost scales with
+    collision mass instead of |corpus|² (operators/similarity.py::
+    cosine_near_dup_pairs)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.similarity import cosine_near_dup_pairs
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
 def _bench_minhash_lsh(spark, sf_dir):
     """The registry entry for dedup_minhash_lsh now ALSO computes the
     exact-Jaccard recall invariant for the correctness gate (round 3);
@@ -121,6 +139,7 @@ BENCH_IMPL = {
     "dedup_minhash_lsh": _bench_minhash_lsh,
     "wc_zipf_plain": _bench_zipf_plain,
     "wc_zipf_salted": _bench_zipf_salted,
+    "dedup_cosine_corpus": _bench_cosine_corpus,
 }
 
 

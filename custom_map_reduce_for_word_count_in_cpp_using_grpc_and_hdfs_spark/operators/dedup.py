@@ -98,7 +98,7 @@ def doc_shingles(
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
 
     shingle = F.explode(shingles_col(text_col, n)).alias("shingle")
-    out = spread(df).select(F.col(id_col), shingle)
+    out = spread(df, by=[id_col]).select(F.col(id_col), shingle)
     if hashed:
         out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
     return out.distinct()
@@ -473,7 +473,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     oracle-checkable bit for bit."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
 
-    toks = spread(df).select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    toks = spread(df, by=[id_col]).select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     hashed = toks.select(id_col, poly_hash_token("tok").alias("h"))
     # 56 flat SUM aggregates (one per bit) with map-side partial
     # aggregation: the shuffle carries one 56-column row per doc per

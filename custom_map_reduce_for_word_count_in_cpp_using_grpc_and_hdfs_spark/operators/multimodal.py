@@ -62,11 +62,13 @@ def decode_image_real(payload_bytes: bytes) -> dict:
         w, h, maxval, px = decode_ppm(payload_bytes)
     elif payload_bytes[:2] == b"BM":
         w, h, maxval, px = decode_bmp(payload_bytes)
+    elif payload_bytes[:8] == PNG_SIGNATURE:
+        w, h, maxval, px = decode_png(payload_bytes)
     else:
         raise NotImplementedError(
-            "compressed image/video codecs (JPEG/PNG/...) need PIL/libvips/"
-            "ffmpeg, which this environment does not ship; PPM and BMP "
-            "decode natively here"
+            "JPEG/video codecs need PIL/libvips/ffmpeg, which this "
+            "environment does not ship; PPM, BMP and zlib-PNG decode "
+            "natively here"
         )
     return {"width": w, "height": h, "maxval": maxval, "pixels": px}
 
@@ -139,6 +141,150 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, 255, rows.reshape(height, width, 3)[::-1, :, ::-1]
 
 
+# --------------------------------------------------------------------------
+# PNG: a REAL compressed format, decoded with stdlib zlib only.
+# 8-bit truecolor (color type 2), non-interlaced — the payload layout is
+# the genuine PNG spec: signature, length-prefixed CRC'd chunks, IHDR
+# geometry, IDAT holding one zlib stream of per-row filtered scanlines
+# (filter byte + w*3 samples), IEND. All five scanline filters (None,
+# Sub, Up, Average, Paeth) are implemented in both directions, and the
+# encoder deliberately CYCLES filters across rows so a decoder that
+# ignores filtering cannot round-trip the fixture.
+# --------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """8-bit RGB non-interlaced PNG. Row r uses filter r % 5, exercising
+    every filter type on any image taller than 4 rows."""
+    import zlib
+
+    if pixels.shape != (height, width, 3):
+        raise ValueError(f"pixel block {pixels.shape} != ({height}, {width}, 3)")
+    px = pixels.astype(np.int64)
+    bpp = 3  # bytes per pixel (8-bit RGB)
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int64)
+    for r in range(height):
+        row = px[r].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        f = r % 5
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub
+            out = row - left
+        elif f == 2:  # Up
+            out = row - prev
+        elif f == 3:  # Average
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, up_left)),
+                dtype=np.int64,
+                count=width * bpp,
+            )
+            out = row - pred
+        raw += bytes([f]) + (out % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse 8-bit RGB non-interlaced PNG: walk the chunk stream (CRC
+    verified), inflate the concatenated IDAT zlib stream, undo the
+    per-row scanline filter. Returns (w, h, 255, (h,w,3) u8)."""
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if (bit_depth, color_type, interlace) != (8, 2, 0):
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG (got depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(height):
+        f = raw[r * (1 + stride)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+        ).astype(np.int64)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (1, 3, 4):  # horizontal dependency → left-to-right
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                up_left = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(int(left), int(up), int(up_left))
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[r] = cur
+        prev = cur
+    return width, height, 255, out.astype(np.uint8).reshape(height, width, 3)
+
+
 #: Dimension formulas for the deterministic fixture images (arithmetic on
 #: doc_id so a SQL oracle can regenerate every pixel via generate_series).
 PPM_W_MOD, PPM_H_MOD = 13, 11
@@ -160,13 +306,24 @@ def render_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     so the binary payloads are born executor-side in Arrow batches and
     never touch the driver — the ingest shape of a real media pipeline
     (which reads bytes via binaryFile/parquet instead of rendering)."""
+    return _render_payloads(df, encode_ppm, id_col)
 
+
+def render_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same fixture pixels, COMPRESSED container: a real zlib-PNG per
+    row (filters cycling per row, CRC'd chunks). Decoding these proves
+    the compressed-codec path end to end with the same arithmetic
+    oracle as the PPM branch — the pixel content is identical."""
+    return _render_payloads(df, encode_png, id_col)
+
+
+def _render_payloads(df: DataFrame, encoder, id_col: str) -> DataFrame:
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             imgs = []
             for doc_id in pdf[id_col].astype("int64"):
                 w, h = _fixture_dims(doc_id)
-                imgs.append(encode_ppm(w, h, _fixture_pixels(doc_id, w, h)))
+                imgs.append(encoder(w, h, _fixture_pixels(doc_id, w, h)))
             yield pd.DataFrame({id_col: pdf[id_col], "img": imgs})
 
     return df.select(id_col).mapInPandas(render, f"{id_col} long, img binary")

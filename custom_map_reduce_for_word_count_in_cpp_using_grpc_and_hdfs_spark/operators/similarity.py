@@ -65,7 +65,7 @@ def brute_force_topk(
     q = normalized(queries, "query_id", "q_vec")
     # the corpus side carries the per-pair dot folds — spread a
     # few-split scan so scoring parallelizes (no-op on a real corpus)
-    c = normalized(spread(corpus), "neighbor_id", "c_vec")
+    c = normalized(spread(corpus, by=[id_col]), "neighbor_id", "c_vec")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -156,7 +156,7 @@ def lsh_topk(
         ).select(f"{role}_id", f"{role}_vec", f"{role}_sig", "bb.band", "bb.band_val")
 
     q = banded(queries, "query")
-    c = banded(spread(corpus), "neighbor")
+    c = banded(spread(corpus, by=[id_col]), "neighbor")
     # Canonical-band dedup: keep a candidate pair only at its FIRST
     # agreeing band, so the exact same candidate set survives without a
     # DISTINCT over (id, vector-array) rows — the predicate is bit math
@@ -206,7 +206,7 @@ def cosine_batch_near_dups(
     self-join). Scores use the same un-normalized cosine fold as the SQL
     oracle rendering, so results are bit-exact."""
     a = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = spread(corpus).select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    b = spread(corpus, by=[id_col]).select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
         F.broadcast(a)
         .crossJoin(b)
@@ -263,7 +263,7 @@ def cosine_near_dup_pairs(
     at 1. Recall-vs-brute-force parity on planted dups is asserted in
     tests/test_dedup_similarity.py."""
     planes = hyperplanes(dim, n_planes)
-    banded = spread(df).select(
+    banded = spread(df, by=[id_col]).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         band_codes(vec_col, planes, bands).alias("codes"),
@@ -451,7 +451,7 @@ def ivf_topk(
     centroid buckets and rescores exactly within them."""
     crel = centroid_relation(corpus.sparkSession, centroids)
     c_assigned = with_bucket(
-        spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        spread(corpus, by=[id_col]).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         crel,
         "c_vec",
         "bucket",
@@ -494,16 +494,21 @@ def ivf_topk_stored(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search against a :func:`write_ivf_index` layout. The query
-    batch's probe buckets (≤ |Q|·nprobe values, bounded because the query
-    side is bounded) become a partition FILTER on the index read, so only
-    the probed bucket directories are scanned and NO bucket assignment
-    runs at query time — the plan is scan → broadcast-join → rescore
-    (pinned in tests/test_scale_layout.py)."""
+    """IVF search against a :func:`write_ivf_index` layout. The probe
+    side broadcasts (bounded: |Q|·nprobe rows) and the equi-join on the
+    ``bucket`` partition column triggers DYNAMIC PARTITION PRUNING: the
+    scan's PartitionFilters carry ``dynamicpruningexpression(bucket IN
+    <broadcast result>)``, so only the probed bucket directories are
+    read and NO bucket assignment runs at query time — the plan is
+    scan(pruned) → broadcast-join → rescore (pinned in
+    tests/test_scale_layout.py). Round-5 change: the probe bucket list
+    never round-trips through the driver (the previous
+    ``.collect()``-into-``isin`` was bounded but serialized the bucket
+    ids through Python; DPP keeps the whole path on executors and
+    composes with reused broadcast exchanges)."""
     crel = centroid_relation(spark, centroids)
     probed = _probe_buckets(queries, crel, nprobe, id_col, vec_col)
-    buckets = sorted(r["bucket"] for r in probed.select("bucket").distinct().collect())
-    index = spark.read.parquet(index_path).where(F.col("bucket").isin(buckets))
+    index = spark.read.parquet(index_path)
     scored = (
         F.broadcast(probed)
         .join(
@@ -553,7 +558,7 @@ def quantized_topk(
         )
 
     q = quant(queries, "query_id", "q_q", "q_s")
-    c = quant(spread(corpus), "neighbor_id", "c_q", "c_s")
+    c = quant(spread(corpus, by=[id_col]), "neighbor_id", "c_q", "c_s")
     int_dot = F.aggregate(
         F.zip_with(F.col("q_q"), F.col("c_q"), lambda x, y: x * y),
         F.lit(0).cast("long"),

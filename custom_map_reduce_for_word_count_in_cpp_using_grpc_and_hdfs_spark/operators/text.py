@@ -175,7 +175,7 @@ def doc_profile(df, id_col: str = "doc_id", text_col: str = "text", lang_col: st
     )
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
 
-    df = spread(df)  # both branches are CPU-bound per-row work
+    df = spread(df, by=[id_col])  # both branches are CPU-bound per-row work
     text = F.col(text_col)
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     cnts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))

@@ -5,31 +5,130 @@ splits — possibly ONE. Every downstream token explode / hash / regex
 stage then serializes on a single core no matter how many executors the
 cluster has, because nothing before the first shuffle re-partitions.
 Measured at sf0.1/local[32]: exact-Jaccard pairs 20.3 s → 1.8 s,
-SimHash 7.0 s → 3.0 s, doc_profile 6.4 s → 3.6 s just by spreading the
-5000-row single-file scan to 32 partitions first.
+doc_profile 7.2 s → 3.2 s just by spreading the 5000-row single-file
+scan to 32 partitions first.
 
 :func:`spread` is deliberately conditional: it repartitions ONLY when
-the current partition count is below the session's shuffle parallelism.
-At 100 TB the same scan arrives as thousands of file splits, the guard
-is a no-op, and no shuffle is added — the cost appears exactly when it
-pays (small inputs, where the shuffled bytes are trivially small).
+the scan's estimated split count is below the session's shuffle
+parallelism. At 100 TB the same scan arrives as thousands of file
+splits, the guard is a no-op, and no shuffle is added — the cost
+appears exactly when it pays (small inputs, where the shuffled bytes
+are trivially small).
+
+Two round-5 lessons are baked in (root-cause of the round-4 bench
+regression, VERDICT.md §perf):
+
+1. **Key-aligned spreading beats round-robin.** ``repartition(n)``
+   (round-robin) adds a NEW exchange — and Spark sorts each partition
+   before round-robin distribution for retry determinism
+   (``spark.sql.execution.sortBeforeRepartition``), so the "free"
+   balance shuffle carries a per-partition sort of the full payload.
+   When the downstream pipeline groups or joins on a key the caller
+   knows (every dedup/text operator groups by doc id), passing
+   ``by=[key]`` emits ``repartition(n, key)`` instead: HashPartitioning
+   on a unique id both balances AND satisfies the downstream
+   ClusteredDistribution, so Catalyst drops the aggregation's own
+   exchange — the spread shuffle *replaces* a shuffle instead of adding
+   one. Measured at sf0.1 (single-row-group fixture): simhash 1.83 s
+   (round-robin) / 1.49 s (no spread) / 1.32 s (by=doc_id).
+2. **No ``df.rdd`` probe.** Converting the plan to an RDD to count
+   partitions forces full physical planning per call site and bypasses
+   AQE statistics. The split count is instead *estimated* from the
+   scan's input files (``df.inputFiles()`` — logical analysis only)
+   using Spark's own split-packing formula; non-local files (hdfs://,
+   s3://) short-circuit to "assume production layout" — which is the
+   correct at-scale answer and costs nothing.
 """
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Sentinel split count for scans we cannot (cheaply) size: remote
+#: filesystems, non-file sources, empty plans. Treated as "already
+#: parallel" so spread() never adds a shuffle on a real cluster path.
+_ASSUME_PARALLEL = 1 << 30
 
 
-def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def _as_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '4MB')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("tb", 1 << 40), ("t", 1 << 40), ("gb", 1 << 30), ("g", 1 << 30),
+                      ("mb", 1 << 20), ("m", 1 << 20), ("kb", 1 << 10), ("k", 1 << 10),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
+def scan_splits(df: DataFrame) -> int:
+    """Estimated number of file splits the scan behind ``df`` produces.
+
+    Mirrors Spark's ``FilePartition.maxSplitBytes`` packing: split size =
+    min(maxPartitionBytes, max(openCostInBytes, (bytes + files·openCost)
+    / defaultParallelism)), then splits ≈ bytes/splitSize with one
+    minimum split per file. Local files are sized with ``os.path``;
+    any non-local scheme returns a large sentinel (production layouts
+    are already split — spread must be a no-op there)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return _ASSUME_PARALLEL
+    if not files:
+        return _ASSUME_PARALLEL
+    sizes = []
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return _ASSUME_PARALLEL
+        path = unquote(parsed.path or uri)
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return _ASSUME_PARALLEL
+    conf = df.sparkSession.conf
+    max_pb = _as_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    open_cost = _as_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    total = sum(sizes)
+    bytes_per_core = (total + len(sizes) * open_cost) / max(1, parallelism)
+    split_bytes = min(max_pb, max(open_cost, bytes_per_core))
+    return sum(max(1, math.ceil(s / split_bytes)) for s in sizes)
+
+
+def spread(
+    df: DataFrame,
+    min_parts: int | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
     """Repartition ``df`` up to ``min_parts`` (default: the session's
-    ``spark.sql.shuffle.partitions``) iff it currently has fewer
-    partitions. Streaming DataFrames pass through untouched — micro-batch
-    sources size their own partitions and ``.rdd`` is undefined for them.
+    ``spark.sql.shuffle.partitions``) iff its scan is estimated to
+    under-split that width.
+
+    ``by`` — column names the downstream pipeline clusters on (group-by
+    or join keys). When given, the spread is ``repartition(n, *by)``:
+    the hash exchange satisfies the downstream distribution requirement,
+    so it replaces the pipeline's own shuffle rather than adding one.
+    When omitted the spread is round-robin — right only for pipelines
+    with no key (cross joins, pure maps).
+
+    Streaming DataFrames pass through untouched — micro-batch sources
+    size their own partitions.
     """
     if df.isStreaming:
         return df
     if min_parts is None:
         min_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() >= min_parts:
+    if scan_splits(df) >= min_parts:
         return df
+    if by:
+        return df.repartition(min_parts, *[F.col(c) for c in by])
     return df.repartition(min_parts)

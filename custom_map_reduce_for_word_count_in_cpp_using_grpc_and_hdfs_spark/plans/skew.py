@@ -102,11 +102,24 @@ def salted_join(
     null-extended rows (and ``num_salts`` duplicates for truly
     unmatched keys). Instead the preserved-small half is rebuilt
     exactly: salted inner/left join ∪ (small rows whose key appears
-    nowhere in big — a left_anti against big's distinct keys —
-    null-extended on the big columns). ``big.select(key).distinct()``
-    is itself skew-safe: partial aggregation collapses a hot key
-    map-side, so the distinct shuffle moves one row per key per
-    partition.
+    nowhere in big, null-extended on the big columns).
+
+    Big-side cost note (round-5 audit): the rebuild's
+    ``big.select(key).distinct()`` is a SECOND pass over big, but NOT a
+    second full-table read — Catalyst prunes that branch's scan to the
+    key column alone (plan-pinned in tests/test_sinks_and_skew.py:
+    the anti-join branch's ReadSchema carries only ``key``), and partial
+    aggregation collapses each partition's keys map-side before the
+    distinct's (tiny) shuffle. On a columnar store the extra I/O is one
+    column of one table — typically 1-5% of the table bytes, fully
+    parallel, skew-free. The alternatives lose at 100 TB: persisting or
+    checkpointing the salted join output to share its lineage
+    materializes the full join (≥ the table's width) to executor disk,
+    and forcing a shared (key, salt) exchange for ReuseExchange was
+    measured to be impossible without defeating column pruning — the
+    pruned branch's subtree is never byte-identical to the full-width
+    join branch, so Catalyst will not unify them. A caller that already
+    has ``big`` cached gets the reuse for free.
     """
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"salted_join supports inner/left/right/full, got {how!r}")
@@ -123,7 +136,9 @@ def salted_join(
     # right/full: append each small row whose key never occurs in big,
     # once, null-extended on the big columns. Null-keyed small rows are
     # kept (a null key never equals anything — standard outer-join
-    # semantics, same as left_anti's null-unsafe match).
+    # semantics, same as left_anti's null-unsafe match). See the
+    # docstring's cost note: this branch's scan of big is column-pruned
+    # to the key (plan-pinned), not a second full-width pass.
     unmatched = small.join(big.select(key).distinct(), [key], "left_anti")
     big_types = {f.name: f.dataType for f in big.schema.fields}
     extended = unmatched.select(

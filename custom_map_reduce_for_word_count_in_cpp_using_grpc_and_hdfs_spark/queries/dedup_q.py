@@ -76,7 +76,7 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few-split scan would serialize all of it on a few cores (SCALE.md
     # lesson 7), so spread once; the conditional repartition disappears
     # at production split counts
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread(load_table(spark, sf_dir, "documents"), by=["doc_id"])
 
     def tagged(kind: str, keyed: DataFrame, key_col: str) -> DataFrame:
         return D.exact_dedup_groups(keyed, [key_col]).select(

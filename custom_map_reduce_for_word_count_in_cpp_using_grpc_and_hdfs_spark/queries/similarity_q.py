@@ -131,6 +131,13 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, width, height,
                unnest(generate_series(0, width*height*3 - 1)) AS i
         FROM dims
+    ), pxsums AS (
+        SELECT doc_id, width, height,
+               CAST(SUM((7*doc_id + 31*i) % 256) AS BIGINT) AS pixel_sum,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS r_sum,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS g_sum,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS b_sum
+        FROM px GROUP BY doc_id, width, height
     )
     SELECT 'meta_decode' AS op, doc_id, payload_md5, modality, byte_len, width, height,
            n_frames,
@@ -145,12 +152,14 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'real_decode', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS BIGINT), width, height, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-           CAST(255 AS BIGINT),
-           CAST(SUM((7*doc_id + 31*i) % 256) AS BIGINT),
-           CAST(SUM(CASE WHEN i % 3 = 0 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT),
-           CAST(SUM(CASE WHEN i % 3 = 1 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT),
-           CAST(SUM(CASE WHEN i % 3 = 2 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT)
-    FROM px GROUP BY doc_id, width, height
+           CAST(255 AS BIGINT), pixel_sum, r_sum, g_sum, b_sum
+    FROM pxsums
+  UNION ALL
+    SELECT 'png_decode', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), width, height, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(255 AS BIGINT), pixel_sum, r_sum, g_sum, b_sum
+    FROM pxsums
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,6 +184,12 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       on executors, never on the driver — the exact plumbing a
       JPEG/ffmpeg pipeline uses at 100 TB (see
       operators/multimodal.py decode_image_real for the dispatch seam).
+    - op='png_decode' (round 5): the SAME fixture pixels through a real
+      COMPRESSED container — zlib-PNG with per-row filter cycling and
+      CRC'd chunks (operators/multimodal.py decode_png, stdlib zlib
+      only). Inflate + defilter must reproduce the arithmetic pixel
+      sums bit-exactly, so the compressed-codec seam is now proven, not
+      stubbed; the remaining NotImplementedError covers only JPEG/video.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = MM.attach_payload(docs)
@@ -193,11 +208,15 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("maxval"), nb.alias("pixel_sum"),
         nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
     )
-    real_rows = MM.decode_image_stats(MM.render_ppm_payloads(docs)).select(
-        F.lit("real_decode").alias("op"),
-        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), nb.alias("byte_len"),
-        "width", "height", nb.alias("n_frames"),
-        nb.alias("resized_w"), nb.alias("resized_h"), ns.alias("sampled_frames"),
-        "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum",
-    )
-    return meta_rows.unionAll(real_rows)
+    def decoded_rows(op: str, rendered: DataFrame) -> DataFrame:
+        return MM.decode_image_stats(rendered).select(
+            F.lit(op).alias("op"),
+            "doc_id", ns.alias("payload_md5"), ns.alias("modality"), nb.alias("byte_len"),
+            "width", "height", nb.alias("n_frames"),
+            nb.alias("resized_w"), nb.alias("resized_h"), ns.alias("sampled_frames"),
+            "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum",
+        )
+
+    real_rows = decoded_rows("real_decode", MM.render_ppm_payloads(docs))
+    png_rows = decoded_rows("png_decode", MM.render_png_payloads(docs))
+    return meta_rows.unionAll(real_rows).unionAll(png_rows)

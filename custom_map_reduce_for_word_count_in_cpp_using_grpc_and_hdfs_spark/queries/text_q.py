@@ -104,7 +104,7 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PII branch is all per-row regex chains plus the per-char
     # fingerprint fold — spread the scan or it serializes on the file's
     # split count (SCALE.md lesson 7; no-op at production split counts)
-    pii = spread(load_table(spark, sf_dir, "documents")).select(
+    pii = spread(load_table(spark, sf_dir, "documents"), by=["doc_id"]).select(
         "doc_id",
         T.pii_count(graft, T.PII_EMAIL).alias("n_pii_emails"),
         T.pii_count(T.pii_redact(graft), T.PII_EMAIL).alias("n_pii_emails_after"),
@@ -166,7 +166,7 @@ def text_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan fragment over the spread scan."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import shingles_col
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread(load_table(spark, sf_dir, "documents"), by=["doc_id"])
     bpe = (
         docs.select(F.explode(F.regexp_extract_all("text", F.lit(T.BPE_PATTERN), 0)).alias("term"))
         .groupBy("term")
@@ -218,7 +218,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col
 
-    words = spread(docs).select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    words = spread(docs, by=["doc_id"]).select("doc_id", F.explode(tokens_col("text")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()

@@ -62,8 +62,36 @@ def test_decode_image_real_dispatch():
     px = _px(4, 3)
     assert MM.decode_image_real(MM.encode_ppm(4, 3, px))["width"] == 4
     assert MM.decode_image_real(MM.encode_bmp(4, 3, px))["height"] == 3
+    assert (MM.decode_image_real(MM.encode_png(4, 3, px))["pixels"] == px).all()
     with pytest.raises(NotImplementedError):
-        MM.decode_image_real(b"\x89PNG\r\n\x1a\n....")
+        MM.decode_image_real(b"\xff\xd8\xff\xe0....")  # JPEG SOI — still a real seam
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 7), (16, 14), (33, 9)])
+def test_png_roundtrip_all_filters(w, h):
+    """encode_png cycles scanline filters per row (r % 5), so any image
+    with h >= 5 exercises None/Sub/Up/Average/Paeth; the decoder must
+    inflate + defilter back to the exact pixels."""
+    px = _px(w, h)
+    W, H, maxval, out = MM.decode_png(MM.encode_png(w, h, px))
+    assert (W, H, maxval) == (w, h, 255)
+    assert (out == px).all()
+
+
+def test_png_chunk_crc_verified():
+    payload = bytearray(MM.encode_png(4, 6, _px(4, 6)))
+    payload[20] ^= 0xFF  # flip a bit inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png(bytes(payload))
+
+
+def test_png_unsupported_shape_raises():
+    import struct as _struct
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA color type
+    payload = MM.PNG_SIGNATURE + MM._png_chunk(b"IHDR", ihdr) + MM._png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        MM.decode_png(payload)
 
 
 def test_render_decode_pipeline(spark):

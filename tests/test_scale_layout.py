@@ -129,6 +129,10 @@ def test_ivf_stored_index_partition_pruned_probe(spark):
     plan = formatted_plan(stored)
     scan_section = plan[plan.index("Scan parquet") :] if "Scan parquet" in plan else plan
     assert "PartitionFilters" in scan_section and "bucket" in scan_section, plan
+    # round 5: the probe bucket set reaches the scan via DYNAMIC partition
+    # pruning (executor-side broadcast result), not a driver-collected
+    # isin list — pin the dynamicpruning expression on the index scan
+    assert "dynamicpruning" in scan_section, plan
     # the index scan must not recompute assignments at query time:
     # nearest-bucket assignment is the array_min argmin (with_bucket),
     # which must be ABSENT from the stored-path plan (buckets come from

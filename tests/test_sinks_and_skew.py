@@ -169,3 +169,36 @@ def test_zipf_bench_workload_salted_equals_plain(spark):
     total = sum(plain.values())
     hot = plain["__zipf_hot__"]
     assert 0.03 <= hot / total <= 0.07, f"hot mass {hot}/{total} out of the ~5% design band"
+
+
+def test_salted_outer_join_second_big_pass_is_key_pruned(spark):
+    """The right/full rebuild's key-membership probe must NOT re-read the
+    big table at full width: its scan is column-pruned to the join key
+    alone (plans/skew.py cost note — one column of one table, not a
+    second full-table pass). Pin both scan shapes in the executed plan:
+    the join pass reads all columns, the anti-join pass reads only k."""
+    import re
+    import uuid
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_join
+
+    path = os.path.join(SCRATCH, f"salted_big_{uuid.uuid4().hex[:8]}")
+    spark.range(0, 10000).selectExpr(
+        "id % 97 AS k", "id AS bv", "repeat('x', 50) AS wide"
+    ).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+    small = spark.createDataFrame([(1, "s"), (10**9, "u")], "k long, sv string")
+
+    out = salted_join(big, small, "k", num_salts=4, how="full")
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    col_lists = set(
+        re.match(r"FileScan parquet \[([^\]]*)\]", line.strip().lstrip(":+- ")).group(1)
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and os.path.basename(path) in line
+    )
+    # exactly two scan shapes: the full-width join pass and the key-only probe
+    assert len(col_lists) == 2, plan
+    widths = sorted(len(cols.split(",")) for cols in col_lists)
+    assert widths[0] == 1, f"membership probe not pruned to the key: {col_lists}"
+    assert widths[1] == 3, f"join pass should read all big columns: {col_lists}"

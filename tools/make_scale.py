@@ -106,12 +106,18 @@ def _replica(table: str, df: DataFrame, i: int, strides: dict[str, int]) -> Data
             .withColumn("n_chars", F.length("text").cast("long"))
         )
     if table == "embeddings":
+        # rotation by i % dim, sign-flipped on the second cycle: both are
+        # norm/angle-structure-preserving within a replica, and the 2*dim
+        # distinct transforms keep replicas pairwise dissimilar up to
+        # k = 128 (slice(i+1, dim-i) would go out of bounds past i = dim)
         dim = 64
-        rotated = F.concat(
-            F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
-        ).cast("array<float>")
+        assert i < 2 * dim, f"embeddings replica transform supports k <= {2 * dim}"
+        rot = i % dim
+        rotated = F.concat(F.slice("embedding", rot + 1, dim - rot), F.slice("embedding", 1, rot))
+        if i >= dim:
+            rotated = F.transform(rotated, lambda x: -x)
         return df.withColumn("vec_id", F.col("vec_id") + i * strides["embeddings"]).withColumn(
-            "embedding", rotated
+            "embedding", rotated.cast("array<float>")
         )
     raise ValueError(table)
 

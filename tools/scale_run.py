@@ -86,10 +86,17 @@ def main():
     spark.range(1000).count()
     con = duckdb_conn(sf_dir)
 
-    names = a.only.split(",") if a.only else list(QUERIES)
+    # bench-only workloads (no registry/oracle row): the Zipf skew pair
+    # and the corpus-scale cosine near-dup — measured rows-only here so
+    # their scaling ratios land in the SCALE_* records too
+    import bench
+
+    extra = {k: v for k, v in bench.BENCH_IMPL.items() if k not in QUERIES}
+    names = a.only.split(",") if a.only else list(QUERIES) + sorted(extra)
     results = {}
     for name in names:
-        rec = run_one(spark, con, name, QUERIES[name], ORACLE_SQL.get(name), sf_dir, a.oracle_budget)
+        fn = QUERIES[name] if name in QUERIES else extra[name]
+        rec = run_one(spark, con, name, fn, ORACLE_SQL.get(name), sf_dir, a.oracle_budget)
         results[name] = rec
         print(
             f"{name:34s} {rec['status']:22s} spark={rec['spark_sec']}s "
