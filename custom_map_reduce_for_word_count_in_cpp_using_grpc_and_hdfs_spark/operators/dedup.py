@@ -354,6 +354,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 20,
+    check_vertices: bool = False,
 ) -> DataFrame:
     """(id, component) — connected components by hash-min label
     propagation; component = min vertex id in the component.
@@ -393,7 +394,11 @@ def connected_components(
     verification round). Precondition: every edge endpoint appears in
     ``vertices`` (true by construction for dedup edges derived from the
     same corpus) — an endpoint outside ``vertices`` would add a label
-    row of its own rather than being ignored.
+    row of its own rather than being ignored. ``check_vertices=True``
+    enforces it with one anti-join over the (small) edge-endpoint seed
+    set, failing loudly instead of emitting rows for non-vertices —
+    off by default because the engine's own callers satisfy it by
+    construction and the check costs an extra pass over ``vertices``.
     """
     # materialize the vertex frame once — the singleton anti-join re-reads
     # it, and vertices often come from an expensive upstream (the pipeline
@@ -416,6 +421,14 @@ def connected_components(
         .localCheckpoint()
     )
     singletons = all_labels.join(labels.select("vid"), "vid", "left_anti")
+    if check_vertices:
+        stray = labels.join(all_labels.select("vid"), "vid", "left_anti").count()
+        if stray:
+            raise ValueError(
+                f"connected_components: {stray} edge endpoints do not appear "
+                f"in vertices — pass the full vertex set (filtered vertices "
+                "with unfiltered edges would contaminate the output)"
+            )
     changed = 0
     for _ in range(max_iters):
         msgs = (

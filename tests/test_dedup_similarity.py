@@ -304,3 +304,33 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     rows = comps.collect()
     assert len(rows) == n
     assert {r.comp for r in rows} == {0}, "one component rooted at min id"
+
+
+def test_band_codes_vectorized_matches_expression(spark):
+    """The Arrow-vectorized band-code path (numpy matmul per batch) must
+    produce the EXACT codes of the pure-expression path on the fixture —
+    the deliberate-Python-UDF exception stands only while the two agree
+    (a disagreement means a plane dot landed within summation-order
+    noise of 0, which continuous fixtures never produce)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    planes = S.hyperplanes(64, 128)
+    expr = emb.select("vec_id", S.band_codes("embedding", planes, 16).alias("codes"))
+    vec = emb.select(
+        "vec_id", S.band_codes_vectorized(planes, 16)(F.col("embedding")).alias("codes2")
+    )
+    assert expr.join(vec, "vec_id").where(F.col("codes") != F.col("codes2")).count() == 0
+
+
+def test_connected_components_check_vertices_fails_loudly(spark):
+    """check_vertices=True: a filtered vertex set with unfiltered edges
+    must raise, not silently emit label rows for non-vertices."""
+    import pytest
+
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 7)], "src long, dst long")  # 7 not a vertex
+    with pytest.raises(ValueError, match="edge endpoints"):
+        D.connected_components(verts, edges, check_vertices=True)
+    # and the same call with a complete vertex set passes the check
+    full = spark.createDataFrame([(1,), (2,), (7,)], "id long")
+    out = {(r.id, r.comp) for r in D.connected_components(full, edges, check_vertices=True).collect()}
+    assert out == {(1, 1), (2, 1), (7, 1)}

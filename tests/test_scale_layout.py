@@ -167,3 +167,52 @@ def test_minhash_store_candidates_scan_only(spark):
     # equality with the in-flight candidate path
     inflight = D.lsh_candidate_pairs(D.minhash_signature(docs, 32), bands=8, num_perm=32)
     assert sorted(map(tuple, stored_cands.collect())) == sorted(map(tuple, inflight.collect()))
+
+
+def test_single_row_group_layout_resilience(spark):
+    """The driver's sf fixtures are SINGLE-row-group parquet files —
+    parquet can only split at row-group boundaries, so the scan yields
+    one populated task no matter how many byte-range splits are planned
+    (SCALE.md lesson 12). The spread() guard exists precisely for this:
+    the CPU-heavy headline operators must run within a modest factor of
+    their wall time on a production many-row-group copy of the SAME
+    rows. Bound is deliberately loose (3x + 2s grace) — this is a
+    regression tripwire for 'operator serialized on one core', not a
+    micro-benchmark; the round-4 regression this encodes was 5-10x."""
+    import time
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import (
+        jaccard_pairs,
+        simhash_near_dups,
+    )
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import doc_profile
+
+    from .conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    single_dir = os.path.join(SCRATCH, "layout_single")
+    relaid_dir = os.path.join(SCRATCH, "layout_relaid")
+    # single row group: one file, default (huge) block size
+    docs.coalesce(1).write.mode("overwrite").parquet(single_dir)
+    # production-ish: many small row groups in one file
+    docs.coalesce(1).write.option("parquet.block.size", str(64 * 1024)).mode(
+        "overwrite"
+    ).parquet(relaid_dir)
+
+    def wall(sf_docs):
+        t0 = time.perf_counter()
+        doc_profile(sf_docs).write.format("noop").mode("overwrite").save()
+        jaccard_pairs(sf_docs, 0.3).write.format("noop").mode("overwrite").save()
+        simhash_near_dups(sf_docs).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return time.perf_counter() - t0
+
+    relaid = spark.read.parquet(relaid_dir)
+    single = spark.read.parquet(single_dir)
+    wall(relaid)  # JVM/codegen warm-up rep, discarded
+    t_relaid = min(wall(relaid), wall(relaid))
+    t_single = min(wall(single), wall(single))
+    assert t_single <= 3.0 * t_relaid + 2.0, (
+        f"single-row-group layout {t_single:.2f}s vs re-laid {t_relaid:.2f}s — "
+        "scan-parallelism guard regressed (plans/parallelism.spread)"
+    )

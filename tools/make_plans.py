@@ -57,12 +57,18 @@ def main() -> None:
     text = open(PLANS_MD).read()
     for name in SECTIONS:
         plan = formatted_plan(build(name), execute=True).rstrip()
-        # replace the fenced block that follows this section's heading
+        # Replace the ANCHORED plan fence (```text plan) after this
+        # section's heading. The anchor exists so prose gaining an
+        # ordinary fenced code block between heading and plan can never
+        # make the splice overwrite the wrong block (ADVICE r4).
         pat = re.compile(
-            rf"(^## {re.escape(name)}\n.*?\n```\n).*?(\n```)", re.S | re.M
+            rf"(^## {re.escape(name)}\n.*?\n```text plan\n).*?(\n```)", re.S | re.M
         )
         if not pat.search(text):
-            raise SystemExit(f"section not found in PLANS.md: {name}")
+            raise SystemExit(
+                f"anchored plan fence not found for section {name!r} — "
+                "plan blocks must open with ```text plan"
+            )
         text = pat.sub(lambda m: m.group(1) + plan + m.group(2), text, count=1)
         print("regenerated", name, flush=True)
     open(PLANS_MD, "w").write(text)
