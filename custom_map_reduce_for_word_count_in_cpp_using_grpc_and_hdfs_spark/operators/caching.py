@@ -24,6 +24,33 @@ import weakref
 from pyspark.sql import DataFrame
 
 
+def eager_stats(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and materialize it NOW, so joins planned afterwards
+    see the cache's MEASURED size instead of Catalyst's estimate.
+
+    Why this exists (sf10 smoke, round 5): explode-derived relations are
+    systematically under-estimated — ``Generate`` propagates its child's
+    ``sizeInBytes`` without multiplying by fan-out, and the narrow
+    (id, hash) projection then SHRINKS the number — so a ~1 GB shingle
+    inverted index carried a 17 MB estimate at sf10 and the static
+    planner picked it as a BroadcastHashJoin BUILD side: the broadcast
+    build OOM'd the driver. No statistics conf fixes this (the error is
+    structural, not a compression ratio), but a materialized
+    InMemoryRelation reports measured bytes: small frames still
+    broadcast (sf0.1 keeps its fast plans), corpus-scale ones fall back
+    to shuffle joins — the plan decision tracks the data, not the
+    estimate. The extra count() action is absorbed by the persist the
+    operator needed anyway.
+
+    At 100 TB the same discipline holds for free: candidate-generation
+    inputs live as written stores (signature/shingle indexes in parquet)
+    whose file sizes the planner reads directly.
+    """
+    df = df.persist()
+    df.count()
+    return df
+
+
 def tie_cache_lifetime(result: DataFrame, *frames: DataFrame) -> DataFrame:
     """Unpersist every frame in ``frames`` when ``result`` is garbage
     collected. Frames are also kept alive (strongly referenced by the

@@ -37,7 +37,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions
     poly_hash_token,
     poly_hash_token_sql,
 )
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import tie_cache_lifetime
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, tie_cache_lifetime
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col, tokens_sql
 
 
@@ -111,6 +111,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     max_shingle_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
 
@@ -121,8 +122,19 @@ def jaccard_pairs(
     shingles are pure skew with no discriminative value. NOTE: capping
     can only lose candidate pairs whose every shared shingle is hot, so
     leave it None when exact semantics are required.
+
+    ``shingles`` lets a caller that already materialized
+    :func:`doc_shingles` share it (the sf10 smoke caught the cost of NOT
+    sharing: the registered minhash query stacked two independent ~3 GB
+    shingle caches in one local JVM and starved broadcast builds). A
+    caller-owned frame is neither cached nor unpersisted here.
     """
-    ds = doc_shingles(df, id_col, text_col, n).cache()
+    owned = shingles is None
+    # eager_stats, not a lazy cache: the inverted index joins against
+    # itself below, and its Generate-derived size ESTIMATE is ~50x under
+    # reality — only a materialized cache makes the broadcast-vs-shuffle
+    # decision track the data (see operators/caching.py::eager_stats)
+    ds = eager_stats(doc_shingles(df, id_col, text_col, n)) if owned else shingles
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     index = ds
     if max_shingle_df is not None:
@@ -149,7 +161,7 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return tie_cache_lifetime(result, ds)
+    return tie_cache_lifetime(result, ds) if owned else result
 
 
 # --------------------------------------------------------------------------
@@ -276,9 +288,12 @@ def lsh_candidate_pairs(
     times per row. Materializing once is also the production shape: at
     scale, signatures are written/persisted and reused across dedup runs.
     The persist lives as long as the returned DataFrame object
-    (tie_cache_lifetime).
+    (tie_cache_lifetime), and is MATERIALIZED eagerly so the banded
+    self-join below plans against the cache's measured size (an
+    aggregate-derived signature frame is size-under-estimated the same
+    way the shingle index is — see caching.py::eager_stats).
     """
-    sigs = sigs.persist()
+    sigs = eager_stats(sigs)
     # Guard against a sigs frame built with a DIFFERENT num_perm: slicing
     # past the array end would silently band over null hashes, degrading
     # recall with no error. assert_true fails the job instead.
@@ -304,14 +319,20 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — returns (doc_a, doc_b,
     jaccard ≥ threshold). Approximate only in *recall* (a true pair whose
     every band disagrees is missed); precision is exact thanks to the
-    verification join."""
+    verification join.
+
+    ``shingles`` — share an already-persisted :func:`doc_shingles` frame
+    (see :func:`jaccard_pairs`); caller-owned frames are not re-cached or
+    released here."""
     # four consumers (signatures, sizes, both verification sides) —
     # materialize the shingle inverted index once
-    ds = doc_shingles(df, id_col, text_col, n).persist()
+    owned = shingles is None
+    ds = eager_stats(doc_shingles(df, id_col, text_col, n)) if owned else shingles
     cands = lsh_candidate_pairs(
         minhash_signature(df, num_perm, id_col, text_col, n, shingles=ds),
         bands,
@@ -339,7 +360,7 @@ def minhash_near_dups(
     )
     # cands (itself cache-tied to the signature persist) is strongly held
     # by the finalizer until the result dies, chaining the releases
-    return tie_cache_lifetime(result, ds, cands)
+    return tie_cache_lifetime(result, ds, cands) if owned else tie_cache_lifetime(result, cands)
 
 
 # --------------------------------------------------------------------------
@@ -535,8 +556,10 @@ def simhash_near_dups(df: DataFrame, max_distance: int = 3, id_col: str = "doc_i
     (block_idx, block_bits) — recall 1.0, no all-pairs stage. The result
     set is therefore *identical* to brute force (which the oracle runs)."""
     # persisted: both join sides and all d+1 block projections read the
-    # fingerprints; without the barrier each reference recomputes them
-    fps = simhash(df, id_col, text_col).persist()
+    # fingerprints; without the barrier each reference recomputes them.
+    # Eagerly materialized so the block self-join below plans against the
+    # cache's measured size (caching.py::eager_stats).
+    fps = eager_stats(simhash(df, id_col, text_col))
     n_blocks = max_distance + 1
     width = SIMHASH_BITS // n_blocks  # 56/4 = 14 for d=3
     mask = (1 << width) - 1

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.vector import cosine, dot, norm2
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, tie_cache_lifetime
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
 
 #: Fixed seed for the hyperplane projections — part of the operator
@@ -273,42 +274,99 @@ def band_codes(vec_col, planes: np.ndarray, bands: int):
     return F.array(*codes)
 
 
+def lsh_band_geometry(
+    n_vectors: int,
+    threshold: float,
+    target_miss: float = 0.05,
+    min_width: int = 8,
+    max_width: int = 24,
+    min_bands: int = 16,
+    max_bands: int = 48,
+) -> tuple[int, int]:
+    """Size (bands, band_width) for a hyperplane-LSH self-join so the
+    candidate-pair mass stays ~linear in corpus size.
+
+    The failure mode this prevents (measured, sf10 smoke): a FIXED band
+    width keeps per-band code space constant while C(N,2) grows, so
+    random collisions — bands·C(N,2)/2^width — go quadratic. At
+    N=200k, width 8 produced 1.5e9 candidate pairs; width 20, 1.8e6.
+    Hence width ≈ log2(N)+2 (per-band collision mass ≈ N/4 for random
+    directions), clamped to [min_width, max_width].
+
+    Bands then come from the LSH S-curve: a pair at cosine=threshold
+    agrees on one sign bit w.p. p = 1 − acos(threshold)/π, on a band
+    w.p. p^width, and is missed by every band w.p. (1−p^width)^bands —
+    solved for miss ≤ target_miss and clamped to [min_bands, max_bands].
+    At the cap the miss probability for exactly-at-threshold pairs
+    degrades (documented honestly: at N=200k, threshold 0.9, the capped
+    48 bands give ~11% miss at cos=0.90 but <0.3% at cos≥0.95); pairs
+    well above threshold — the ones dedup is after — stay safe because
+    per-bit agreement rises steeply with cosine."""
+    import math
+
+    w = int(max(min_width, min(max_width, math.ceil(math.log2(max(n_vectors, 2))) + 2)))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pw = p**w
+    if pw <= 0.0 or pw >= 1.0:
+        b = min_bands
+    else:
+        b = math.ceil(math.log(target_miss) / math.log(1.0 - pw))
+    return int(max(min_bands, min(max_bands, b))), w
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 128,
-    bands: int = 16,
+    n_planes: int | None = None,
+    bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Self-join near-dup pairs (a < b, cosine ≥ threshold) via banded
     hyperplane LSH candidates + exact rescoring — the prunable shape for
     true near-dup thresholds (≥ ~0.85).
 
-    Two vectors at angle θ agree on one sign bit w.p. 1 − θ/π, so a pair
-    at cosine 0.9 agrees on an 8-bit band w.p. ≈ 0.29 and is missed by
-    all 16 bands w.p. ≈ 2·10⁻³; planted duplicates (cos ≥ 0.97) are
-    missed w.p. < 10⁻⁵. Candidates come from an equi-join on
-    (band, code) — never all-pairs — and exact rescoring keeps precision
-    at 1. Recall-vs-brute-force parity on planted dups is asserted in
-    tests/test_dedup_similarity.py."""
+    Candidates come from an equi-join on (band, code) — never all-pairs
+    — and exact rescoring keeps precision at 1. Recall-vs-brute-force
+    parity on planted dups is asserted in tests/test_dedup_similarity.py.
+
+    Band geometry defaults to :func:`lsh_band_geometry` sized from the
+    corpus count (pass ``corpus_size`` when it is already known to skip
+    the count job; pass explicit ``n_planes``/``bands`` to pin a stored
+    layout's geometry). Two 100 TB design rules are baked into the plan
+    shape:
+
+    - the heavy vector column NEVER rides the band explode: candidate
+      generation shuffles compact (vid, codes, band, code) rows, and the
+      vectors join back only for the surviving candidate pairs (two
+      equi-joins on id) — at 200k×64f the exploded shuffle drops from
+      ~2.6 GB to ~0.1 GB while rescore joins move ~100 MB;
+    - band width grows with log2(N), keeping collision mass ~linear
+      (see lsh_band_geometry; the sf10 smoke measured the fixed-width
+      variant at 1.5e9 candidates vs 1.8e6 adaptive)."""
+    if bands is None or n_planes is None:
+        n = corpus_size if corpus_size is not None else df.count()
+        bands, width = lsh_band_geometry(n, threshold)
+        n_planes = bands * width
     planes = hyperplanes(dim, n_planes)
     codes_udf = band_codes_vectorized(planes, bands)
-    banded = spread(df, by=[id_col]).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        codes_udf(F.col(vec_col)).alias("codes"),
-    ).select("vid", "vec", "codes", F.posexplode("codes").alias("band", "code"))
-    a = banded.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), F.col("codes").alias("codes_a"), "band", "code"
+    # eager_stats: the banded frame self-joins below and its explode-
+    # derived size estimate is structurally low (caching.py::eager_stats)
+    # — materializing also runs the codes UDF once instead of twice
+    banded = eager_stats(
+        spread(df, by=[id_col])
+        .select(
+            F.col(id_col).alias("vid"),
+            codes_udf(F.col(vec_col)).alias("codes"),
+        )
+        .select("vid", "codes", F.posexplode("codes").alias("band", "code"))
     )
-    b = banded.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), F.col("codes").alias("codes_b"), "band", "code"
-    )
+    a = banded.select(F.col("vid").alias("id_a"), F.col("codes").alias("codes_a"), "band", "code")
+    b = banded.select(F.col("vid").alias("id_b"), F.col("codes").alias("codes_b"), "band", "code")
     # canonical-band dedup (see simhash_near_dups): emit a pair only at
     # its first agreeing band — same candidate set, no DISTINCT shuffle
-    # over vector-array rows
     first_agreeing = F.lit(True)
     for j in range(bands - 1):
         first_agreeing = first_agreeing & (
@@ -318,12 +376,16 @@ def cosine_near_dup_pairs(
     cands = (
         a.join(b, ["band", "code"])
         .where((F.col("id_a") < F.col("id_b")) & first_agreeing)
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b")
     )
-    return (
-        cands.select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos_sim"))
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    result = (
+        cands.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+    return tie_cache_lifetime(result, banded)
 
 
 # --------------------------------------------------------------------------

@@ -212,8 +212,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py — same (exact, within-tolerance)
     pattern as rel_sketch_suite (hll branch)."""
     docs = load_table(spark, sf_dir, "documents")
-    found = D.minhash_near_dups(docs, threshold=JACCARD_T).select("doc_a", "doc_b")
-    true_pairs = D.jaccard_pairs(docs, JACCARD_T).select("doc_a", "doc_b")
+    # ONE shingle inverted index feeds both the LSH+verification side and
+    # the exact-truth side. The sf10 smoke measured the alternative: two
+    # independent ~3 GB shingle caches in one local JVM left too little
+    # heap to build broadcast relations (broadcast-build OOM) — and at
+    # any scale the second tokenize+explode+distinct pass is pure waste.
+    # eager_stats so every downstream self-join plans against the cache's
+    # measured size (caching.py::eager_stats).
+    ds = D.eager_stats(D.doc_shingles(docs))
+    found = D.minhash_near_dups(docs, threshold=JACCARD_T, shingles=ds).select("doc_a", "doc_b")
+    true_pairs = D.jaccard_pairs(docs, JACCARD_T, shingles=ds).select("doc_a", "doc_b")
     n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_hits = (
         found.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
@@ -223,14 +231,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         found.join(true_pairs, ["doc_a", "doc_b"], "left_anti")
         .agg(F.count(F.lit(1)).alias("n_false_positives"))
     )
-    return (
+    return D.tie_cache_lifetime(
         n_true.crossJoin(n_hits)
         .crossJoin(n_fp)
         .select(
             "n_true_pairs",
             "n_false_positives",
             (F.col("n_hits") >= 0.7 * F.col("n_true_pairs")).alias("recall_ge_0_7"),
-        )
+        ),
+        ds,
     )
 
 

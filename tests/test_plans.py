@@ -165,7 +165,13 @@ def test_simhash_candidates_no_distinct_shuffle(spark):
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
 
     plan = _op_plan(spark, simhash_near_dups(load_table(spark, SF_CORRECT, "documents")))
-    assert plan.count("HashAggregate") <= 6
+    # the only aggregates allowed are the per-doc simhash vote-sums —
+    # none may be keyed on the candidate pair (that's what a DISTINCT
+    # over the join output would add). Counting raw HashAggregate
+    # occurrences is no longer meaningful: formatted explain prints the
+    # persisted fingerprint frame's LINEAGE inside every
+    # InMemoryTableScan, duplicating its aggregates textually.
+    assert not re.search(r"Keys \[\d+\]: \[doc_a#\d+L?, doc_b#\d+L?\]", plan)
     assert len(re.findall(r"\bExchange\b", plan)) <= 6
 
 
@@ -206,10 +212,12 @@ def test_minhash_candidates_unique_and_no_distinct(spark):
 
     docs = load_table(spark, SF_CORRECT, "documents")
     cands = lsh_candidate_pairs(minhash_signature(docs), bands=8)
-    # the signature aggregation contributes HashAggregates; the candidate
-    # join itself must add none (a .distinct() would)
+    # the signature aggregation contributes HashAggregates (now also
+    # echoed textually in each InMemoryTableScan's lineage dump); the
+    # candidate join itself must add none — a .distinct() would show as
+    # an aggregate KEYED on the candidate pair
     plan = _op_plan(spark, cands)
-    assert plan.count("HashAggregate") <= 8  # sig partial+final on each side x2 plans
+    assert not re.search(r"Keys \[\d+\]: \[doc_a#\d+L?, doc_b#\d+L?\]", plan)
     dup_max = cands.groupBy("doc_a", "doc_b").count().agg(F.max("count")).collect()[0][0]
     assert dup_max in (None, 1)
 
@@ -286,23 +294,38 @@ def test_ann_topk_plans_window_group_limit(spark):
 #: name -> (max Exchange nodes, max BroadcastNestedLoopJoin, max CartesianProduct)
 #: BNLJ allowances are the deliberate 1-row invariant assemblies
 #: (rel_sketch_suite) and the bounded broadcast batchxcorpus scorer (ANN).
+#: Pinned from the round-5 plans under UNIQUE-node-id counting (AQE
+#: Final/Initial sections and InMemoryTableScan lineage echoes collapse
+#: to one count per executed node — see _unique_nodes).
 HEADLINE_PLAN_CEILINGS = {
-    "wc_top_k": (4, 0, 0),
-    "rel_q1_pricing_summary": (2, 0, 0),
-    "rel_q3_shipping_priority": (2, 0, 0),
-    "rel_q5_region_revenue": (2, 0, 0),
-    "win_running_sum": (2, 0, 0),
-    "dedup_jaccard_pairs": (11, 0, 0),
+    "wc_top_k": (2, 0, 0),
+    "rel_q1_pricing_summary": (1, 0, 0),
+    "rel_q3_shipping_priority": (3, 0, 0),
+    "rel_q5_region_revenue": (6, 0, 0),
+    "win_running_sum": (1, 0, 0),
+    "dedup_jaccard_pairs": (5, 0, 0),
     "dedup_simhash_near": (3, 0, 0),
-    "dedup_minhash_lsh": (16, 0, 0),
-    "ann_topk_bruteforce": (4, 2, 0),
-    "text_doc_profile": (4, 0, 0),
+    "dedup_minhash_lsh": (7, 0, 0),
+    "ann_topk_bruteforce": (3, 1, 0),
+    "text_doc_profile": (3, 0, 0),
     "stream_window_suite": (0, 0, 0),
-    "pipeline_corpus_curation": (10, 0, 0),
-    "rel_sketch_suite": (46, 6, 0),
-    "wc_zipf_plain": (4, 0, 0),
-    "wc_zipf_salted": (6, 0, 0),
+    "pipeline_corpus_curation": (7, 0, 0),
+    "rel_sketch_suite": (31, 3, 0),
+    "wc_zipf_plain": (2, 0, 0),
+    "wc_zipf_salted": (3, 0, 0),
+    "dedup_cosine_corpus": (5, 0, 0),
 }
+
+
+def _unique_nodes(plan: str, kind: str) -> int:
+    """Count DISTINCT plan-node ids of ``kind`` in a formatted explain.
+    Raw substring counts double-dip: AQE prints Final+Initial sections,
+    and every InMemoryTableScan echoes its cached relation's whole plan
+    (eager_stats makes these common), so the same executed node can
+    appear textually many times. Node ids are stable within one explain."""
+    # joins print qualifiers between name and id ("BroadcastNestedLoopJoin
+    # Cross BuildLeft (9)"); exchanges print bare ("Exchange (5)")
+    return len(set(re.findall(rf"\b{kind}\b[^\n(]*\((\d+)\)", plan)))
 
 
 def test_bench_headliner_plan_ceilings(spark):
@@ -312,9 +335,9 @@ def test_bench_headliner_plan_ceilings(spark):
         fn = bench.BENCH_IMPL[name] if name in bench.BENCH_IMPL else QUERIES[name]
         df = fn(spark, SF_CORRECT)
         plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-        n_ex = len(re.findall(r"\bExchange\b", plan))
-        n_bnlj = plan.count("BroadcastNestedLoopJoin")
-        n_cart = plan.count("CartesianProduct")
+        n_ex = _unique_nodes(plan, "Exchange") + _unique_nodes(plan, "BroadcastExchange")
+        n_bnlj = _unique_nodes(plan, "BroadcastNestedLoopJoin")
+        n_cart = _unique_nodes(plan, "CartesianProduct")
         assert n_ex <= max_ex, f"{name}: {n_ex} exchanges > pinned {max_ex}"
         assert n_bnlj <= max_bnlj, f"{name}: {n_bnlj} BNLJ > pinned {max_bnlj}"
         assert n_cart <= max_cart, f"{name}: {n_cart} CartesianProduct > pinned {max_cart}"

@@ -18,10 +18,15 @@ Replica design (replica i of K, i=0 is the identity copy):
   way an event stream scales — while keeping (user_id, ts) unique so
   order-sensitive operators stay deterministic).
 - documents: doc_id shifted; every token suffixed "_r{i}" (regexp on the
-  tokenizer's exact delimiter set), so each replica is its own corpus:
-  vocabulary grows K-fold, near-dup structure replicates within replicas
-  and never across them — near-dup pair counts scale LINEARLY, which is
-  what "10x more documents of the same kind" means. n_chars recomputed.
+  tokenizer's exact delimiter set) EXCEPT quality-gate stopwords, so each
+  replica is its own corpus: vocabulary grows K-fold, near-dup structure
+  replicates within replicas and never across them — near-dup pair counts
+  scale LINEARLY, which is what "10x more documents of the same kind"
+  means. Stopwords stay shared so per-doc quality features
+  (stopword_ratio) survive replication and the curation pipeline's gate
+  passes replicas at the same rate as originals; only an all-stopword
+  3-gram can shingle-match across replicas (negligible Jaccard mass).
+  n_chars recomputed.
 - embeddings: vec_id shifted; vectors rotated by i positions (norm- and
   distance-structure-preserving within a replica, dissimilar across
   replicas); label kept.
@@ -98,8 +103,22 @@ def _replica(table: str, df: DataFrame, i: int, strides: dict[str, int]) -> Data
             "ts", jittered
         )
     if table == "documents":
-        # suffix every token; delimiters are the tokenizer's exact set
+        # Suffix every token (delimiters are the tokenizer's exact set),
+        # then UNDO the suffix on quality-gate stopwords: a replica whose
+        # "the" became "the_r17" has stopword_ratio 0 and the curation
+        # pipeline's quality gate drops the whole replica — the sf10 run
+        # measured the post-gate stages at sf0.1 size no matter the SF.
+        # Keeping stopwords shared cannot create cross-replica near-dups:
+        # shingles are 3-token sequences, so only an all-stopword 3-gram
+        # can match across replicas — vanishing intersection over a full
+        # union, far below any Jaccard threshold in use.
+        from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import STOPWORDS
+
         text = F.regexp_replace("text", "[^ \n]+", f"$0_r{i}")
+        stop_alt = "|".join(STOPWORDS)
+        text = F.regexp_replace(
+            text, f"(^|[ \n])({stop_alt})_r{i}(?=[ \n]|$)", "$1$2"
+        )
         return (
             df.withColumn("doc_id", F.col("doc_id") + i * strides["documents"])
             .withColumn("text", text)

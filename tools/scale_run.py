@@ -46,6 +46,14 @@ def run_one(spark, con, name, fn, oracle, sf_dir, budget):
         rec["status"] = "rows_only_by_design"
         rec["rows"] = fn(spark, sf_dir).count()
         return rec
+    if budget <= 0:
+        # timing-only mode (--oracle-budget 0): Spark wall + output rows,
+        # no oracle comparison. For SFs where compare_rows' driver-side
+        # materialization is itself the bottleneck (sf10 simhash emits
+        # ~200M pair rows); correctness is gated at sf0.01/sf0.1/sf1.
+        rec["status"] = "timing_only"
+        rec["rows"] = fn(spark, sf_dir).count()
+        return rec
     t1 = time.perf_counter()
     timer = threading.Timer(budget, con.interrupt)
     timer.start()
@@ -103,7 +111,11 @@ def main():
             f"oracle={rec['oracle_sec']}s rows={rec['rows']} {rec['err'] or ''}",
             flush=True,
         )
-    ok = sum(1 for r in results.values() if r["status"] in ("hash_exact", "rows_only_by_design"))
+    ok = sum(
+        1
+        for r in results.values()
+        if r["status"] in ("hash_exact", "rows_only_by_design", "timing_only")
+    )
     summary = {
         "sf_dir": sf_dir,
         "oracle_budget_sec": a.oracle_budget,
