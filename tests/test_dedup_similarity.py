@@ -334,3 +334,46 @@ def test_connected_components_check_vertices_fails_loudly(spark):
     full = spark.createDataFrame([(1,), (2,), (7,)], "id long")
     out = {(r.id, r.comp) for r in D.connected_components(full, edges, check_vertices=True).collect()}
     assert out == {(1, 1), (2, 1), (7, 1)}
+
+
+def test_lsh_band_geometry_properties():
+    """Adaptive band sizing (SCALE.md lesson 18): width grows with
+    log2(N) so random-collision mass bands*C(N,2)/2^width stays ~linear
+    in N; bands stay within [16, 48]; small corpora resolve to the
+    legacy 16x8 geometry so the planted-dup fixtures are unaffected."""
+    import math
+
+    # legacy geometry at small N (the planted-dup test fixture size)
+    assert S.lsh_band_geometry(50, 0.9) == (16, 8)
+    # width tracks log2(N)+2 within clamps
+    for n in (2_000, 20_000, 200_000, 2_000_000):
+        b, w = S.lsh_band_geometry(n, 0.9)
+        assert w == min(24, max(8, math.ceil(math.log2(n)) + 2))
+        assert 16 <= b <= 48
+        # collision mass per band for random directions is ~ C(N,2)/2^w;
+        # the width choice keeps it at most ~N (linear), never quadratic
+        assert n * (n - 1) / 2 / 2**w <= n
+    # width monotone in N, bands monotone in width (S-curve compensation)
+    ws = [S.lsh_band_geometry(n, 0.9)[1] for n in (10**3, 10**4, 10**5, 10**6)]
+    assert ws == sorted(ws)
+    # degenerate thresholds stay in range rather than exploding
+    assert 16 <= S.lsh_band_geometry(10**6, 0.999)[0] <= 48
+    assert 16 <= S.lsh_band_geometry(10**6, 0.0)[0] <= 48
+
+
+def test_eager_stats_join_planning_uses_measured_size(spark):
+    """caching.eager_stats (SCALE.md lesson 17): after materialization,
+    join planning reads the cache's MEASURED bytes. A genuinely small
+    exploded frame must still plan as a broadcast join (the sf0.1 fast
+    path) — the pre-fix failure direction (huge frame estimated tiny and
+    broadcast) is exercised by the sf10 smoke, not unit-testable at
+    fixture scale."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    small = eager_stats(D.doc_shingles(docs.limit(50)))
+    other = D.doc_shingles(docs.limit(80))
+    plan = other.join(small, "shingle")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # planned against the cache, not a rebuild
+    small.unpersist()

@@ -17,7 +17,7 @@ Replica design (replica i of K, i=0 is the identity copy):
   same user population generates K-fold denser traffic — the realistic
   way an event stream scales — while keeping (user_id, ts) unique so
   order-sensitive operators stay deterministic).
-- documents: doc_id shifted; every token suffixed "_r{i}" (regexp on the
+- documents: doc_id shifted; every token suffixed "rep{i}" (regexp on the
   tokenizer's exact delimiter set) EXCEPT quality-gate stopwords, so each
   replica is its own corpus: vocabulary grows K-fold, near-dup structure
   replicates within replicas and never across them — near-dup pair counts
@@ -114,10 +114,15 @@ def _replica(table: str, df: DataFrame, i: int, strides: dict[str, int]) -> Data
         # union, far below any Jaccard threshold in use.
         from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import STOPWORDS
 
-        text = F.regexp_replace("text", "[^ \n]+", f"$0_r{i}")
+        # The suffix must be ALPHANUMERIC: an earlier "_r{i}" form pushed
+        # punct_ratio from 0.0 to ~0.115 (underscores are punctuation to
+        # the quality features) and the gate's 0.10 cap silently dropped
+        # every replica — the same class of feature-destruction as the
+        # stopword case above.
+        text = F.regexp_replace("text", "[^ \n]+", f"$0rep{i}")
         stop_alt = "|".join(STOPWORDS)
         text = F.regexp_replace(
-            text, f"(^|[ \n])({stop_alt})_r{i}(?=[ \n]|$)", "$1$2"
+            text, f"(^|[ \n])({stop_alt})rep{i}(?=[ \n]|$)", "$1$2"
         )
         return (
             df.withColumn("doc_id", F.col("doc_id") + i * strides["documents"])
