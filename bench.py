@@ -12,6 +12,14 @@ Each query runs REPS times (default 3, override $SPARK_GRAFT_BENCH_REPS)
 and reports the MEDIAN per query; `queries_min` carries the per-query
 minimum. Round-2 lesson: single-shot timings put 2.6× run-to-run noise
 on wc_top_k with an unchanged (and pinned-optimal) plan.
+
+Round-5 lesson: reps are INTERLEAVED (full-suite sweeps, not
+back-to-back reps of one query). Host noise on a shared box arrives in
+multi-second bursts; three consecutive reps sit inside one burst and
+the median is fully poisoned (measured: the same jaccard query 1.06 s
+in a quiet window, 3.1-3.7 s for all three reps in a noisy one).
+Sweep-interleaving spreads a burst across ONE rep of several queries,
+which the per-query median then rejects.
 """
 
 from __future__ import annotations
@@ -148,28 +156,31 @@ def main() -> None:
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark import get_session
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import QUERIES
 
-    spark = get_session("spark-graft-bench")
+    # UI off for benching: the SQL-tab listener retains full plan graphs
+    # per execution (default 1000) and its event-bus work grows with
+    # session age — pure overhead with no one watching.
+    spark = get_session(
+        "spark-graft-bench", extra_conf={"spark.ui.enabled": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/session (tiny action, not a headline query)
     spark.range(1000).count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    minima: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = BENCH_IMPL[name] if name in BENCH_IMPL else QUERIES[name]
-        samples = []
-        for _ in range(reps):
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):  # interleaved: one full sweep per rep
+        for name in HEADLINE:
+            fn = BENCH_IMPL[name] if name in BENCH_IMPL else QUERIES[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
             # operators persist() intermediates (signatures, shingle sets)
             # for intra-query reuse; drop them between runs so one run's
             # cache can't feed or squeeze the next one
             spark.catalog.clearCache()
-        timings[name] = round(statistics.median(samples), 3)
-        minima[name] = round(min(samples), 3)
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    minima = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")

@@ -24,9 +24,49 @@ import weakref
 from pyspark.sql import DataFrame
 
 
+#: Conservative bound on how many cached bytes one scanned byte can
+#: become through the explode/aggregate chains these operators cache.
+#: Measured instances: sf0.1 shingle index ≈ 8× its 0.6 MB parquet
+#: source; the sf10 index ≈ 17× (tiny vocabulary compresses the cache
+#: poorly). 32× covers both with headroom.
+_EXPANSION_BOUND = 32
+
+
+def _broadcast_risk(df: DataFrame) -> bool:
+    """Could ``df``'s true materialized size exceed the broadcast
+    threshold even though Catalyst's estimate says otherwise?
+
+    ``False`` only when the source scan's file bytes (accurately known,
+    unlike the post-``Generate`` estimate) prove the cached relation
+    stays broadcast-safe at the most pessimistic expansion — then a
+    mis-estimated broadcast is still a CORRECT broadcast and the eager
+    count buys nothing. Unknown sizes (remote schemes, non-file sources)
+    report ``True``: at production scale, materialize and measure."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import _as_bytes, scan_file_sizes
+
+    try:
+        threshold = _as_bytes(df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        return True
+    if threshold <= 0:  # auto-broadcast disabled: nothing to mis-plan
+        return False
+    sizes = scan_file_sizes(df)
+    if sizes is None:
+        return True
+    return sum(sizes) * _EXPANSION_BOUND >= threshold
+
+
 def eager_stats(df: DataFrame) -> DataFrame:
     """Persist ``df`` and materialize it NOW, so joins planned afterwards
     see the cache's MEASURED size instead of Catalyst's estimate.
+
+    The materializing ``count()`` is an extra job (~1.5 s fixed cost at
+    small SF, measured round 5), so it runs only when it can change a
+    decision: when the source scan is big enough — or unsizeable — that
+    the true cached size could cross the broadcast threshold
+    (:func:`_broadcast_risk`). Small sources keep the lazy persist and
+    their (correct) broadcast plans; the sf0.1 driver bench takes the
+    lazy path, the sf10 OOM repro takes the eager one.
 
     Why this exists (sf10 smoke, round 5): explode-derived relations are
     systematically under-estimated — ``Generate`` propagates its child's
@@ -47,7 +87,8 @@ def eager_stats(df: DataFrame) -> DataFrame:
     whose file sizes the planner reads directly.
     """
     df = df.persist()
-    df.count()
+    if _broadcast_risk(df):
+        df.count()
     return df
 
 

@@ -69,6 +69,30 @@ def _as_bytes(v: str) -> int:
     return int(float(s) * mult)
 
 
+def scan_file_sizes(df: DataFrame) -> list[int] | None:
+    """Byte sizes of the local files behind ``df``'s scan, or ``None``
+    when they cannot be cheaply sized (non-local scheme, non-file source,
+    empty listing). This is the ACCURATE pre-explode size — unlike
+    Catalyst's post-``Generate`` estimate, file bytes never lie."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None
+        path = unquote(parsed.path or uri)
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    return sizes
+
+
 def scan_splits(df: DataFrame) -> int:
     """Estimated number of file splits the scan behind ``df`` produces.
 
@@ -78,22 +102,9 @@ def scan_splits(df: DataFrame) -> int:
     minimum split per file. Local files are sized with ``os.path``;
     any non-local scheme returns a large sentinel (production layouts
     are already split — spread must be a no-op there)."""
-    try:
-        files = df.inputFiles()
-    except Exception:
+    sizes = scan_file_sizes(df)
+    if sizes is None:
         return _ASSUME_PARALLEL
-    if not files:
-        return _ASSUME_PARALLEL
-    sizes = []
-    for uri in files:
-        parsed = urlparse(uri)
-        if parsed.scheme not in ("file", ""):
-            return _ASSUME_PARALLEL
-        path = unquote(parsed.path or uri)
-        try:
-            sizes.append(os.path.getsize(path))
-        except OSError:
-            return _ASSUME_PARALLEL
     conf = df.sparkSession.conf
     max_pb = _as_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     open_cost = _as_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
