@@ -179,7 +179,16 @@ def doc_profile(df, id_col: str = "doc_id", text_col: str = "text", lang_col: st
     text = F.col(text_col)
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     cnts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    h = poly_hash_token("tok")
+    # Project the token hash ONCE per distinct (doc, token) row before the
+    # second aggregate. The polynomial fold is an interpreted higher-order
+    # lambda (exempt from subexpression elimination), and it feeds all 56
+    # SimHash bit votes: referenced inline it would fold 56× per row.
+    # A Project under Aggregate is not collapsed into the aggregate
+    # expressions, so `_h` evaluates once (measured ~2× on the whole
+    # profile at sf0.1; same single-reference discipline as operators/
+    # dedup.py::simhash and the round-4 dup-ngram fix).
+    cnts = cnts.withColumn("_h", poly_hash_token("tok"))
+    h = F.col("_h")
     cnt = F.col("cnt")
     aggs = [
         F.sum(cnt).alias("n_tokens"),

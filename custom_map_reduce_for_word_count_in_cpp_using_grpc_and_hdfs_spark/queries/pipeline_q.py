@@ -121,13 +121,40 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def curate(docs: DataFrame) -> DataFrame:
     """Pipeline over an arbitrary documents DataFrame (doc_id, text, lang)
-    — the seam the pathological hot-shingle fixture test drives."""
-    prof = T.doc_profile(docs)
-    qual = prof.where(
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
-        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
-    ).select("doc_id", "lang_label", "lang_pred", "n_tokens", "n_chars", "fp_normalized")
+    — the seam the pathological hot-shingle fixture test drives.
+
+    The quality gate is computed PER ROW (quality_features/lang_id/
+    fingerprint — one narrow map over the scan, no explode, no shuffle),
+    not via doc_profile's two-level token aggregation: the gated frame
+    has three consumers (exact-dedup groupBy, the components vertex set,
+    the final survivor join), each of which recomputes its column-pruned
+    slice, and recomputing a per-row map is ~free while recomputing the
+    profile's explode + two shuffles dominated the whole pipeline
+    (measured 3× ≈ 6.6 s of a 9.6 s sf0.1 run; caching instead was
+    SLOWER — SCALE.md lesson 21). Values are bit-identical to
+    doc_profile's: same token array, same integer operands, same single
+    division — the oracle's `prof` CTE is the same per-row form."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
+
+    text = F.col("text")
+    feats = T.quality_features(text)
+    # spread: the gate's interpreted token/char lambdas are per-row
+    # CPU-bound — exactly the shape the scan-parallelism guard exists for
+    # (on an under-split local fixture the gate serializes on 1-2 cores;
+    # at production layout spread() is a no-op).
+    gated = spread(docs, by=["doc_id"])
+    qual = gated.where(
+        (feats["n_tokens"] >= MIN_TOKENS)
+        & (feats["stopword_ratio"] >= MIN_STOPWORD_RATIO)
+        & (feats["punct_ratio"] <= MAX_PUNCT_RATIO)
+    ).select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        T.lang_id(text).alias("lang_pred"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_chars"].alias("n_chars"),
+        T.fingerprint(T.normalized_text(text)).alias("fp_normalized"),
+    )
     # Exact dedup on the 8-byte normalized fingerprint; survivor = min id.
     exact_survivors = qual.groupBy("fp_normalized").agg(F.min("doc_id").alias("doc_id"))
     surv_docs = docs.join(exact_survivors.select("doc_id"), "doc_id", "left_semi")
