@@ -256,3 +256,47 @@ def test_packing_plan_has_no_global_window_over_corpus(spark):
     # and the broadcast of the bounded offsets relation is explicit
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in phys
+
+
+def test_perrow_gate_bit_identical_to_profile_gate(spark):
+    """The round-5 pipeline derives its quality gate per row (no explode,
+    no shuffle); correctness rests on those per-row values being
+    bit-identical to doc_profile's aggregate-derived ones — same token
+    array, same integer operands, same single division. Compare every
+    shared column over the full smoke corpus, including the edge docs
+    (empty text, zero tokens) the profile drops via its inner join."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    text = F.col("text")
+    feats = T.quality_features(text)
+    perrow = docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["n_chars"].alias("n_chars"),
+        T.lang_id(text).alias("lang_pred"),
+        T.fingerprint(T.normalized_text(text)).alias("fp_normalized"),
+    )
+    prof = T.doc_profile(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
+        "n_chars", "lang_pred", "fp_normalized",
+    )
+    joined = perrow.join(prof, "doc_id", "inner")
+    n_prof = prof.count()
+    assert joined.count() == n_prof  # profile rows ⊆ per-row rows
+    mismatches = joined.where(
+        ~(
+            (perrow["n_tokens"] == prof["n_tokens"])
+            & (perrow["stopword_ratio"].eqNullSafe(prof["stopword_ratio"]))
+            & (perrow["punct_ratio"].eqNullSafe(prof["punct_ratio"]))
+            & (perrow["n_chars"] == prof["n_chars"])
+            & (perrow["lang_pred"] == prof["lang_pred"])
+            & (perrow["fp_normalized"] == prof["fp_normalized"])
+        )
+    ).count()
+    assert mismatches == 0
+    # docs missing from the profile (no tokens) must fail the gate per-row
+    only_perrow = perrow.join(prof.select("doc_id"), "doc_id", "left_anti")
+    assert only_perrow.where(F.col("n_tokens") >= MIN_TOKENS).count() == 0
