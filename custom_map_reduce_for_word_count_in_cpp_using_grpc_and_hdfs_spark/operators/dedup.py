@@ -130,10 +130,12 @@ def jaccard_pairs(
     caller-owned frame is neither cached nor unpersisted here.
     """
     owned = shingles is None
-    # eager_stats, not a lazy cache: the inverted index joins against
+    # eager_stats, not a bare lazy cache: the inverted index joins against
     # itself below, and its Generate-derived size ESTIMATE is ~50x under
     # reality — only a materialized cache makes the broadcast-vs-shuffle
-    # decision track the data (see operators/caching.py::eager_stats)
+    # decision track the data. The materializing count() is itself gated
+    # on the source scan's file bytes (provably-broadcast-safe sources
+    # keep the lazy persist — see operators/caching.py::eager_stats).
     ds = eager_stats(doc_shingles(df, id_col, text_col, n)) if owned else shingles
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     index = ds
