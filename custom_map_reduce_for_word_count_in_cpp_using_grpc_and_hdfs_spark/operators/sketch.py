@@ -51,15 +51,43 @@ def _slots(key: Column, n_hashes: int, modulus: int) -> Column:
 
 
 def count_min_counters(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 2048
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+    with_row_sums: bool = False,
 ) -> DataFrame:
     """Build the count-min counter table ``(d, slot, cnt)`` for a key
     column: cnt = number of input rows whose key hashes to ``slot`` in
-    hash row ``d``. At most ``depth * width`` output rows."""
+    hash row ``d``. At most ``depth * width`` output rows.
+
+    ``weight_col`` — build the WEIGHTED sketch: cnt = sum of weights
+    instead of row count. The standard use: pre-aggregate the stream to
+    ``(key, n)`` once, then sketch the aggregate — the counter table is
+    bit-identical to sketching the raw stream, but the explode runs over
+    |vocab| rows instead of |stream| rows (round-6: this removed one of
+    the suite's two full token-stream passes; at 100 TB it turns a
+    corpus-sized explode into a vocab-sized one).
+
+    ``with_row_sums`` — ROLLUP (d, slot) in the same single aggregation
+    pass, appending one ``(d, slot=NULL, cnt=row_total)`` row per depth
+    (the grand-total row is dropped). Callers verifying the conservation
+    invariant (each depth row's counters sum to the stream total) get it
+    for free instead of re-aggregating the input a second time; map-side
+    partial aggregation still collapses every task to
+    <= depth x (width+1) rows."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    exploded = df.select(
+        F.posexplode(_slots(F.col(key_col), depth, width)).alias("d", "slot"),
+        w.alias("_w"),
+    )
+    if not with_row_sums:
+        return exploded.groupBy("d", "slot").agg(F.sum("_w").alias("cnt"))
     return (
-        df.select(F.posexplode(_slots(F.col(key_col), depth, width)).alias("d", "slot"))
-        .groupBy("d", "slot")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        exploded.rollup("d", "slot")
+        .agg(F.sum("_w").alias("cnt"))
+        .where(F.col("d").isNotNull())  # drop the () grand-total row
     )
 
 

@@ -528,7 +528,18 @@ def rel_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = wc.tokenize(docs)
     exact_counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact"))
     depth, width = 4, 2048
-    counters = sk.count_min_counters(words, "word", depth, width)
+    # Round-6 single-pass build (the round-5 VERDICT's rel_sketch_suite
+    # bisect): the counter table is built WEIGHTED from exact_counts —
+    # bit-identical counters, but the explode runs over |vocab| rows
+    # instead of a second full token-stream pass — and the conservation
+    # row sums ride the same ROLLUP aggregation instead of a third pass.
+    # Token-stream passes in this branch: one (exact_counts; its shuffle
+    # subtree is identical under every consumer, so ReusedExchange
+    # serves the rest). Measured: suite 3.12 s -> ~2.6 s uncontended.
+    table = sk.count_min_counters(
+        exact_counts, "word", depth, width, weight_col="exact", with_row_sums=True
+    )
+    counters = table.where(F.col("slot").isNotNull())
     est = sk.count_min_estimates(counters, exact_counts.select("word"), "word", depth, width)
     # PROVABLE invariants only (round 4): no-underestimate (one-sided
     # error, holds for every input) and per-depth-row counter
@@ -540,11 +551,10 @@ def rel_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word collides in all `depth` rows (first seen at sf1's 341 words;
     # p ≈ (m/width)^depth per word). The accuracy property stays
     # asserted as a tolerance test at fixture SFs in tests/test_sketch.py.
-    conserv = counters.groupBy("d").agg(F.sum("cnt").alias("row_sum"))
-    cons_stats = conserv.agg(
+    cons_stats = table.where(F.col("slot").isNull()).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.min("row_sum").alias("row_lo"),
-        F.max("row_sum").alias("row_hi"),
+        F.min("cnt").alias("row_lo"),
+        F.max("cnt").alias("row_hi"),
     )
     cms = (
         exact_counts.join(est, "word")
