@@ -551,55 +551,147 @@ def simhash_sql(id_col: str = "doc_id", text_col: str = "text", table: str = "do
     """
 
 
-def simhash_near_dups(df: DataFrame, max_distance: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) ≤ d via the pigeonhole
-    block join: 56 bits split into d+1 blocks; distance-≤d pairs must
-    agree exactly on ≥1 block, so candidates come from an equi-join on
-    (block_idx, block_bits) — recall 1.0, no all-pairs stage. The result
-    set is therefore *identical* to brute force (which the oracle runs)."""
-    # persisted: both join sides and all d+1 block projections read the
+def simhash_block_geometry(
+    n_docs: int,
+    max_distance: int = 3,
+    bits: int = SIMHASH_BITS,
+    budget_per_doc: int = 16,
+    max_combos: int = 70,
+) -> int:
+    """Number of pigeonhole blocks B for :func:`simhash_near_dups`,
+    sized so the RANDOM-collision candidate mass of the block join
+    stays ~linear in corpus size (the round-5 sf10 lesson, measured
+    there as 13.7x wall per 10x data with the fixed B = d+1 shape).
+
+    A distance-<=d pair agrees on >= B-d of B blocks, so candidates
+    come from equi-joins on every (B-d)-block combination. Key width
+    grows with B (B=4: one 14-bit block; B=5: two blocks, 22 bits;
+    B=6: three blocks, 27 bits), so for uniform fingerprints the
+    expected random collision mass is C(B,d) * C(N,2) / 2^key_bits.
+    B is the SMALLEST value whose mass is <= budget_per_doc * N —
+    bigger B costs a wider explode (C(B,d) rows/doc) and a longer
+    canonical-combo predicate, so the knob stops as soon as collisions
+    are linear. budget_per_doc=16 keeps random-collision work the same
+    order as the C(B,d)-row explode itself, with margin for the
+    uniform-fingerprint model's optimism (real fingerprints cluster —
+    the sf10 fixture measured 13.7x/decade at B=4/N=500k, which this
+    budget moves to B=5). The bound is a sizing tool, not a recall
+    claim: recall is exactly 1.0 for every B by the pigeonhole
+    argument, which the sharded-vs-default equality test pins
+    (tests/test_dedup_similarity)."""
+    from itertools import combinations
+
+    d = max_distance
+    best = d + 1
+    for n_blocks in range(d + 1, bits // 4 + 1):
+        n_combos = len(list(combinations(range(n_blocks), n_blocks - d)))
+        if n_combos > max_combos:
+            break
+        base, extra = divmod(bits, n_blocks)
+        widths = sorted(base + (1 if i < extra else 0) for i in range(n_blocks))
+        key_bits = sum(widths[: n_blocks - d])  # conservative: smallest blocks
+        mass = n_combos * n_docs * (n_docs - 1) / 2 / float(1 << min(key_bits, 62))
+        best = n_blocks
+        if mass <= budget_per_doc * max(n_docs, 1):
+            break
+    return best
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_blocks: int | None = None,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ d via the generalized
+    pigeonhole block join: 56 bits split into B ≥ d+1 blocks; a
+    distance-≤d pair's differing bits touch ≤ d blocks, so it agrees
+    EXACTLY on some (B-d)-subset of blocks — candidates come from an
+    equi-join per (B-d)-block combination, recall exactly 1.0, no
+    all-pairs stage. The result set is therefore *identical* to brute
+    force (which the oracle runs) for every B.
+
+    B = d+1 (one-block keys, C(d+1,d) = d+1 combinations) is the classic
+    small-corpus shape. At scale its FIXED 14-bit key space makes random
+    collisions quadratic (round-5 sf10: 13.7x wall per 10x data); larger
+    B widens the join key with bits from the other blocks — the
+    "prefix-bit sharding" route BASELINE.md §G documented, generalized
+    so the extra bits keep exact recall instead of probabilistic.
+    Geometry comes from :func:`simhash_block_geometry` sized by
+    ``corpus_size``; when neither ``n_blocks`` nor ``corpus_size`` is
+    given, the corpus is counted only if the scan's file bytes say the
+    default shape could go quadratic (>16 MB — the same provable-risk
+    gating as caching.eager_stats, so small-SF benches never pay the
+    count job)."""
+    from itertools import combinations
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_file_sizes
+
+    d = max_distance
+    if n_blocks is None:
+        if corpus_size is None:
+            sizes = scan_file_sizes(df)
+            if sizes is not None and sum(sizes) <= 16 * 1024 * 1024:
+                n_blocks = d + 1  # provably-safe small corpus: skip the count
+            else:
+                corpus_size = df.count()
+        if n_blocks is None:
+            n_blocks = simhash_block_geometry(corpus_size, d)
+    # persisted: both join sides and all combination projections read the
     # fingerprints; without the barrier each reference recomputes them.
     # Eagerly materialized so the block self-join below plans against the
     # cache's measured size (caching.py::eager_stats).
     fps = eager_stats(simhash(df, id_col, text_col))
-    n_blocks = max_distance + 1
-    width = SIMHASH_BITS // n_blocks  # 56/4 = 14 for d=3
-    mask = (1 << width) - 1
-    blocks = fps.select(
+
+    base, extra = divmod(SIMHASH_BITS, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    combos = list(combinations(range(n_blocks), n_blocks - d))
+
+    def combo_key(c: Column, combo: tuple[int, ...]) -> Column:
+        """Blocks of ``combo`` packed into one long (≤ 56 bits total)."""
+        key, shift = F.lit(0).cast("long"), 0
+        for i in combo:
+            blk = F.shiftright(c, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+            key = key + F.shiftleft(blk.cast("long"), shift)
+            shift += widths[i]
+        return key
+
+    #: per-combo simhash mask: a pair agrees fully on combo j iff
+    #: (sh_a XOR sh_b) & combo_mask[j] == 0 — one AND per earlier combo
+    #: in the canonical-combo predicate below.
+    combo_masks = [
+        sum(((1 << widths[i]) - 1) << offsets[i] for i in combo) for combo in combos
+    ]
+
+    keyed = fps.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("blk_val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "simhash", "bb.blk", "bb.blk_val")
-    a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "blk_val")
-    b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "blk_val")
+        F.posexplode(
+            F.array(*[combo_key(F.col("simhash"), combo) for combo in combos])
+        ).alias("cmb", "key"),
+    )
+    a = keyed.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "cmb", "key")
+    b = keyed.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "cmb", "key")
 
-    # Canonical-block dedup: a pair agreeing on k blocks would surface k
-    # times; keep it ONLY at its first agreeing block (all earlier blocks
-    # differ). That predicate is pure codegen'd bit math on columns the
-    # row already carries, so the post-join DISTINCT — a full shuffle of
-    # every candidate row (27.5M at sf0.1) — disappears from the plan.
-    def block_bits(c: Column, j: int) -> Column:
-        return F.shiftright(c, j * width).bitwiseAND(F.lit(mask))
-
+    # Canonical-combo dedup: a pair agreeing on k combinations would
+    # surface k times; keep it ONLY at its first agreeing combination
+    # (every earlier combination has ≥1 differing block). The predicate
+    # is pure codegen'd bit math on columns the row already carries, so
+    # the post-join DISTINCT — a full shuffle of every candidate row
+    # (27.5M at sf0.1) — disappears from the plan.
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     first_agreeing = F.lit(True)
-    for j in range(n_blocks - 1):
+    for j in range(len(combos) - 1):
         first_agreeing = first_agreeing & (
-            (F.col("blk") <= j) | (block_bits(F.col("sh_a"), j) != block_bits(F.col("sh_b"), j))
+            (F.col("cmb") <= j) | (xor.bitwiseAND(F.lit(combo_masks[j])) != 0)
         )
     result = (
-        a.join(b, ["blk", "blk_val"])
+        a.join(b, ["cmb", "key"])
         .where((F.col("doc_a") < F.col("doc_b")) & first_agreeing)
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("hamming", F.bit_count(xor))
         .where(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )

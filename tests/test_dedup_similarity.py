@@ -44,6 +44,41 @@ def test_simhash_block_join_equals_bruteforce(spark):
     assert got == brute  # pigeonhole blocks guarantee recall 1.0
 
 
+def test_simhash_sharded_blocks_identical_result(spark):
+    """The generalized (B > d+1) combination-pigeonhole join — the sf10
+    sharding route — must return the EXACT default row set: recall 1.0
+    is the pigeonhole theorem, not a tuning outcome (round-6, VERDICT r5
+    item 4)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    base = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_near_dups(docs, max_distance=3).collect()
+    )
+    assert base, "fixture should contain near-dup pairs"
+    for n_blocks in (5, 7):
+        sharded = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in D.simhash_near_dups(docs, max_distance=3, n_blocks=n_blocks).collect()
+        )
+        assert sharded == base, f"B={n_blocks} diverged from the d+1 default"
+
+
+def test_simhash_block_geometry_scales_with_corpus():
+    """Geometry stays at the d+1 classic shape for small corpora and
+    widens the join key once the 14-bit key space would go quadratic;
+    the combo count never exceeds the explode budget."""
+    from itertools import combinations
+
+    assert D.simhash_block_geometry(5_000) == 4
+    assert D.simhash_block_geometry(50_000) == 4
+    big = D.simhash_block_geometry(500_000)
+    assert big >= 5  # the sf10 corpus size must shard
+    assert D.simhash_block_geometry(100_000_000) >= big  # monotone growth
+    for n in (500_000, 100_000_000, 10**10):
+        B = D.simhash_block_geometry(n)
+        assert len(list(combinations(range(B), B - 3))) <= 70
+
+
 def test_ann_lsh_recall(spark):
     emb = load_table(spark, SF_CORRECT, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
