@@ -377,7 +377,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 20,
-    check_vertices: bool = False,
+    check_vertices: bool | None = None,
 ) -> DataFrame:
     """(id, component) — connected components by hash-min label
     propagation; component = min vertex id in the component.
@@ -419,10 +419,18 @@ def connected_components(
     same corpus) — an endpoint outside ``vertices`` would add a label
     row of its own rather than being ignored. ``check_vertices=True``
     enforces it with one anti-join over the (small) edge-endpoint seed
-    set, failing loudly instead of emitting rows for non-vertices —
-    off by default because the engine's own callers satisfy it by
-    construction and the check costs an extra pass over ``vertices``.
+    set, failing loudly at the CALL SITE instead of emitting rows for
+    non-vertices. The default (``None``) resolves to the engine debug
+    mode — ``SPARK_GRAFT_DEBUG=1`` turns the check on everywhere, so a
+    filtered-vertices caller is caught in any debug run without every
+    call site opting in — and to off otherwise, because the engine's
+    own callers satisfy the precondition by construction and the check
+    costs an extra pass over ``vertices``.
     """
+    if check_vertices is None:
+        import os
+
+        check_vertices = os.environ.get("SPARK_GRAFT_DEBUG", "") not in ("", "0")
     # materialize the vertex frame once — the singleton anti-join re-reads
     # it, and vertices often come from an expensive upstream (the pipeline
     # passes the exact-dedup survivor set)

@@ -371,6 +371,24 @@ def test_connected_components_check_vertices_fails_loudly(spark):
     assert out == {(1, 1), (2, 1), (7, 1)}
 
 
+def test_connected_components_debug_mode_checks_by_default(spark, monkeypatch):
+    """SPARK_GRAFT_DEBUG=1 turns the vertex-precondition check on with
+    NO call-site opt-in, so a filtered-vertices misuse fails at the call
+    site in any debug run (round-6, VERDICT r5 item 6)."""
+    import pytest
+
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 7)], "src long, dst long")
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG", "1")
+    with pytest.raises(ValueError, match="edge endpoints"):
+        D.connected_components(verts, edges)
+    # non-debug default stays permissive (callers satisfy the
+    # precondition by construction; the check costs a vertices pass)
+    monkeypatch.delenv("SPARK_GRAFT_DEBUG")
+    rows = D.connected_components(verts, edges).collect()
+    assert {(r.id, r.comp) for r in rows} >= {(1, 1), (2, 1)}
+
+
 def test_lsh_band_geometry_properties():
     """Adaptive band sizing (SCALE.md lesson 18): width grows with
     log2(N) so random-collision mass bands*C(N,2)/2^width stays ~linear
