@@ -19,29 +19,39 @@ own finalizer fires — so composed operators release in dependency order.
 
 from __future__ import annotations
 
+import logging
 import weakref
 
 from pyspark.sql import DataFrame
 
+logger = logging.getLogger(__name__)
 
-#: Conservative bound on how many cached bytes one scanned byte can
-#: become through the explode/aggregate chains these operators cache.
-#: Measured instances: sf0.1 shingle index ≈ 8× its 0.6 MB parquet
-#: source; the sf10 index ≈ 17× (tiny vocabulary compresses the cache
-#: poorly). 32× covers both with headroom.
+#: Default bound on how many cached bytes one scanned byte can become
+#: through the explode/aggregate chains these operators cache. This is
+#: an EMPIRICAL ceiling, not a proof: measured instances are the sf0.1
+#: shingle index ≈ 8× its 0.6 MB parquet source and the sf10 index ≈
+#: 17× (tiny vocabulary compresses the cache poorly); 32× covers both
+#: with ~2× headroom. A shape that expands harder — hashed=False string
+#: shingles over highly-compressed parquet is the plausible case —
+#: should pass its own ``expansion_bound`` at the call site rather than
+#: trust this default; the lazy-path log line below is the audit trail
+#: for diagnosing a mis-broadcast that slipped past the bound.
 _EXPANSION_BOUND = 32
 
 
-def _broadcast_risk(df: DataFrame) -> bool:
+def _broadcast_risk(df: DataFrame, expansion_bound: int) -> bool:
     """Could ``df``'s true materialized size exceed the broadcast
     threshold even though Catalyst's estimate says otherwise?
 
     ``False`` only when the source scan's file bytes (accurately known,
-    unlike the post-``Generate`` estimate) prove the cached relation
-    stays broadcast-safe at the most pessimistic expansion — then a
-    mis-estimated broadcast is still a CORRECT broadcast and the eager
-    count buys nothing. Unknown sizes (remote schemes, non-file sources)
-    report ``True``: at production scale, materialize and measure."""
+    unlike the post-``Generate`` estimate) say the cached relation stays
+    broadcast-safe at ``expansion_bound``× growth — then a mis-estimated
+    broadcast is still a CORRECT broadcast and the eager count buys
+    nothing. The guarantee is only as strong as the bound: it holds for
+    every cached-bytes-per-source-byte ratio the engine has measured,
+    not for arbitrary shapes. Unknown sizes (remote schemes, non-file
+    sources) report ``True``: at production scale, materialize and
+    measure."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import _as_bytes, scan_file_sizes
 
     try:
@@ -53,20 +63,25 @@ def _broadcast_risk(df: DataFrame) -> bool:
     sizes = scan_file_sizes(df)
     if sizes is None:
         return True
-    return sum(sizes) * _EXPANSION_BOUND >= threshold
+    return sum(sizes) * expansion_bound >= threshold
 
 
-def eager_stats(df: DataFrame) -> DataFrame:
+def eager_stats(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> DataFrame:
     """Persist ``df`` and materialize it NOW, so joins planned afterwards
     see the cache's MEASURED size instead of Catalyst's estimate.
 
     The materializing ``count()`` is an extra job (~1.5 s fixed cost at
     small SF, measured round 5), so it runs only when it can change a
     decision: when the source scan is big enough — or unsizeable — that
-    the true cached size could cross the broadcast threshold
-    (:func:`_broadcast_risk`). Small sources keep the lazy persist and
-    their (correct) broadcast plans; the sf0.1 driver bench takes the
-    lazy path, the sf10 OOM repro takes the eager one.
+    the true cached size could cross the broadcast threshold at
+    ``expansion_bound``× growth (:func:`_broadcast_risk`; pass a
+    shape-specific bound when the default's measured ceiling doesn't
+    cover the caller's expansion). Small sources keep the lazy persist
+    and their (correct) broadcast plans; the sf0.1 driver bench takes
+    the lazy path, the sf10 OOM repro takes the eager one. Lazy-path
+    decisions are logged (source bytes, bound, threshold) so a future
+    mis-broadcast is diagnosable from the log rather than from a driver
+    OOM autopsy.
 
     Why this exists (sf10 smoke, round 5): explode-derived relations are
     systematically under-estimated — ``Generate`` propagates its child's
@@ -87,8 +102,19 @@ def eager_stats(df: DataFrame) -> DataFrame:
     whose file sizes the planner reads directly.
     """
     df = df.persist()
-    if _broadcast_risk(df):
+    if _broadcast_risk(df, expansion_bound):
         df.count()
+    else:
+        from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_file_sizes
+
+        sizes = scan_file_sizes(df)
+        logger.info(
+            "eager_stats: lazy persist (source %s bytes x bound %s under the "
+            "broadcast threshold) — if this relation later mis-broadcasts, "
+            "raise expansion_bound at this call site",
+            sum(sizes) if sizes else "?",
+            expansion_bound,
+        )
     return df
 
 

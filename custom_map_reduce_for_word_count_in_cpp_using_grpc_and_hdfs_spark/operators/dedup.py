@@ -134,8 +134,10 @@ def jaccard_pairs(
     # itself below, and its Generate-derived size ESTIMATE is ~50x under
     # reality — only a materialized cache makes the broadcast-vs-shuffle
     # decision track the data. The materializing count() is itself gated
-    # on the source scan's file bytes (provably-broadcast-safe sources
-    # keep the lazy persist — see operators/caching.py::eager_stats).
+    # on the source scan's file bytes: sources whose bytes stay under the
+    # broadcast threshold at the MEASURED expansion ceiling keep the lazy
+    # persist (bounded-by-measurement, not a proof — see
+    # operators/caching.py::eager_stats for the bound and its audit log).
     ds = eager_stats(doc_shingles(df, id_col, text_col, n)) if owned else shingles
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     index = ds

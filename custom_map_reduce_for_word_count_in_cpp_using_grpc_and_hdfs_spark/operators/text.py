@@ -80,16 +80,25 @@ def punct_count_sql(text_expr: str) -> str:
 
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Quality-signal feature set. Every ratio is a single division of two
-    exact integers, so values are bit-deterministic."""
+    exact integers, so values are bit-deterministic. Zero-denominator
+    docs (empty or whitespace-only text — real corpora have them) yield
+    NULL ratios rather than an ANSI divide-by-zero: NULL fails every
+    `ratio <= cap` gate comparison, so degenerate docs are dropped, not
+    crashed on (found round 6 when the ADVICE-flagged vacuous edge-doc
+    test branch got real rows)."""
     text = F.col(text) if isinstance(text, str) else text
     n_chars = F.length(text).cast("long")
     n_tokens = token_count_ws(text)
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den)  # NULL when the denominator is 0
+
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "avg_token_len": (n_chars - (n_tokens - 1)) / n_tokens,  # delimiter-adjusted
-        "stopword_ratio": stopword_count(text) / n_tokens,
-        "punct_ratio": punct_count(text) / n_chars,
+        "avg_token_len": ratio(n_chars - (n_tokens - 1), n_tokens),  # delimiter-adjusted
+        "stopword_ratio": ratio(stopword_count(text), n_tokens),
+        "punct_ratio": ratio(punct_count(text), n_chars),
     }
 
 

@@ -263,11 +263,23 @@ def test_perrow_gate_bit_identical_to_profile_gate(spark):
     no shuffle); correctness rests on those per-row values being
     bit-identical to doc_profile's aggregate-derived ones — same token
     array, same integer operands, same single division. Compare every
-    shared column over the full smoke corpus, including the edge docs
-    (empty text, zero tokens) the profile drops via its inner join."""
+    shared column over the full smoke corpus, including edge docs
+    (empty text, whitespace-only text, zero tokens) the profile drops
+    via its inner join. The smoke corpus contains no such docs (ADVICE
+    r5: the left_anti branch was asserting over an empty set), so they
+    are UNIONED in synthetically — the profile-missing branch and the
+    NaN-ratio gate path below run over real rows."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import text as T
 
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (9_000_001, "", "en", "synthetic", 0),
+            (9_000_002, "   ", "en", "synthetic", 3),
+            (9_000_003, "\n\n \n", "en", "synthetic", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").unionByName(edge)
     text = F.col("text")
     feats = T.quality_features(text)
     perrow = docs.select(
@@ -299,4 +311,19 @@ def test_perrow_gate_bit_identical_to_profile_gate(spark):
     assert mismatches == 0
     # docs missing from the profile (no tokens) must fail the gate per-row
     only_perrow = perrow.join(prof.select("doc_id"), "doc_id", "left_anti")
+    assert only_perrow.count() >= 3  # the synthetic edge docs are actually here
     assert only_perrow.where(F.col("n_tokens") >= MIN_TOKENS).count() == 0
+    # and zero-token ratios must be NULL (0/0 guarded), never NaN — a NaN
+    # would sail through `< threshold` comparisons as false yet poison
+    # any arithmetic the gate is composed into
+    edge_rows = perrow.where(F.col("doc_id") >= 9_000_001).collect()
+    assert len(edge_rows) == 3
+    for r in edge_rows:
+        assert r.n_tokens == 0
+        # zero tokens -> NULL token ratios; punct_ratio is NULL only for
+        # the truly empty doc (whitespace-only docs have chars, and 0
+        # punct chars over 3 spaces is a real 0.0)
+        assert r.stopword_ratio is None
+        assert (r.punct_ratio is None) == (r.n_chars == 0)
+        if r.punct_ratio is not None:
+            assert r.punct_ratio == 0.0 and r.punct_ratio == r.punct_ratio  # not NaN
