@@ -146,20 +146,32 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(generate_series(0, n_frames - 1, {MM.FRAME_STRIDE}), ',') AS sampled_frames,
            CAST(NULL AS BIGINT) AS maxval, CAST(NULL AS BIGINT) AS pixel_sum,
            CAST(NULL AS BIGINT) AS r_sum, CAST(NULL AS BIGINT) AS g_sum,
-           CAST(NULL AS BIGINT) AS b_sum
+           CAST(NULL AS BIGINT) AS b_sum, CAST(NULL AS BOOLEAN) AS decode_ok
     FROM decoded
   UNION ALL
     SELECT 'real_decode', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS BIGINT), width, height, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-           CAST(255 AS BIGINT), pixel_sum, r_sum, g_sum, b_sum
+           CAST(255 AS BIGINT), pixel_sum, r_sum, g_sum, b_sum,
+           CAST(NULL AS BOOLEAN)
     FROM pxsums
   UNION ALL
     SELECT 'png_decode', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS BIGINT), width, height, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-           CAST(255 AS BIGINT), pixel_sum, r_sum, g_sum, b_sum
+           CAST(255 AS BIGINT), pixel_sum, r_sum, g_sum, b_sum,
+           CAST(NULL AS BOOLEAN)
     FROM pxsums
+  UNION ALL
+    -- jpeg is LOSSY: exact values are the header dims; the pixel check
+    -- is the in-plan decode_ok bound (recall-invariant pattern). Sampled
+    -- 1-in-10 to bound the Python entropy-decode cost at large SF.
+    SELECT 'jpeg_decode', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), width, height, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), true
+    FROM dims WHERE doc_id % 10 = 0
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,8 +200,19 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       COMPRESSED container — zlib-PNG with per-row filter cycling and
       CRC'd chunks (operators/multimodal.py decode_png, stdlib zlib
       only). Inflate + defilter must reproduce the arithmetic pixel
-      sums bit-exactly, so the compressed-codec seam is now proven, not
-      stubbed; the remaining NotImplementedError covers only JPEG/video.
+      sums bit-exactly, so the compressed-codec seam is proven, not
+      stubbed.
+    - op='jpeg_decode' (round 6): the fixture pixels through a real
+      TRANSFORM codec — baseline JFIF (multimodal.py encode_jpeg /
+      decode_jpeg: DCT, canonical Huffman from the DHT segments, byte
+      stuffing, YCbCr). JPEG is lossy by design, so the driver-exact
+      values are the decoded dimensions and the pixel check is in-plan:
+      decode_ok = max |decoded - arithmetic reference| <= JPEG_TOLERANCE
+      (the recall-invariant pattern; the tolerance is the measured
+      unit-quant round-trip bound, tests/test_multimodal.py). Sampled
+      doc_id % 10 == 0 to bound Python entropy-decode cost at scale.
+      The remaining NotImplementedError seam: subsampled/progressive
+      JPEG and video (PIL/libvips/ffmpeg drop in at decode_image_real).
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = MM.attach_payload(docs)
@@ -201,12 +224,14 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = MM.fake_decode_meta(with_payload)
     nb = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
+    nflag = F.lit(None).cast("boolean")
     meta_rows = meta.join(decoded, "doc_id").select(
         F.lit("meta_decode").alias("op"),
         "doc_id", "payload_md5", "modality", "byte_len", "width", "height", "n_frames",
         "resized_w", "resized_h", "sampled_frames",
         nb.alias("maxval"), nb.alias("pixel_sum"),
         nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
+        nflag.alias("decode_ok"),
     )
     def decoded_rows(op: str, rendered: DataFrame) -> DataFrame:
         return MM.decode_image_stats(rendered).select(
@@ -215,8 +240,19 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width", "height", nb.alias("n_frames"),
             nb.alias("resized_w"), nb.alias("resized_h"), ns.alias("sampled_frames"),
             "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum",
+            nflag.alias("decode_ok"),
         )
 
     real_rows = decoded_rows("real_decode", MM.render_ppm_payloads(docs))
     png_rows = decoded_rows("png_decode", MM.render_png_payloads(docs))
-    return meta_rows.unionAll(real_rows).unionAll(png_rows)
+    jpeg_docs = docs.where(F.col("doc_id") % 10 == 0)
+    jpeg_rows = MM.decode_jpeg_check(MM.render_jpeg_payloads(jpeg_docs)).select(
+        F.lit("jpeg_decode").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), nb.alias("byte_len"),
+        "width", "height", nb.alias("n_frames"),
+        nb.alias("resized_w"), nb.alias("resized_h"), ns.alias("sampled_frames"),
+        nb.alias("maxval"), nb.alias("pixel_sum"),
+        nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
+        "decode_ok",
+    )
+    return meta_rows.unionAll(real_rows).unionAll(png_rows).unionAll(jpeg_rows)

@@ -63,8 +63,63 @@ def test_decode_image_real_dispatch():
     assert MM.decode_image_real(MM.encode_ppm(4, 3, px))["width"] == 4
     assert MM.decode_image_real(MM.encode_bmp(4, 3, px))["height"] == 3
     assert (MM.decode_image_real(MM.encode_png(4, 3, px))["pixels"] == px).all()
+    assert MM.decode_image_real(MM.encode_jpeg(4, 3, px))["width"] == 4
     with pytest.raises(NotImplementedError):
-        MM.decode_image_real(b"\xff\xd8\xff\xe0....")  # JPEG SOI — still a real seam
+        MM.decode_image_real(b"RIFF....AVI LIST")  # video — the remaining seam
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 7), (8, 8), (16, 14), (33, 9)])
+def test_jpeg_roundtrip_within_tolerance(w, h):
+    """Baseline JFIF round-trip: decoded dims exact; unit-quant loss (DCT
+    coefficient rounding + two color-space roundings) bounded by the
+    published JPEG_TOLERANCE. The fixture-pixel pattern plus random noise
+    images (the worst case for DCT rounding) both stay under it."""
+    px = _px(w, h)
+    W, H, maxval, out = MM.decode_jpeg(MM.encode_jpeg(w, h, px))
+    assert (W, H, maxval) == (w, h, 255)
+    assert int(np.abs(out.astype(np.int64) - px.astype(np.int64)).max()) <= MM.JPEG_TOLERANCE
+    rng = np.random.default_rng(w * 100 + h)
+    noise = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    _, _, _, out2 = MM.decode_jpeg(MM.encode_jpeg(w, h, noise))
+    assert int(np.abs(out2.astype(np.int64) - noise.astype(np.int64)).max()) <= MM.JPEG_TOLERANCE
+
+
+def test_jpeg_container_is_real():
+    """The payload is a genuine JFIF stream: SOI/APP0-JFIF lead, EOI
+    trailer, and the decoder builds Huffman codes from the DHT segments —
+    stripping DHT must fail decode, not fall back to module constants."""
+    data = MM.encode_jpeg(6, 5, _px(6, 5))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+    # excise every DHT segment (marker 0xFFC4)
+    import struct as _struct
+
+    out, pos = bytearray(data[:2]), 2
+    while pos < len(data) - 2:
+        marker, seg_len = data[pos + 1], _struct.unpack_from(">H", data, pos + 2)[0]
+        if marker == 0xDA:
+            out += data[pos:]
+            break
+        if marker != 0xC4:
+            out += data[pos : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    with pytest.raises((KeyError, ValueError)):
+        MM.decode_jpeg(bytes(out))
+
+
+def test_jpeg_unsupported_modes_raise():
+    """Subsampled (non-0x11 sampling) and progressive (SOF2) streams hit
+    the documented NotImplementedError seam."""
+    data = bytearray(MM.encode_jpeg(6, 5, _px(6, 5)))
+    sof = data.find(b"\xff\xc0")
+    subsampled = bytearray(data)
+    subsampled[sof + 11] = 0x22  # Y sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        MM.decode_jpeg(bytes(subsampled))
+    progressive = bytearray(data)
+    progressive[sof + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        MM.decode_jpeg(bytes(progressive))
 
 
 @pytest.mark.parametrize("w,h", [(1, 1), (4, 7), (16, 14), (33, 9)])
