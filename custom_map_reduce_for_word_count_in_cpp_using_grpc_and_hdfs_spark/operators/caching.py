@@ -39,7 +39,7 @@ logger = logging.getLogger(__name__)
 _EXPANSION_BOUND = 32
 
 
-def _broadcast_risk(df: DataFrame, expansion_bound: int) -> bool:
+def _broadcast_risk(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> bool:
     """Could ``df``'s true materialized size exceed the broadcast
     threshold even though Catalyst's estimate says otherwise?
 

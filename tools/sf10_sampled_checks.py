@@ -1,0 +1,86 @@
+"""Sampled sf10 oracle checks for pair-explosive operators (VERDICT r5
+item 5: the 100x decade was timing-only in round 5; this gives the
+largest measured scale a correctness signal without materializing the
+full 22M-pair result through the driver).
+
+Method: restrict the corpus to a deterministic 1-in-K id sample and run
+BOTH the Spark operator and the DuckDB brute-force oracle on that
+subset. The sample preserves the fixture's replica structure (ids are
+replica-shifted, so id % K samples uniformly within every replica),
+exercising the operator at sf10's data characteristics — vocabulary,
+fingerprint clustering, text lengths — while keeping the oracle's
+quadratic pair scan feasible.
+
+Usage: python tools/sf10_sampled_checks.py --sf-dir .scratch/sf10 \
+           --out SCALE_R6_SF10_sampled.json [--k 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--k", type=int, default=20, help="keep ids with doc_id % k == 0")
+    a = ap.parse_args()
+    sf_dir = os.path.abspath(a.sf_dir)
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark import get_session
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import dedup as D
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+    from tests.oracle_harness import compare_rows, duckdb_conn
+
+    spark = get_session("sf10-sampled")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_conn(sf_dir)
+    results: dict[str, dict] = {}
+
+    # --- simhash_near_dups on the sampled corpus, vs DuckDB brute force.
+    # The sample still crosses the auto-geometry count gate (its scan is
+    # the full >16 MB documents file), so the sharded B is what runs —
+    # pin n_blocks to the geometry the FULL corpus picks, making this a
+    # check of the exact plan shape the timing run used.
+    t0 = time.perf_counter()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_blocks = D.simhash_block_geometry(n_docs)
+    sampled = docs.where(F.col("doc_id") % a.k == 0)
+    sdf = D.simhash_near_dups(sampled, max_distance=3, n_blocks=n_blocks)
+    oracle = f"""
+    WITH s AS ({D.simhash_sql(table=f"(SELECT * FROM documents WHERE doc_id % {a.k} = 0)")})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    rec = {"sample_mod": a.k, "n_blocks": n_blocks, "n_docs_full": n_docs}
+    try:
+        cur = con.execute(oracle)
+        compare_rows(sdf, cur, "dedup_simhash_near[sampled]")
+        rec["status"] = "hash_exact"
+        rec["rows"] = sdf.count()
+    except AssertionError as exc:
+        rec["status"], rec["err"] = "MISMATCH", str(exc)[:800]
+    except Exception as exc:  # noqa: BLE001
+        rec["status"], rec["err"] = "error", f"{type(exc).__name__}: {exc}"[:500]
+    rec["sec"] = round(time.perf_counter() - t0, 3)
+    results["dedup_simhash_near_sampled"] = rec
+    print("dedup_simhash_near_sampled", rec, flush=True)
+
+    with open(a.out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "checks": results}, f, indent=1)
+    print("->", a.out)
+
+
+if __name__ == "__main__":
+    main()
