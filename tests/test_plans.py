@@ -310,7 +310,14 @@ HEADLINE_PLAN_CEILINGS = {
     "text_doc_profile": (3, 0, 0),
     "stream_window_suite": (0, 0, 0),
     "pipeline_corpus_curation": (7, 0, 0),
-    "rel_sketch_suite": (31, 3, 0),
+    # 32 (round 6): the single-pass weighted cms build consumes
+    # exact_counts under three consumers (weighted rollup build, probe
+    # keys, final join) — one more DISTINCT Exchange node id in the
+    # static plan text, but the duplicated subtrees are identical (AQE
+    # reuses the materialized shuffle stage at runtime) and the explode
+    # they feed is vocab-sized instead of token-stream-sized: measured
+    # 3.12 -> 2.55 s at sf0.1 (BASELINE.md §I.2).
+    "rel_sketch_suite": (32, 3, 0),
     "wc_zipf_plain": (2, 0, 0),
     "wc_zipf_salted": (3, 0, 0),
     "dedup_cosine_corpus": (5, 0, 0),
