@@ -565,44 +565,45 @@ def simhash_block_geometry(
     n_docs: int,
     max_distance: int = 3,
     bits: int = SIMHASH_BITS,
-    budget_per_doc: int = 16,
-    max_combos: int = 70,
+    margin_bits: int = 13,
+    max_combos: int = 40,
 ) -> int:
     """Number of pigeonhole blocks B for :func:`simhash_near_dups`,
-    sized so the RANDOM-collision candidate mass of the block join
-    stays ~linear in corpus size (the round-5 sf10 lesson, measured
-    there as 13.7x wall per 10x data with the fixed B = d+1 shape).
+    sized so the block join's key space outruns the corpus (the
+    round-5 sf10 lesson: fixed B = d+1 measured 13.7x wall per 10x
+    data).
 
     A distance-<=d pair agrees on >= B-d of B blocks, so candidates
-    come from equi-joins on every (B-d)-block combination. Key width
-    grows with B (B=4: one 14-bit block; B=5: two blocks, 22 bits;
-    B=6: three blocks, 27 bits), so for uniform fingerprints the
-    expected random collision mass is C(B,d) * C(N,2) / 2^key_bits.
-    B is the SMALLEST value whose mass is <= budget_per_doc * N —
-    bigger B costs a wider explode (C(B,d) rows/doc) and a longer
-    canonical-combo predicate, so the knob stops as soon as collisions
-    are linear. budget_per_doc=16 keeps random-collision work the same
-    order as the C(B,d)-row explode itself, with margin for the
-    uniform-fingerprint model's optimism (real fingerprints cluster —
-    the sf10 fixture measured 13.7x/decade at B=4/N=500k, which this
-    budget moves to B=5). The bound is a sizing tool, not a recall
-    claim: recall is exactly 1.0 for every B by the pigeonhole
-    argument, which the sharded-vs-default equality test pins
-    (tests/test_dedup_similarity)."""
-    from itertools import combinations
+    come from equi-joins on every (B-d)-block combination; key width
+    grows with B (B=4: one 14-bit block; B=5: 22 bits; B=6: 27;
+    B=7: 32). B is the smallest value with key_bits >= log2(N) +
+    margin_bits, capped at C(B,d) <= max_combos.
+
+    The margin is MEASURED, not modeled: a uniform-fingerprint
+    collision model (mass = C(B,d)*C(N,2)/2^key_bits) says ~2 extra
+    bits suffice, but real fingerprints CLUSTER — similar docs share
+    block values far above uniform rates — and the round-6 sf10 sweep
+    (N=500k, B=4/5/6/7/8 -> 221/100/64/54/75 s) put the optimum at
+    key_bits ~ log2(N)+13, where the uniform model had already gone
+    flat. Past that point the C(B,d)-row explode and the per-true-pair
+    emission multiplier (a near-identical pair surfaces once per
+    agreeing combo) take over — hence the combo cap, which also stops
+    at the measured B=8 inflection. Recall is exactly 1.0 for every B
+    by the pigeonhole argument, pinned by the sharded-vs-default
+    equality test (tests/test_dedup_similarity)."""
+    from math import comb, log2
 
     d = max_distance
+    target = log2(max(n_docs, 2)) + margin_bits
     best = d + 1
     for n_blocks in range(d + 1, bits // 4 + 1):
-        n_combos = len(list(combinations(range(n_blocks), n_blocks - d)))
-        if n_combos > max_combos:
+        if comb(n_blocks, d) > max_combos:
             break
         base, extra = divmod(bits, n_blocks)
         widths = sorted(base + (1 if i < extra else 0) for i in range(n_blocks))
         key_bits = sum(widths[: n_blocks - d])  # conservative: smallest blocks
-        mass = n_combos * n_docs * (n_docs - 1) / 2 / float(1 << min(key_bits, 62))
         best = n_blocks
-        if mass <= budget_per_doc * max(n_docs, 1):
+        if key_bits >= target:
             break
     return best
 

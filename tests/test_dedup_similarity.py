@@ -64,19 +64,20 @@ def test_simhash_sharded_blocks_identical_result(spark):
 
 
 def test_simhash_block_geometry_scales_with_corpus():
-    """Geometry stays at the d+1 classic shape for small corpora and
-    widens the join key once the 14-bit key space would go quadratic;
-    the combo count never exceeds the explode budget."""
-    from itertools import combinations
+    """Geometry targets key_bits ~ log2(N) + the measured clustering
+    margin (SCALE.md lesson 26 / BASELINE §K): the sf10 sweep put the
+    optimum at B=7 for N=500k, and the combo cap stops the explode at
+    the measured B=8 inflection."""
+    from math import comb
 
-    assert D.simhash_block_geometry(5_000) == 4
-    assert D.simhash_block_geometry(50_000) == 4
-    big = D.simhash_block_geometry(500_000)
-    assert big >= 5  # the sf10 corpus size must shard
-    assert D.simhash_block_geometry(100_000_000) >= big  # monotone growth
-    for n in (500_000, 100_000_000, 10**10):
+    assert D.simhash_block_geometry(500_000) == 7  # the measured sf10 optimum
+    small = D.simhash_block_geometry(5_000)
+    assert 4 <= small <= D.simhash_block_geometry(500_000)  # monotone-ish
+    for n in (5_000, 500_000, 100_000_000, 10**10):
         B = D.simhash_block_geometry(n)
-        assert len(list(combinations(range(B), B - 3))) <= 70
+        assert comb(B, 3) <= 40  # explode budget: measured B=8 (70 combos) is past optimum
+    # tiny corpora never pay the count job at all: the scan-bytes gate in
+    # simhash_near_dups short-circuits to B = d+1 before geometry runs
 
 
 def test_ann_lsh_recall(spark):

@@ -26,6 +26,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+#: Registry queries checked on the sampled dir (registry fn + registry
+#: oracle, both unchanged — the sample dir makes `documents` smaller,
+#: nothing else). These are the ones whose ORACLE is the sf10 bottleneck
+#: (per-char fingerprint folds / recursive CTE over 500k docs).
+SAMPLED_REGISTRY = ["dedup_exact_suite", "dedup_components"]
+
+
+def make_sampled_dir(sf_dir: str, k: int) -> str:
+    """A parquet dir where documents is the doc_id % k == 0 slice and
+    every other table is a symlink to the full-scale file, so registry
+    loaders and the DuckDB view harness work unchanged."""
+    import duckdb
+
+    out = os.path.join(sf_dir, f"_sampled_mod{k}")
+    os.makedirs(out, exist_ok=True)
+    target = os.path.join(out, "documents.parquet")
+    if not os.path.exists(target):
+        duckdb.connect().execute(
+            f"COPY (SELECT * FROM '{sf_dir}/documents.parquet' WHERE doc_id % {k} = 0) "
+            f"TO '{target}' (FORMAT PARQUET)"
+        )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        link = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), link)
+    return out
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -76,6 +104,28 @@ def main() -> None:
     rec["sec"] = round(time.perf_counter() - t0, 3)
     results["dedup_simhash_near_sampled"] = rec
     print("dedup_simhash_near_sampled", rec, flush=True)
+
+    # --- registry queries whose ORACLES are the sf10 bottleneck: run
+    # query + oracle unchanged against the sampled dir.
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import ORACLE_SQL, QUERIES
+
+    sampled_dir = make_sampled_dir(sf_dir, a.k)
+    scon = duckdb_conn(sampled_dir)
+    for name in SAMPLED_REGISTRY:
+        t0 = time.perf_counter()
+        rec = {"sample_mod": a.k}
+        try:
+            sdf = QUERIES[name](spark, sampled_dir)
+            compare_rows(sdf, scon.execute(ORACLE_SQL[name]), f"{name}[sampled]")
+            rec["status"] = "hash_exact"
+            rec["rows"] = sdf.count()
+        except AssertionError as exc:
+            rec["status"], rec["err"] = "MISMATCH", str(exc)[:800]
+        except Exception as exc:  # noqa: BLE001
+            rec["status"], rec["err"] = "error", f"{type(exc).__name__}: {exc}"[:500]
+        rec["sec"] = round(time.perf_counter() - t0, 3)
+        results[f"{name}_sampled"] = rec
+        print(f"{name}_sampled", rec, flush=True)
 
     with open(a.out, "w") as f:
         json.dump({"sf_dir": sf_dir, "checks": results}, f, indent=1)
