@@ -29,6 +29,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 
+def session_hygiene(spark):
+    """Reclaim cross-query session state between heavy queries.
+
+    Spark's ContextCleaner frees dead broadcast/shuffle/cache blocks only
+    when the DRIVER JVM garbage-collects the corresponding driver-side
+    objects — and a mostly-allocating 8 GB heap can go many minutes
+    between full GCs, so block debris from queries 1..k-1 stays pinned
+    while query k runs. Measured failure mode (round 6): the 7-query sf10
+    sequence with oracle comparisons interleaved OOM'd on the LAST query
+    (`dedup_cosine_corpus`, java heap in a Cast), yet the same query is
+    clean in a fresh session — accumulation, not the operator. Python-side
+    `gc.collect()` first so DataFrame/Broadcast wrappers caught in
+    reference cycles actually release their JVM handles, then a JVM
+    System.gc() so ContextCleaner processes the newly dead references
+    before the next query allocates."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001 — local-mode hygiene
+    except Exception:  # pragma: no cover — connect-mode session has no _jvm
+        pass
+
+
 def run_one(spark, con, name, fn, oracle, sf_dir, budget):
     from tests.oracle_harness import compare_rows
 
@@ -105,6 +129,7 @@ def main():
     for name in names:
         fn = QUERIES[name] if name in QUERIES else extra[name]
         rec = run_one(spark, con, name, fn, ORACLE_SQL.get(name), sf_dir, a.oracle_budget)
+        session_hygiene(spark)
         results[name] = rec
         print(
             f"{name:34s} {rec['status']:22s} spark={rec['spark_sec']}s "

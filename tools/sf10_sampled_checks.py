@@ -104,6 +104,9 @@ def main() -> None:
     rec["sec"] = round(time.perf_counter() - t0, 3)
     results["dedup_simhash_near_sampled"] = rec
     print("dedup_simhash_near_sampled", rec, flush=True)
+    from tools.scale_run import session_hygiene
+
+    session_hygiene(spark)
 
     # --- registry queries whose ORACLES are the sf10 bottleneck: run
     # query + oracle unchanged against the sampled dir.
@@ -126,6 +129,7 @@ def main() -> None:
         rec["sec"] = round(time.perf_counter() - t0, 3)
         results[f"{name}_sampled"] = rec
         print(f"{name}_sampled", rec, flush=True)
+        session_hygiene(spark)
 
     with open(a.out, "w") as f:
         json.dump({"sf_dir": sf_dir, "checks": results}, f, indent=1)
