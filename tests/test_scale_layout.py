@@ -216,3 +216,30 @@ def test_single_row_group_layout_resilience(spark):
         f"single-row-group layout {t_single:.2f}s vs re-laid {t_relaid:.2f}s — "
         "scan-parallelism guard regressed (plans/parallelism.spread)"
     )
+
+
+def test_session_hygiene_reclaims_between_queries(spark):
+    """tools/scale_run.session_hygiene must run cleanly mid-session and
+    leave no persisted blocks behind — the round-6 sf10 sequence OOM'd
+    on query 7 because ContextCleaner had no GC to ride between heavy
+    queries (SCALE.md lesson 27). The assertable part locally: the
+    helper executes against a live session, drops Python-side cycles,
+    and the JVM storage status shows no retained cached RDDs afterward."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.scale_run import session_hygiene
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cached = docs.persist()
+    cached.count()
+    # a Python reference cycle holding a DataFrame — the shape gc.collect()
+    # exists to break (refcounting alone never frees it)
+    a: dict = {"df": cached}
+    b = {"peer": a}
+    a["peer"] = b
+    del a, b, cached
+    spark.catalog.clearCache()
+    session_hygiene(spark)
+    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001 — storage introspection
+    assert jsc.getPersistentRDDs().size() == 0
