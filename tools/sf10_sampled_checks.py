@@ -30,7 +30,15 @@ from pyspark.sql import functions as F
 #: oracle, both unchanged — the sample dir makes `documents` smaller,
 #: nothing else). These are the ones whose ORACLE is the sf10 bottleneck
 #: (per-char fingerprint folds / recursive CTE over 500k docs).
-SAMPLED_REGISTRY = ["dedup_exact_suite", "dedup_components"]
+SAMPLED_REGISTRY = [
+    "dedup_exact_suite",
+    "dedup_components",
+    # the curation oracle is a recursive CTE whose cost tracks |documents|²
+    # in the worst case (sf1: 317 s); the 1-in-K sample keeps it tractable
+    # while the Spark side still exercises the full gate->dedup->cluster->
+    # sample chain at sf10's data characteristics
+    "pipeline_corpus_curation",
+]
 
 
 def make_sampled_dir(sf_dir: str, k: int) -> str:
