@@ -134,3 +134,29 @@ def tie_cache_lifetime(result: DataFrame, *frames: DataFrame) -> DataFrame:
 
     weakref.finalize(result, _release)
     return result
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage for an iterative operator's per-round frame:
+    reliable ``checkpoint()`` when the session has a checkpoint directory
+    configured, executor-local ``localCheckpoint()`` otherwise.
+
+    The distinction is fault-tolerance posture, not semantics (both
+    materialize and cut lineage). ``localCheckpoint`` stores blocks in
+    executor memory/disk — if an executor dies mid-iteration the blocks
+    are gone AND the lineage needed to recompute them was discarded, so
+    the whole job fails; acceptable in a single-JVM local session, not in
+    a 1000-executor job whose label-propagation loop runs for minutes.
+    Setting ``spark.sparkContext.setCheckpointDir(<reliable store>)``
+    (HDFS/S3 on a real cluster) flips every iterative operator to
+    reliable checkpoints with no call-site changes: blocks land in the
+    shared store and survive any executor. The extra I/O is one write +
+    one read of a frame that is already being materialized for the
+    convergence count, once per round."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()  # noqa: SLF001
+    except Exception:
+        # connect-mode session: no JVM handle; local semantics apply
+        has_dir = False
+    return df.checkpoint() if has_dir else df.localCheckpoint()

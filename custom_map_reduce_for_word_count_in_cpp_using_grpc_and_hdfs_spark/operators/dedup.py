@@ -37,7 +37,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions
     poly_hash_token,
     poly_hash_token_sql,
 )
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, tie_cache_lifetime
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, materialize, tie_cache_lifetime
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col, tokens_sql
 
 
@@ -397,7 +397,10 @@ def connected_components(
     geometrically, so convergence is O(log diameter) — a 1M-node path
     graph needs ~20 rounds, not 1M (the chain-shaped near-dup cluster
     is exactly the transitive case this operator exists for). Per round
-    the frame is localCheckpoint()ed: iterative self-referential plans
+    the frame is materialized (caching.materialize — reliable
+    ``checkpoint()`` when the session has a checkpoint dir, so a
+    1000-executor run survives executor loss mid-loop; executor-local
+    ``localCheckpoint()`` otherwise): iterative self-referential plans
     otherwise grow lineage exponentially, and the convergence check
     (count of changed labels) is the natural materialization point.
     At 100 TB this is the standard hash-min + pointer-jumping pattern
@@ -436,22 +439,21 @@ def connected_components(
     # materialize the vertex frame once — the singleton anti-join re-reads
     # it, and vertices often come from an expensive upstream (the pipeline
     # passes the exact-dedup survivor set)
-    all_labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    all_labels = materialize(
+        vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp"))
+    )
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
         edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
     )
     # materialize the edge list once — the loop re-reads it every round,
     # and edges often come from an expensive upstream (e.g. a Jaccard
     # similarity join) that must not be recomputed per iteration
-    sym = sym.localCheckpoint()
+    sym = materialize(sym)
     # sym holds both directions, so grouping on "a" covers every endpoint
-    labels = (
+    labels = materialize(
         sym.groupBy("a")
         .agg(F.min("b").alias("nb"))
         .select(F.col("a").alias("vid"), F.least("a", "nb").alias("comp"))
-        .localCheckpoint()
     )
     singletons = all_labels.join(labels.select("vid"), "vid", "left_anti")
     if check_vertices:
@@ -470,14 +472,13 @@ def connected_components(
             .groupBy("vid")
             .agg(F.min("msg").alias("msg"))
         )
-        propagated = (
+        propagated = materialize(
             labels.join(msgs, "vid", "left")
             .select(
                 "vid",
                 F.col("comp").alias("old_comp"),
                 F.least(F.col("comp"), F.coalesce(F.col("msg"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
         )
         # path halving: every vertex adopts its label's label, contracting
         # chains geometrically (labels are always vertex ids, so the
@@ -485,14 +486,13 @@ def connected_components(
         lookup = propagated.select(
             F.col("vid").alias("l_vid"), F.col("comp").alias("l_comp")
         )
-        proposed = (
+        proposed = materialize(
             propagated.join(lookup, propagated.comp == lookup.l_vid, "left")
             .select(
                 "vid",
                 "old_comp",
                 F.least(F.col("comp"), F.coalesce(F.col("l_comp"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = proposed.where(F.col("comp") != F.col("old_comp")).count()
         labels = proposed.select("vid", "comp")

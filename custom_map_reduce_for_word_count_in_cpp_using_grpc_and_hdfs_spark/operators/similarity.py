@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions.vector import cosine, dot, norm2
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, tie_cache_lifetime
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, materialize, tie_cache_lifetime
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
 
 #: Fixed seed for the hyperplane projections — part of the operator
@@ -470,8 +470,9 @@ def ivf_centroids(
     one entirely in-plan — assignment via the broadcast one-row centroid
     relation, per-dimension means, collect_list re-assembly, and an
     empty-bucket coalesce against the previous centroids — and
-    localCheckpoint() materializes the k-row frame on EXECUTORS to keep
-    the iterative lineage flat. Exactly two driver materializations
+    caching.materialize() keeps the iterative lineage flat (the k-row
+    frame lands on executors, or in the reliable checkpoint store when
+    the session configures one). Exactly two driver materializations
     total, both k-bounded: the seed sample (4k rows) and the final
     centroid fetch at convergence."""
     spark = corpus.sparkSession
@@ -516,14 +517,13 @@ def ivf_centroids(
         )
         # a bucket that captured no points keeps its previous centroid
         # (the old driver-side loop had the same rule, implicitly)
-        flat = (
+        flat = materialize(
             flat.alias("p")
             .join(new_flat.alias("n"), F.col("p.bucket") == F.col("n.bucket"), "left")
             .select(
                 F.col("p.bucket").alias("bucket"),
                 F.coalesce(F.col("n.cvec"), F.col("p.cvec")).alias("cvec"),
             )
-            .localCheckpoint()
         )
     final = flat.orderBy("bucket").collect()
     return np.array([r.cvec for r in final], dtype="float64")

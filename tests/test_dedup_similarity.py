@@ -454,3 +454,34 @@ def test_eager_stats_count_gated_on_source_bytes(spark):
         assert _broadcast_risk(D.doc_shingles(mem)) is False
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_materialize_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """Fault-tolerance posture seam (caching.materialize): with a
+    checkpoint dir configured the iterative operators switch every
+    per-round materialization from executor-local blocks (lost with the
+    executor, and the lineage to rebuild them already truncated) to
+    reliable checkpoints in the shared store — same labels, and the
+    store must actually receive data. Local mode stays on
+    localCheckpoint when no dir is set (the rest of the suite covers
+    that default)."""
+    import os
+
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(7)], "src long, dst long")
+    want = {(i, 0) for i in range(8)}
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "reliable_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        got = {(r.id, r.comp) for r in D.connected_components(verts, edges).collect()}
+        assert got == want
+        written = [
+            os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+        ]
+        assert written, "no checkpoint data written despite configured dir"
+    finally:
+        # reset to local-mode semantics for the rest of the session
+        sc._jsc.sc().setCheckpointDir(None)  # noqa: SLF001
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()  # noqa: SLF001
