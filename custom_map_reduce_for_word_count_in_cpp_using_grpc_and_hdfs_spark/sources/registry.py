@@ -78,3 +78,25 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     (slave.cc:41-134) are subsumed.
     """
     return spark.read.text(path)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Raw-file multimodal ingest: a directory (or object-store prefix) of
+    opaque files as DataFrame[path, modificationTime, length, content:
+    binary] via Spark's built-in ``binaryFile`` source — the shape
+    multimodal corpora actually arrive in at scale (millions of image/
+    audio files under a prefix), feeding the same mapInPandas decode
+    plumbing as parquet binary columns (operators/multimodal.py).
+
+    Scale posture: the source parallelizes by file (one row per file,
+    files assigned to tasks by size bins), prunes on ``pathGlobFilter``
+    BEFORE reading bytes, and never splits a file — correct for codec
+    payloads, which are not record-splittable. For corpora of many small
+    files the production move is still compaction into parquet binary
+    columns (one task per row group instead of per file, and column
+    pruning skips payload bytes when a query reads only metadata); this
+    source is the ingest edge that builds those tables."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -166,3 +166,37 @@ def test_render_decode_pipeline(spark):
         assert row["pixel_sum"] == px.sum()
         assert row["r_sum"] == px[:, :, 0].sum()
         assert row["b_sum"] == px[:, :, 2].sum()
+
+
+def test_binary_dir_ingest_matches_column_route(spark, tmp_path):
+    """Raw-file ingest seam (sources.read_binary_dir): a directory of
+    opaque image FILES read through Spark's binaryFile source must feed
+    the same mapInPandas decode plumbing as parquet binary columns and
+    produce identical per-image stats. Also pins the two source
+    behaviors the ingest relies on: pathGlobFilter prunes non-matching
+    files before any bytes are read into rows, and content arrives
+    unsplit (codec payloads are not record-splittable)."""
+    from pyspark.sql import functions as F
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import read_binary_dir
+
+    want = {}
+    for doc_id in range(6):
+        w, h = 5 + doc_id, 4 + (doc_id % 3)
+        px = _px(w, h, seed=doc_id).astype(np.int64)
+        payload = MM.encode_ppm(w, h, px.astype(np.uint8))
+        (tmp_path / f"img_{doc_id}.ppm").write_bytes(payload)
+        want[doc_id] = (w, h, int(px.sum()))
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    files = read_binary_dir(spark, str(tmp_path), glob="*.ppm")
+    assert files.count() == 6  # the .txt is pruned by the glob, not decoded
+    ingested = files.select(
+        F.regexp_extract("path", r"img_(\d+)\.ppm$", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("img"),
+    )
+    out = {r["doc_id"]: r for r in MM.decode_image_stats(ingested).collect()}
+    assert set(out) == set(want)
+    for doc_id, (w, h, s) in want.items():
+        row = out[doc_id]
+        assert (row["width"], row["height"], row["pixel_sum"]) == (w, h, s)
