@@ -54,9 +54,12 @@ def decode_image_real(payload_bytes: bytes) -> dict:
     PPM (P6) and BMP (uncompressed 24-bit) are decoded for real in pure
     numpy below — no media libraries needed. Compressed formats
     (JPEG/PNG/video) require codec libraries this container does not
-    ship, so those raise with the exact production drop-in documented
-    (PIL/libvips/ffmpeg slot in at this seam; the mapInPandas plumbing
-    around it is identical — see :func:`decode_image_stats`).
+    ship; PPM, BMP, zlib-PNG and baseline JPEG (4:4:4 and subsampled
+    4:2:0/4:2:2) decode natively below — the remaining seam is
+    progressive JPEG and video, which raise with the exact production
+    drop-in documented (PIL/libvips/ffmpeg slot in at this seam; the
+    mapInPandas plumbing around it is identical — see
+    :func:`decode_image_stats`).
     """
     if payload_bytes[:2] == b"P6":
         w, h, maxval, px = decode_ppm(payload_bytes)
@@ -69,9 +72,9 @@ def decode_image_real(payload_bytes: bytes) -> dict:
     else:
         raise NotImplementedError(
             "video codecs need ffmpeg, which this environment does not "
-            "ship; PPM, BMP, zlib-PNG and baseline 4:4:4 JPEG decode "
-            "natively here (subsampled/progressive JPEG raises inside "
-            "decode_jpeg with the production drop-in documented)"
+            "ship; PPM, BMP, zlib-PNG and baseline JPEG (4:4:4 + "
+            "subsampled) decode natively here (progressive JPEG raises "
+            "inside decode_jpeg with the production drop-in documented)"
         )
     return {"width": w, "height": h, "maxval": maxval, "pixels": px}
 
@@ -289,7 +292,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 # --------------------------------------------------------------------------
-# JPEG: baseline sequential DCT (ITU-T T.81), 8-bit, 3 components, 4:4:4.
+# JPEG: baseline sequential DCT (ITU-T T.81), 8-bit, 3 components,
+# 4:4:4 or subsampled (4:2:0 H2V2 — the dominant camera/web layout —
+# and any integer Hi/Vi geometry on the decode side).
 # A real TRANSFORM codec in pure numpy: JFIF container, DQT/SOF0/DHT/SOS
 # marker grammar, canonical Huffman entropy coding (tables shipped in and
 # parsed back out of the DHT segments — the decoder builds its codes from
@@ -298,9 +303,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 # transform. JPEG is lossy by construction, so unlike PPM/BMP/PNG the
 # round-trip is verified against an in-plan error BOUND (see
 # decode_jpeg_check / JPEG_TOLERANCE) rather than exact pixel sums.
-# Subsampled (4:2:0) and progressive JPEG raise NotImplementedError —
-# that, plus video, is now the entire codec seam; PIL/libvips/ffmpeg
-# remain the production drop-in at decode_image_real.
+# Progressive JPEG raises NotImplementedError — that, plus video, is
+# now the entire codec seam; PIL/libvips/ffmpeg remain the production
+# drop-in at decode_image_real.
 # --------------------------------------------------------------------------
 
 
@@ -392,54 +397,90 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(width: int, height: int, pixels: np.ndarray) -> bytes:
-    """Baseline JFIF encoder: 4:4:4, unit quantization tables (spec-valid;
-    the residual loss is DCT coefficient rounding only), engine Huffman
-    tables shipped via DHT."""
+def _encode_block(w: "_BitWriter", block: np.ndarray, prev_dc: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """DCT + quantize (unit tables) + entropy-code ONE level-shifted 8x8
+    block; returns the block's DC value (the next block's predictor)."""
+    coef = np.rint(_DCT_M @ (block - 128.0) @ _DCT_M.T).astype(np.int64)
+    zz = coef.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    t, lo = _magnitude(diff)
+    code, length = dc_codes[t]
+    w.write(code, length)
+    if t:
+        w.write(lo, t)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        t, lo = _magnitude(v)
+        code, length = ac_codes[(run << 4) | t]
+        w.write(code, length)
+        w.write(lo, t)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(width: int, height: int, pixels: np.ndarray, subsampling: str = "444") -> bytes:
+    """Baseline JFIF encoder: unit quantization tables (spec-valid; the
+    residual loss is DCT coefficient rounding only), engine Huffman
+    tables shipped via DHT. ``subsampling``: '444' (one 8x8 block per
+    component per MCU) or '420' (H2V2: 16x16 MCUs — four Y blocks plus
+    one Cb and one Cr from 2x2-mean-downsampled chroma planes, the
+    layout most camera/web JPEGs use)."""
     if pixels.shape != (height, width, 3):
         raise ValueError(f"pixel block {pixels.shape} != ({height}, {width}, 3)")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     ycc = _rgb_to_ycbcr(pixels)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = np.pad(
-        ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
-    )
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
     w = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for comp in range(3):
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] - 128.0
-                coef = np.rint(_DCT_M @ block @ _DCT_M.T).astype(np.int64)
-                zz = coef.reshape(-1)[_ZIGZAG]
-                diff = int(zz[0]) - prev_dc[comp]
-                prev_dc[comp] = int(zz[0])
-                t, lo = _magnitude(diff)
-                code, length = dc_codes[t]
-                w.write(code, length)
-                if t:
-                    w.write(lo, t)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for i in range(1, last + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    t, lo = _magnitude(v)
-                    code, length = ac_codes[(run << 4) | t]
-                    w.write(code, length)
-                    w.write(lo, t)
-                    run = 0
-                if last < 63:
-                    code, length = ac_codes[0x00]  # EOB
-                    w.write(code, length)
+    if subsampling == "444":
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        padded = np.pad(
+            ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
+        )
+        for by in range(bh):
+            for bx in range(bw):
+                for comp in range(3):
+                    block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
+                    prev_dc[comp] = _encode_block(w, block, prev_dc[comp], dc_codes, ac_codes)
+        sampling = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:  # 4:2:0 — 16x16 MCUs, chroma 2x2-mean downsampled
+        mw, mh = (width + 15) // 16, (height + 15) // 16
+        padded = np.pad(
+            ycc, ((0, mh * 16 - height), (0, mw * 16 - width), (0, 0)), mode="edge"
+        )
+        y_plane = padded[..., 0]
+        chroma = [
+            padded[..., c].reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+            for c in (1, 2)
+        ]
+        for my in range(mh):
+            for mx in range(mw):
+                for byy in range(2):  # four Y blocks, row-major within the MCU
+                    for bxx in range(2):
+                        r0, c0 = my * 16 + byy * 8, mx * 16 + bxx * 8
+                        prev_dc[0] = _encode_block(
+                            w, y_plane[r0 : r0 + 8, c0 : c0 + 8], prev_dc[0], dc_codes, ac_codes
+                        )
+                for comp, plane in enumerate(chroma, start=1):
+                    block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                    prev_dc[comp] = _encode_block(w, block, prev_dc[comp], dc_codes, ac_codes)
+        sampling = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
     entropy = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -447,11 +488,7 @@ def encode_jpeg(width: int, height: int, pixels: np.ndarray) -> bytes:
 
     qt = bytes([1] * 64)
     dqt = seg(0xFFDB, bytes([0x00]) + qt) + seg(0xFFDB, bytes([0x01]) + qt)
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + sampling)
     dht = b"".join(
         seg(0xFFC4, bytes([cls_id]) + bytes(bits) + bytes(syms))
         for cls_id, bits, syms in (
@@ -496,18 +533,21 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Generic baseline JPEG decoder: walks the marker stream, builds
-    Huffman tables FROM the DHT segments, entropy-decodes the 4:4:4
-    interleaved scan, dequantizes via the DQT tables, inverse-zigzags,
-    IDCTs and converts JFIF YCbCr back to RGB. Subsampled or progressive
-    streams raise NotImplementedError (PIL/libvips are the production
-    drop-in at the decode_image_real seam)."""
+    Huffman tables FROM the DHT segments, entropy-decodes the interleaved
+    scan MCU by MCU at the sampling geometry the SOF0 declares (4:4:4,
+    4:2:0, 4:2:2 — any integer Hi/Vi dividing Hmax/Vmax), dequantizes
+    via the DQT tables, inverse-zigzags, IDCTs, replication-upsamples
+    subsampled chroma planes to full resolution and converts JFIF YCbCr
+    back to RGB. Progressive streams raise NotImplementedError
+    (PIL/libvips are the production drop-in at the decode_image_real
+    seam)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comps: list[tuple[int, int, int]] = []  # (id, quant_id, sampling)
+    comps: list[tuple[int, int, int, int]] = []  # (id, quant_id, h_i, v_i)
     scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_table, ac_table)
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -540,12 +580,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             _, height, width, nc = struct.unpack_from(">BHHB", data, 0)
             for i in range(nc):
                 cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (only 4:4:4 decodes natively; "
-                        "PIL/libvips is the production drop-in)"
-                    )
-                comps.append((cid, tq, hv))
+                comps.append((cid, tq, hv >> 4, hv & 0xF))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential JPEG (SOF0)")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -559,6 +594,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += seg_len
     if width is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
+    if len(scan) != len(comps):
+        # non-interleaved multi-scan baseline: sampling factors don't
+        # apply per T.81 and data-unit order is plane-raster — a layout
+        # neither JFIF encoders nor this engine's fixtures emit
+        raise NotImplementedError("only single-interleaved-scan baseline JPEG")
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if any(hmax % c[2] or vmax % c[3] for c in comps):
+        raise NotImplementedError("non-integer chroma sampling ratio")
 
     def read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
@@ -570,40 +614,56 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("invalid Huffman code in scan")
 
     reader = _BitReader(payload[pos:])
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = np.zeros((3, bh * 8, bw * 8), dtype=np.float64)
+    # MCU grid: hmax*8 x vmax*8 pixels per MCU; component ci contributes
+    # h_i x v_i blocks per MCU into its own (possibly subsampled) plane
+    mw, mh = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    planes = [np.zeros((mh * 8 * c[3], mw * 8 * c[2]), dtype=np.float64) for c in comps]
     prev_dc = [0] * len(scan)
     inv_zz = np.argsort(_ZIGZAG)
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mh):
+        for mx in range(mw):
             for si, (ci, dc_t, ac_t) in enumerate(scan):
-                zz = np.zeros(64, dtype=np.int64)
-                t = read_symbol(reader, huff[(0, dc_t)])
-                diff = _extend(reader.bits(t), t) if t else 0
-                prev_dc[si] += diff
-                zz[0] = prev_dc[si]
-                k = 1
-                while k < 64:
-                    rs = read_symbol(reader, huff[(1, ac_t)])
-                    if rs == 0x00:  # EOB
-                        break
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC run/size")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                # DQT stores quantizers in zigzag order (T.81 B.2.4.1),
-                # matching zz — dequantize first, then inverse-zigzag
-                coef = zz * qt[comps[ci][1]]
-                block = coef[inv_zz].reshape(8, 8)
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT_M.T @ block @ _DCT_M + 128.0
-                )
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+                _, tq, hi, vi = comps[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = read_symbol(reader, huff[(0, dc_t)])
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        prev_dc[si] += diff
+                        zz[0] = prev_dc[si]
+                        k = 1
+                        while k < 64:
+                            rs = read_symbol(reader, huff[(1, ac_t)])
+                            if rs == 0x00:  # EOB
+                                break
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC run/size")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        # DQT stores quantizers in zigzag order (T.81
+                        # B.2.4.1), matching zz — dequantize first, then
+                        # inverse-zigzag
+                        block = (zz * qt[tq])[inv_zz].reshape(8, 8)
+                        r0 = (my * vi + byy) * 8
+                        c0 = (mx * hi + bxx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = (
+                            _DCT_M.T @ block @ _DCT_M + 128.0
+                        )
+    # replication-upsample subsampled planes to the full MCU-grid size
+    full = []
+    for ci, (_, _, hi, vi) in enumerate(comps):
+        p = planes[ci]
+        if vi != vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi != hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        full.append(p)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136286 * cb - 0.714136286 * cr, y + 1.772 * cb],
         axis=-1,
@@ -633,6 +693,26 @@ def _fixture_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
     return ((7 * doc_id + 31 * i) % 256).astype(np.uint8).reshape(h, w, 3)
 
 
+def _fixture_pixels_420(doc_id: int, w: int, h: int) -> np.ndarray:
+    """4:2:0-aligned fixture: the half-resolution arithmetic pixels
+    replicated 2x2, so every aligned chroma block is constant. The
+    encoder's 2x2 chroma mean and the decoder's replication upsample are
+    then EXACT inverses, and the 4:2:0 round-trip inherits the same
+    JPEG_TOLERANCE bound as 4:4:4 (DCT + color rounding only) — the
+    subsampling path is verified without loosening the invariant.
+    (The full-resolution fixture varies 31 per sample, so 4:2:0 on it
+    would lose ~half the chroma range by design, proving nothing.)"""
+    base = _fixture_pixels(doc_id, (w + 1) // 2, (h + 1) // 2)
+    return np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)[:h, :w, :]
+
+
+def _jpeg_subsampling(doc_id: int) -> str:
+    """Fixture rule: every other JPEG doc (doc_id % 20 == 0 within the
+    % 10 == 0 JPEG slice) renders as 4:2:0, the rest as 4:4:4 — both
+    layouts exercised in every mm_suite run."""
+    return "420" if doc_id % 20 == 0 else "444"
+
+
 def render_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture-image renderer: one real PPM binary per row, content a
     deterministic function of the id (``_fixture_pixels``). mapInPandas
@@ -653,9 +733,19 @@ def render_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def render_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Same fixture pixels through the LOSSY transform codec: a real
     baseline JFIF per row (DCT + canonical-Huffman entropy coding, unit
-    quantization). Verified via :func:`decode_jpeg_check`'s in-plan
-    error bound rather than exact sums — JPEG loses by design."""
-    return _render_payloads(df, encode_jpeg, id_col)
+    quantization). Per :func:`_jpeg_subsampling`, half the docs render
+    4:2:0 (H2V2, 16x16 MCUs over the 2x2-block-constant 4:2:0 fixture)
+    and half 4:4:4, so both sampling layouts decode in every run.
+    Verified via :func:`decode_jpeg_check`'s in-plan error bound rather
+    than exact sums — JPEG loses by design."""
+
+    def enc(w: int, h: int, px: np.ndarray, doc_id: int) -> bytes:
+        sub = _jpeg_subsampling(doc_id)
+        if sub == "420":
+            px = _fixture_pixels_420(doc_id, w, h)
+        return encode_jpeg(w, h, px, subsampling=sub)
+
+    return _render_payloads(df, enc, id_col, pass_id=True)
 
 
 def decode_jpeg_check(df: DataFrame, id_col: str = "doc_id", img_col: str = "img") -> DataFrame:
@@ -673,7 +763,12 @@ def decode_jpeg_check(df: DataFrame, id_col: str = "doc_id", img_col: str = "img
             rows = []
             for doc_id, payload in zip(pdf[id_col].astype("int64"), pdf[img_col]):
                 w, h, _, px = decode_jpeg(bytes(payload))
-                ref = _fixture_pixels(int(doc_id), w, h).astype(np.int64)
+                ref_fn = (
+                    _fixture_pixels_420
+                    if _jpeg_subsampling(int(doc_id)) == "420"
+                    else _fixture_pixels
+                )
+                ref = ref_fn(int(doc_id), w, h).astype(np.int64)
                 err = int(np.abs(px.astype(np.int64) - ref).max())
                 rows.append((doc_id, w, h, bool(err <= JPEG_TOLERANCE)))
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "decode_ok"])
@@ -681,16 +776,54 @@ def decode_jpeg_check(df: DataFrame, id_col: str = "doc_id", img_col: str = "img
     return df.select(id_col, img_col).mapInPandas(check, schema)
 
 
-def _render_payloads(df: DataFrame, encoder, id_col: str) -> DataFrame:
+def _render_payloads(df: DataFrame, encoder, id_col: str, pass_id: bool = False) -> DataFrame:
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             imgs = []
             for doc_id in pdf[id_col].astype("int64"):
                 w, h = _fixture_dims(doc_id)
-                imgs.append(encoder(w, h, _fixture_pixels(doc_id, w, h)))
+                px = _fixture_pixels(doc_id, w, h)
+                imgs.append(encoder(w, h, px, int(doc_id)) if pass_id else encoder(w, h, px))
             yield pd.DataFrame({id_col: pdf[id_col], "img": imgs})
 
     return df.select(id_col).mapInPandas(render, f"{id_col} long, img binary")
+
+
+def stage_ppm_ingest_dir(docs: DataFrame, path: str, id_col: str = "doc_id") -> str:
+    """Materialize a directory of REAL ``.ppm`` files, one per input row
+    (payload = the deterministic fixture image for the id), written
+    executor-side via ``foreachPartition`` so the bytes never cross the
+    driver. This is the test-fixture generator for the raw-file ingest
+    edge (``sources.read_binary_dir``); a production corpus arrives as
+    an existing object-store prefix and skips this step entirely.
+
+    Idempotent per (path, row count): a marker file short-circuits
+    re-staging, so registry queries can call it on every run. Files are
+    written via temp-name + rename so a killed run never leaves a
+    half-written payload behind the marker. Local-FS paths only (the
+    single-JVM test posture — on a cluster the fixture would be written
+    to the shared store with a distributed writer instead)."""
+    import os
+
+    n = docs.count()
+    marker = os.path.join(path, f"_STAGED_{n}")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(rows) -> None:
+        for r in rows:
+            doc_id = int(r[0])
+            w, h = _fixture_dims(doc_id)
+            payload = encode_ppm(w, h, _fixture_pixels(doc_id, w, h))
+            tmp = os.path.join(path, f".{doc_id}.ppm.tmp")
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, os.path.join(path, f"{doc_id}.ppm"))
+
+    docs.select(id_col).foreachPartition(write_part)
+    open(marker, "w").close()
+    return path
 
 
 def decode_image_stats(df: DataFrame, id_col: str = "doc_id", img_col: str = "img") -> DataFrame:

@@ -10,11 +10,24 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import similarity as S
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import query
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table, read_binary_dir
 
 #: Query set: every 50th vector (10 queries at sf0.01).
 QUERY_PRED = "vec_id % 50 = 0"
 TOP_K = 10
+
+
+def _mm_ingest_dir(sf_dir: str) -> str:
+    """Repo-local staging root for the binaryFile ingest fixture, keyed
+    by the sf_dir name so every scale factor gets its own directory
+    (override with $SPARK_GRAFT_SCRATCH). CWD-independent: anchored at
+    the repo root derived from the package location."""
+    import os
+
+    # __file__ = <repo>/<package>/queries/similarity_q.py -> 3 dirnames up
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(repo_root, ".scratch"))
+    return os.path.join(scratch, "mm_ingest", os.path.basename(os.path.normpath(sf_dir)))
 
 
 @query(
@@ -172,6 +185,19 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), true
     FROM dims WHERE doc_id % 10 = 0
+  UNION ALL
+    -- raw-file ingest: byte_len is the true on-disk PPM size (ASCII
+    -- header "P6\\n<w> <h>\\n255\\n" + w*h*3 raster bytes), arithmetic in
+    -- the header token widths, so the oracle proves the binaryFile
+    -- source read every payload byte-complete
+    SELECT 'binary_ingest', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(9 + length(CAST(width AS VARCHAR)) + length(CAST(height AS VARCHAR))
+                + width * height * 3 AS BIGINT),
+           width, height, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(255 AS BIGINT), pixel_sum, r_sum, g_sum, b_sum,
+           CAST(NULL AS BOOLEAN)
+    FROM pxsums WHERE doc_id % 10 = 0
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,4 +281,31 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
         "decode_ok",
     )
-    return meta_rows.unionAll(real_rows).unionAll(png_rows).unionAll(jpeg_rows)
+    # op='binary_ingest' (round 7, VERDICT r6 item 3): the raw-FILE edge.
+    # Real .ppm files staged once per sf_dir (executor-written, marker-
+    # gated), read back through Spark's binaryFile source, id parsed from
+    # the path, and the BYTES decoded through the same codec seam — so
+    # the driver hash-checks the whole ingest path: listing, glob prune,
+    # byte-complete reads (byte_len), and content (pixel sums).
+    ingest_path = MM.stage_ppm_ingest_dir(jpeg_docs.select("doc_id"), _mm_ingest_dir(sf_dir))
+    parsed = read_binary_dir(spark, ingest_path, glob="*.ppm").select(
+        F.regexp_extract("path", r"(\d+)\.ppm$", 1).cast("long").alias("doc_id"),
+        F.col("length").cast("long").alias("byte_len"),
+        F.col("content").alias("img"),
+    )
+    ingest_rows = MM.decode_image_stats(parsed).join(
+        parsed.select("doc_id", "byte_len"), "doc_id"
+    ).select(
+        F.lit("binary_ingest").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), "byte_len",
+        "width", "height", nb.alias("n_frames"),
+        nb.alias("resized_w"), nb.alias("resized_h"), ns.alias("sampled_frames"),
+        "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum",
+        nflag.alias("decode_ok"),
+    )
+    return (
+        meta_rows.unionAll(real_rows)
+        .unionAll(png_rows)
+        .unionAll(jpeg_rows)
+        .unionAll(ingest_rows)
+    )

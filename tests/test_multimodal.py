@@ -108,18 +108,43 @@ def test_jpeg_container_is_real():
 
 
 def test_jpeg_unsupported_modes_raise():
-    """Subsampled (non-0x11 sampling) and progressive (SOF2) streams hit
-    the documented NotImplementedError seam."""
+    """Progressive (SOF2) and non-integer sampling ratios hit the
+    documented NotImplementedError seam (4:2:0/4:2:2 subsampling decodes
+    natively since round 7 — see test_jpeg_420_roundtrip)."""
     data = bytearray(MM.encode_jpeg(6, 5, _px(6, 5)))
     sof = data.find(b"\xff\xc0")
-    subsampled = bytearray(data)
-    subsampled[sof + 11] = 0x22  # Y sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
-        MM.decode_jpeg(bytes(subsampled))
     progressive = bytearray(data)
     progressive[sof + 1] = 0xC2  # SOF0 -> SOF2
     with pytest.raises(NotImplementedError, match="baseline"):
         MM.decode_jpeg(bytes(progressive))
+    weird = bytearray(data)
+    weird[sof + 11] = 0x32  # Y sampling 3x2: 3 % 2 != 0 against Cb/Cr 1x1? no —
+    weird[sof + 14] = 0x21  # Cb 2x1: hmax=3, 3 % 2 != 0 -> non-integer ratio
+    with pytest.raises(NotImplementedError, match="non-integer"):
+        MM.decode_jpeg(bytes(weird))
+
+
+def test_jpeg_420_roundtrip():
+    """4:2:0 (H2V2) encode -> decode round-trips the 2x2-block-constant
+    fixture within the same JPEG_TOLERANCE as 4:4:4: the encoder's 2x2
+    chroma mean and the decoder's replication upsample are exact
+    inverses on chroma-aligned content, leaving only DCT + color
+    rounding. Odd dims exercise the MCU edge-padding path."""
+    import numpy as np
+
+    for w, h in [(6, 5), (16, 16), (17, 9), (33, 31), (8, 24)]:
+        px = MM._fixture_pixels_420(4242, w, h)
+        dw, dh, maxval, out = MM.decode_jpeg(MM.encode_jpeg(w, h, px, subsampling="420"))
+        assert (dw, dh, maxval) == (w, h, 255)
+        err = int(np.abs(out.astype(np.int64) - px.astype(np.int64)).max())
+        assert err <= MM.JPEG_TOLERANCE, (w, h, err)
+    # header really declares 4:2:0 (Y sampling byte 0x22), and
+    # decode_image_real dispatches it like any other JPEG
+    payload = MM.encode_jpeg(16, 16, MM._fixture_pixels_420(7, 16, 16), subsampling="420")
+    sof = payload.find(b"\xff\xc0")
+    assert payload[sof + 11] == 0x22
+    d = MM.decode_image_real(payload)
+    assert (d["width"], d["height"]) == (16, 16)
 
 
 @pytest.mark.parametrize("w,h", [(1, 1), (4, 7), (16, 14), (33, 9)])
@@ -200,3 +225,28 @@ def test_binary_dir_ingest_matches_column_route(spark, tmp_path):
     for doc_id, (w, h, s) in want.items():
         row = out[doc_id]
         assert (row["width"], row["height"], row["pixel_sum"]) == (w, h, s)
+
+
+def test_stage_ppm_ingest_dir_idempotent(spark, tmp_path):
+    """The mm_suite binary_ingest fixture generator: stages one real .ppm
+    per row executor-side, byte-complete (on-disk size = header +
+    w*h*3), and the staging is marker-gated so repeat calls (every
+    driver/bench run) never rewrite the directory."""
+    import os
+
+    docs = spark.createDataFrame([(i,) for i in (0, 7, 23)], "doc_id long")
+    path = str(tmp_path / "ingest")
+    MM.stage_ppm_ingest_dir(docs, path)
+    names = sorted(f for f in os.listdir(path) if f.endswith(".ppm"))
+    assert names == ["0.ppm", "23.ppm", "7.ppm"]
+    for i in (0, 7, 23):
+        w, h = MM._fixture_dims(i)
+        payload = open(os.path.join(path, f"{i}.ppm"), "rb").read()
+        assert len(payload) == len(f"P6\n{w} {h}\n255\n") + w * h * 3
+        dw, dh, _, px = MM.decode_ppm(payload)
+        assert (dw, dh) == (w, h)
+        assert (px == MM._fixture_pixels(i, w, h)).all()
+    # idempotent: second call leaves mtimes untouched (marker short-circuit)
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in names}
+    MM.stage_ppm_ingest_dir(docs, path)
+    assert mtimes == {f: os.path.getmtime(os.path.join(path, f)) for f in names}
