@@ -28,14 +28,20 @@ logger = logging.getLogger(__name__)
 
 #: Default bound on how many cached bytes one scanned byte can become
 #: through the explode/aggregate chains these operators cache. This is
-#: an EMPIRICAL ceiling, not a proof: measured instances are the sf0.1
-#: shingle index ≈ 8× its 0.6 MB parquet source and the sf10 index ≈
-#: 17× (tiny vocabulary compresses the cache poorly); 32× covers both
-#: with ~2× headroom. A shape that expands harder — hashed=False string
-#: shingles over highly-compressed parquet is the plausible case —
-#: should pass its own ``expansion_bound`` at the call site rather than
-#: trust this default; the lazy-path log line below is the audit trail
-#: for diagnosing a mis-broadcast that slipped past the bound.
+#: an EMPIRICAL ceiling, not a proof — and round 7 re-measured every
+#: eager_stats shape across three decades (sf0.1/sf1/sf10,
+#: .scratch/r7/measure_expansion.py), so the engine's own call sites
+#: now pass their measured per-shape bounds (see the constants in
+#: operators/dedup.py and operators/similarity.py): hashed shingle
+#: index 3.4–3.7× flat, minhash signatures 2.3×, simhash fingerprints
+#: 0.1×, banded hyperplane codes 6→30→40× (grows with the log2(N) band
+#: count until its 48-band cap — the one measured shape ABOVE this
+#: default, which is why per-site bounds exist). The 32× default
+#: remains for external callers with unmeasured shapes; hashed=False
+#: string shingles (measured 8.7→13.8×, still growing at sf10) are the
+#: documented case to keep at the default or higher. The lazy-path log
+#: line below is the audit trail for diagnosing a mis-broadcast that
+#: slipped past a bound.
 _EXPANSION_BOUND = 32
 
 
@@ -100,14 +106,24 @@ def eager_stats(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> DataF
     At 100 TB the same discipline holds for free: candidate-generation
     inputs live as written stores (signature/shingle indexes in parquet)
     whose file sizes the planner reads directly.
+
+    Order matters (round-7 fix): the risk check runs BEFORE ``persist()``.
+    Once the plan is registered with the CacheManager, the memoized
+    optimized plan substitutes an ``InMemoryRelation`` for the file scan,
+    ``inputFiles()`` returns empty, and ``scan_file_sizes`` reports
+    "unsizeable" — which the risk check conservatively treats as risky,
+    silently degrading the gate to always-eager (the pre-fix behavior:
+    correct plans, but the ~1.5 s count job ran even for provably-small
+    sources unless the caller happened to have analyzed the frame first).
     """
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_file_sizes
+
+    risky = _broadcast_risk(df, expansion_bound)
+    sizes = None if risky else scan_file_sizes(df)
     df = df.persist()
-    if _broadcast_risk(df, expansion_bound):
+    if risky:
         df.count()
     else:
-        from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_file_sizes
-
-        sizes = scan_file_sizes(df)
         logger.info(
             "eager_stats: lazy persist (source %s bytes x bound %s under the "
             "broadcast threshold) — if this relation later mis-broadcasts, "
@@ -136,7 +152,7 @@ def tie_cache_lifetime(result: DataFrame, *frames: DataFrame) -> DataFrame:
     return result
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, prefer_local: bool = False) -> DataFrame:
     """Truncate lineage for an iterative operator's per-round frame:
     reliable ``checkpoint()`` when the session has a checkpoint directory
     configured, executor-local ``localCheckpoint()`` otherwise.
@@ -150,13 +166,30 @@ def materialize(df: DataFrame) -> DataFrame:
     Setting ``spark.sparkContext.setCheckpointDir(<reliable store>)``
     (HDFS/S3 on a real cluster) flips every iterative operator to
     reliable checkpoints with no call-site changes: blocks land in the
-    shared store and survive any executor. The extra I/O is one write +
-    one read of a frame that is already being materialized for the
-    convergence count, once per round."""
-    sc = df.sparkSession.sparkContext
-    try:
-        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()  # noqa: SLF001
-    except Exception:
-        # connect-mode session: no JVM handle; local semantics apply
-        has_dir = False
-    return df.checkpoint() if has_dir else df.localCheckpoint()
+    shared store and survive any executor. The extra I/O per
+    connected-components round is two writes + two reads (the propagate
+    and path-halving frames both materialize; ~3% warm wall measured at
+    sf1, BASELINE §K) plus one per IVF training iteration. Spark only
+    deletes checkpoint files when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false) — set it, or use a per-job checkpoint dir deleted on exit
+    (README "reliable checkpoints" note), or the store grows without
+    bound across jobs.
+
+    ``prefer_local=True`` keeps the frame on ``localCheckpoint`` even
+    when a reliable dir is configured — for frames that are read once
+    and cheap to recompute on executor loss but EXPENSIVE to write
+    reliably (e.g. the corpus-sized vertex seed in connected_components,
+    where a reliable write would dwarf the edge-endpoint-sized per-round
+    frames the ~3% tax was measured on)."""
+    if not prefer_local:
+        try:
+            # reaching sparkContext itself raises on a Spark Connect
+            # session (no JVM handle) — resolve ANY failure to reach the
+            # JVM as "no reliable dir", falling back to localCheckpoint
+            has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+        except Exception:
+            has_dir = False
+        if has_dir:
+            return df.checkpoint()
+    return df.localCheckpoint()

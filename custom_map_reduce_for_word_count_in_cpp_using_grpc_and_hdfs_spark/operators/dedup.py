@@ -40,6 +40,17 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, materialize, tie_cache_lifetime
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col, tokens_sql
 
+#: Measured cached-bytes-per-source-byte ceilings for the frames this
+#: module materializes through eager_stats, from the round-7 three-decade
+#: sweep (sf0.1/sf1/sf10, .scratch/r7/measure_expansion.py), each with
+#: ~2x headroom over the worst measured decade. Shapes that stay flat
+#: across decades get tight bounds so small sources keep the lazy persist
+#: (and its fast broadcast plans) instead of paying the materializing
+#: count; caching.py logs every lazy decision for the audit trail.
+SHINGLE_INDEX_BOUND = 8   # hashed (doc_id, xxhash64) pairs: 3.4-3.7x flat
+MINHASH_SIG_BOUND = 5     # (doc_id, 32 longs): 2.3x flat
+SIMHASH_FP_BOUND = 1      # (doc_id, long): 0.08-0.10x
+
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -138,7 +149,11 @@ def jaccard_pairs(
     # broadcast threshold at the MEASURED expansion ceiling keep the lazy
     # persist (bounded-by-measurement, not a proof — see
     # operators/caching.py::eager_stats for the bound and its audit log).
-    ds = eager_stats(doc_shingles(df, id_col, text_col, n)) if owned else shingles
+    ds = (
+        eager_stats(doc_shingles(df, id_col, text_col, n), SHINGLE_INDEX_BOUND)
+        if owned
+        else shingles
+    )
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     index = ds
     if max_shingle_df is not None:
@@ -297,7 +312,7 @@ def lsh_candidate_pairs(
     aggregate-derived signature frame is size-under-estimated the same
     way the shingle index is — see caching.py::eager_stats).
     """
-    sigs = eager_stats(sigs)
+    sigs = eager_stats(sigs, MINHASH_SIG_BOUND)
     # Guard against a sigs frame built with a DIFFERENT num_perm: slicing
     # past the array end would silently band over null hashes, degrading
     # recall with no error. assert_true fails the job instead.
@@ -336,7 +351,11 @@ def minhash_near_dups(
     # four consumers (signatures, sizes, both verification sides) —
     # materialize the shingle inverted index once
     owned = shingles is None
-    ds = eager_stats(doc_shingles(df, id_col, text_col, n)) if owned else shingles
+    ds = (
+        eager_stats(doc_shingles(df, id_col, text_col, n), SHINGLE_INDEX_BOUND)
+        if owned
+        else shingles
+    )
     cands = lsh_candidate_pairs(
         minhash_signature(df, num_perm, id_col, text_col, n, shingles=ds),
         bands,
@@ -438,9 +457,13 @@ def connected_components(
         check_vertices = os.environ.get("SPARK_GRAFT_DEBUG", "") not in ("", "0")
     # materialize the vertex frame once — the singleton anti-join re-reads
     # it, and vertices often come from an expensive upstream (the pipeline
-    # passes the exact-dedup survivor set)
+    # passes the exact-dedup survivor set). prefer_local: this is the one
+    # CORPUS-sized frame in the loop — a reliable write here would dwarf
+    # the edge-endpoint-sized per-round checkpoints, and executor loss
+    # only costs recomputing a single select
     all_labels = materialize(
-        vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp"))
+        vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp")),
+        prefer_local=True,
     )
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
         edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
@@ -508,6 +531,60 @@ def connected_components(
             "iteration budget; raise max_iters"
         )
     return labels.unionAll(singletons).select(F.col("vid").alias(id_col), "comp")
+
+
+def near_dup_components(
+    df: DataFrame,
+    threshold: float,
+    edge_method: str = "jaccard",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingles: DataFrame | None = None,
+    max_iters: int = 20,
+    **edge_kwargs,
+) -> DataFrame:
+    """(id, comp) dedup clusters with a SELECTABLE edge source — the
+    composition VERDICT r6 item 2 asked for (previously a user had to
+    wire :func:`jaccard_pairs` into :func:`connected_components` by
+    hand, and the cheaper edge generator wasn't reachable at all):
+
+    - ``edge_method='jaccard'`` — exact shingle-inverted-index edges.
+      The semantically-exact route; at sf10 the edge join is 69% of the
+      operator's cost (BASELINE §K: 94.9 s of 138.2 s).
+    - ``edge_method='minhash'`` — MinHash-LSH candidates verified with
+      exact Jaccard (:func:`minhash_near_dups`): every emitted edge is a
+      TRUE >=threshold pair (precision exactly 1), so the resulting
+      partition always REFINES the exact one — it can only under-merge,
+      never over-merge, by losing a true pair whose every band disagrees
+      (measured recall 1.0 at sf0.01/sf0.1/sf1 on the fixture corpus,
+      >=0.8 asserted in tests). The at-scale default: the LSH equi-join
+      replaces the shingle self-join, the measured ~3x cheaper edge
+      route at sf10 (operator-only 32.3 s vs 94.9 s).
+
+    Both routes accept a caller-shared ``shingles`` frame (see
+    :func:`jaccard_pairs`); extra ``edge_kwargs`` pass through to the
+    edge generator (e.g. ``max_shingle_df``, ``num_perm``, ``bands``).
+    """
+    if edge_method == "jaccard":
+        edges = jaccard_pairs(
+            df, threshold, id_col, text_col, n, shingles=shingles, **edge_kwargs
+        )
+    elif edge_method == "minhash":
+        edges = minhash_near_dups(
+            df, threshold, id_col=id_col, text_col=text_col, n=n,
+            shingles=shingles, **edge_kwargs,
+        )
+    else:
+        raise ValueError(f"edge_method must be 'jaccard' or 'minhash', got {edge_method!r}")
+    return connected_components(
+        df.select(id_col),
+        edges.select("doc_a", "doc_b"),
+        id_col=id_col,
+        src_col="doc_a",
+        dst_col="doc_b",
+        max_iters=max_iters,
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -654,7 +731,7 @@ def simhash_near_dups(
     # fingerprints; without the barrier each reference recomputes them.
     # Eagerly materialized so the block self-join below plans against the
     # cache's measured size (caching.py::eager_stats).
-    fps = eager_stats(simhash(df, id_col, text_col))
+    fps = eager_stats(simhash(df, id_col, text_col), SIMHASH_FP_BOUND)
 
     base, extra = divmod(SIMHASH_BITS, n_blocks)
     widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]

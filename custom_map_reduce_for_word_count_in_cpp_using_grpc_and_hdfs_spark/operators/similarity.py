@@ -35,6 +35,16 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.par
 #: definition (same planes at write and query time).
 LSH_SEED = 20240813
 
+#: Measured cached-bytes-per-source-byte ceiling for the exploded banded
+#: code frame (round-7 three-decade sweep, .scratch/r7/
+#: measure_expansion.py): 6.0x at sf0.1, 30.4x at sf1, 40.1x at sf10 —
+#: it GROWS with the log2(N)-sized band count until lsh_band_geometry's
+#: 48-band cap, after which the per-row payload is fixed and the ratio
+#: plateaus around 40x. This is the one measured shape ABOVE caching.py's
+#: 32x default — precisely the mis-broadcast risk the per-call-site
+#: bound mechanism exists for. 64 = plateau + ~1.6x headroom.
+BANDED_CODES_BOUND = 64
+
 
 def brute_force_topk(
     queries: DataFrame,
@@ -361,7 +371,8 @@ def cosine_near_dup_pairs(
             F.col(id_col).alias("vid"),
             codes_udf(F.col(vec_col)).alias("codes"),
         )
-        .select("vid", "codes", F.posexplode("codes").alias("band", "code"))
+        .select("vid", "codes", F.posexplode("codes").alias("band", "code")),
+        BANDED_CODES_BOUND,
     )
     a = banded.select(F.col("vid").alias("id_a"), F.col("codes").alias("codes_a"), "band", "code")
     b = banded.select(F.col("vid").alias("id_b"), F.col("codes").alias("codes_b"), "band", "code")

@@ -456,6 +456,68 @@ def test_eager_stats_count_gated_on_source_bytes(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_eager_stats_lazy_path_logs_audit_line(spark):
+    """Round-7 (VERDICT r6 item 8): per-call-site expansion bounds are
+    only safe if a wrong bound is diagnosable — the lazy-path decision
+    must leave its audit line (source bytes, bound, threshold) in the
+    log, so a later mis-broadcast points at the call site instead of
+    requiring a driver-OOM autopsy. (Handler attached directly to the
+    module logger rather than via caplog: pyspark configures Python
+    logging at import and swallows propagation to pytest's root-logger
+    capture.)"""
+    import logging
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import caching
+
+    records: list[logging.LogRecord] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record: logging.LogRecord) -> None:
+            records.append(record)
+
+    handler = _Capture(level=logging.INFO)
+    caching.logger.addHandler(handler)
+    old_level = caching.logger.level
+    caching.logger.setLevel(logging.INFO)
+    try:
+        docs = load_table(spark, SF_CORRECT, "documents")
+        # 65 KB parquet x bound 8 << broadcast threshold -> lazy path
+        frame = caching.eager_stats(D.doc_shingles(docs), D.SHINGLE_INDEX_BOUND)
+        frame.unpersist()
+    finally:
+        caching.logger.removeHandler(handler)
+        caching.logger.setLevel(old_level)
+    lazy_lines = [r for r in records if "lazy persist" in r.getMessage()]
+    assert lazy_lines, "lazy-path decision left no audit log line"
+    assert "raise expansion_bound" in lazy_lines[0].getMessage()
+
+
+def test_materialize_prefer_local_skips_reliable_store(spark, tmp_path):
+    """ADVICE r6: corpus-sized frames (connected_components' vertex seed)
+    must NOT land in the reliable checkpoint store even when a dir is
+    configured — prefer_local=True keeps them on executor-local blocks,
+    so the measured ~3% reliable-checkpoint tax stays edge-endpoint-sized."""
+    import os
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import materialize
+
+    df = spark.createDataFrame([(i,) for i in range(16)], "id long")
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "prefer_local_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        local = materialize(df, prefer_local=True)
+        assert local.count() == 16
+        written = [f for _, _, fs in os.walk(ckpt) for f in fs]
+        assert not written, "prefer_local frame leaked into the reliable store"
+        reliable = materialize(df)
+        assert reliable.count() == 16
+        written = [f for _, _, fs in os.walk(ckpt) for f in fs]
+        assert written, "default materialize ignored the configured dir"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)  # noqa: SLF001
+
+
 def test_materialize_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
     """Fault-tolerance posture seam (caching.materialize): with a
     checkpoint dir configured the iterative operators switch every
