@@ -547,3 +547,37 @@ def test_materialize_uses_reliable_checkpoint_when_dir_configured(spark, tmp_pat
         # reset to local-mode semantics for the rest of the session
         sc._jsc.sc().setCheckpointDir(None)  # noqa: SLF001
     assert not sc._jsc.sc().getCheckpointDir().isDefined()  # noqa: SLF001
+
+
+def test_near_dup_components_minhash_refines_exact(spark):
+    """near_dup_components (round 7): the minhash edge route's verified
+    edges are a subset of the exact edges, so its partition must REFINE
+    the exact partition (provable for any recall — it can under-merge,
+    never over-merge). On this fixture LSH recall is 1.0 (deterministic,
+    fixed-seed hashing), so the partitions are additionally EQUAL — the
+    property the registry's kind='minhash' branch hash-check rests on."""
+    from collections import defaultdict
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    ds = D.eager_stats(D.doc_shingles(docs), D.SHINGLE_INDEX_BOUND)
+    exact = {
+        r.doc_id: r.comp
+        for r in D.near_dup_components(docs, 0.3, "jaccard", shingles=ds).collect()
+    }
+    mh = {
+        r.doc_id: r.comp
+        for r in D.near_dup_components(docs, 0.3, "minhash", shingles=ds).collect()
+    }
+    assert set(mh) == set(exact)  # same vertex set either way
+    groups = defaultdict(list)
+    for doc, comp in mh.items():
+        groups[comp].append(doc)
+    for members in groups.values():
+        assert len({exact[d] for d in members}) == 1, "minhash component spans exact components"
+    assert mh == exact  # recall 1.0 on this fixture (measured, deterministic)
+    ds.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="edge_method"):
+        D.near_dup_components(docs, 0.3, "bogus")

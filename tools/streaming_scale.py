@@ -1,0 +1,158 @@
+"""Streaming-at-scale evidence (VERDICT r6 item 5): drain the stateful
+streaming workloads at a large SF with Trigger.AvailableNow into a noop
+sink, and record the state-store metrics Spark publishes per micro-batch
+(stateOperators: rows, memory, spill) alongside wall time — the numbers
+that decide whether a streaming operator survives 100 TB, which the
+decade tables never captured past sf1.
+
+Workloads:
+- session_windows  — per-user 5-min-gap sessions (SURVEY §7.3(c) names
+  "session windows + state size under skewed user_id" as genuinely hard)
+- session_windows_skewed — same query over a fixture where one user_id
+  carries ~1/3 of all events (event_id % 3 -> user 42), proving the
+  state store and the merge survive a pathological hot key
+- stream_dedup     — dropDuplicatesWithinWatermark over the doubled
+  events stream (state = one row per distinct event_id in the horizon)
+- user_state       — applyInPandasWithState per-user accumulator
+
+Usage: python tools/streaming_scale.py --sf-dir .scratch/sf10 \
+           --out SCALE_R7_SF10_streaming.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Hot key for the skew fixture and the share of events rewritten to it.
+SKEW_USER, SKEW_MOD = 42, 3
+
+
+def drain_with_metrics(df: DataFrame, mode: str, timeout_s: int = 3600) -> dict:
+    """Run one AvailableNow drain into a noop sink; return wall time plus
+    the final micro-batch's stateOperators metrics (rows/memory) and
+    total sink output rows summed over batches."""
+    q = (
+        df.writeStream.format("noop")
+        .queryName(f"scale_{uuid.uuid4().hex[:10]}")
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
+            "streams", "ckpt", uuid.uuid4().hex))
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.perf_counter()
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"drain still running after {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    wall = time.perf_counter() - t0
+    progress = []
+    for p in q.recentProgress:
+        progress.append(p if isinstance(p, dict) else json.loads(p.json))
+    state = []
+    out_rows = 0
+    for p in progress:
+        out_rows += int(p.get("sink", {}).get("numOutputRows", 0) or 0)
+        if p.get("stateOperators"):
+            state = p["stateOperators"]  # keep the LAST batch's view
+    return {
+        "wall_sec": round(wall, 3),
+        "n_batches": len(progress),
+        "sink_output_rows": out_rows,
+        "state_operators": [
+            {
+                "operator": s.get("operatorName"),
+                "rows_total": s.get("numRowsTotal"),
+                "rows_updated": s.get("numRowsUpdated"),
+                "memory_used_bytes": s.get("memoryUsedBytes"),
+                "spilled_bytes": (s.get("customMetrics") or {}).get("loadedMapCacheMissCount"),
+            }
+            for s in state
+        ],
+    }
+
+
+def stage_skewed_events(spark, sf_dir: str) -> str:
+    """Stage a skew fixture: the SF's events with every event_id % 3
+    rewritten to one hot user — ~33% of all rows on a single session key.
+    One output file so the AvailableNow drain stays a single micro-batch
+    (same watermark discipline as streaming/windows._stage_dir)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import SCRATCH
+
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    target = os.path.join(SCRATCH, "streams", f"events-skew-{digest}")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        skewed = ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % SKEW_MOD == 0, F.lit(SKEW_USER)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        skewed.coalesce(1).write.mode("overwrite").parquet(target)
+    return target
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    a = ap.parse_args()
+    sf_dir = os.path.abspath(a.sf_dir)
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark import get_session
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.stateful import user_activity_state
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import (
+        events_stream,
+        session_windows,
+        stream_dedup,
+    )
+    from tools.scale_run import session_hygiene
+
+    spark = get_session("streaming-scale", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    results: dict[str, dict] = {"_n_events": n_events}
+
+    skew_dir = stage_skewed_events(spark, sf_dir)
+    skewed_stream = (
+        spark.readStream.schema(spark.read.parquet(skew_dir).schema).parquet(skew_dir)
+    )
+    ev = events_stream(spark, sf_dir)
+
+    workloads = {
+        "session_windows": (session_windows(events_stream(spark, sf_dir)), "complete"),
+        "session_windows_skewed": (session_windows(skewed_stream), "complete"),
+        "stream_dedup": (stream_dedup(ev.unionAll(events_stream(spark, sf_dir))), "append"),
+        "user_state": (user_activity_state(events_stream(spark, sf_dir)), "update"),
+    }
+    for name, (df, mode) in workloads.items():
+        try:
+            rec = drain_with_metrics(df, mode)
+            rec["status"] = "ok"
+        except Exception as exc:  # noqa: BLE001
+            rec = {"status": "error", "err": f"{type(exc).__name__}: {exc}"[:500]}
+        results[name] = rec
+        print(name, json.dumps(rec), flush=True)
+        session_hygiene(spark)
+
+    with open(a.out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "workloads": results}, f, indent=1)
+    print("->", a.out)
+
+
+if __name__ == "__main__":
+    main()
