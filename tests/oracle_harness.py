@@ -67,10 +67,13 @@ def canon(v):
     return (type(v).__name__, v)
 
 
-def compare_rows(spark_df, cur, name: str) -> None:
+def compare_rows(spark_df, cur, name: str) -> int:
     """Order-insensitive typed comparison of a Spark DataFrame against an
     executed DuckDB cursor (columns matched by sorted name, like the
-    driver).
+    driver). Returns the (matching) row count, so callers never re-execute
+    the query just to record it — at sf10 that second execution ran with
+    the compare's collected rows still pinned on the heap and OOM'd a
+    broadcast build that succeeds in a clean session (SCALE.md lesson 27).
 
     The oracle side is materialized through Arrow, NOT fetchall():
     fetchall() flattens DuckDB HUGEINT/DECIMAL to Python int, which hid
@@ -94,6 +97,7 @@ def compare_rows(spark_df, cur, name: str) -> None:
                 f"{name}: first differing row {i} (of {len(sp)}, sorted):\n"
                 f"  spark : {a}\n  oracle: {b}\n  cols  : {scols}"
             )
+    return len(sp)
 
 
 def run_parity(spark, sf_dir: str, name: str) -> None:

@@ -84,9 +84,11 @@ def run_one(spark, con, name, fn, oracle, sf_dir, budget):
     try:
         cur = con.execute(oracle)
         sdf = fn(spark, sf_dir)
-        compare_rows(sdf, cur, name)
+        # row count comes from the compare itself: a THIRD query
+        # execution here ran with the compare's collected rows still
+        # pinned and OOM'd broadcast builds at sf10 (SCALE.md lesson 27)
+        rec["rows"] = compare_rows(sdf, cur, name)
         rec["status"] = "hash_exact"
-        rec["rows"] = fn(spark, sf_dir).count()
     except duckdb.InterruptException:
         rec["status"] = "oracle_timeout"
         rec["rows"] = fn(spark, sf_dir).count()

@@ -75,7 +75,7 @@ def drain_with_metrics(df: DataFrame, mode: str, timeout_s: int = 3600) -> dict:
                 "rows_total": s.get("numRowsTotal"),
                 "rows_updated": s.get("numRowsUpdated"),
                 "memory_used_bytes": s.get("memoryUsedBytes"),
-                "spilled_bytes": (s.get("customMetrics") or {}).get("loadedMapCacheMissCount"),
+                "rows_dropped_by_watermark": s.get("numRowsDroppedByWatermark"),
             }
             for s in state
         ],
