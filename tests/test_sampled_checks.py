@@ -70,3 +70,46 @@ def test_sampled_dir_is_idempotent(sampled_dir):
 
     again = make_sampled_dir(os.path.dirname(sampled_dir.rstrip("/")), K)
     assert again == sampled_dir
+
+
+def test_make_planted_cosine_slice_properties():
+    """The planted-dup cosine slice (SCALE.md lesson 29): one plant per
+    10 slice vectors, copies get ids above the corpus range, planted
+    cosines land in [0.97, 0.996] (comfortably above the 0.9 threshold,
+    below exact-duplicate 1.0), and the file is written once (cached)."""
+    import numpy as np
+
+    import tools.sf10_sampled_checks as T
+
+    # the tool caches under <repo>/.scratch/cosine_sampled; the finally
+    # below removes the smoke-SF artifact so reruns regenerate it
+    path, n_planted = T.make_planted_cosine_slice(SF_SMOKE, 3)
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        n_slice = con.execute(
+            f"SELECT count(*) FROM '{SF_SMOKE}/embeddings.parquet' WHERE vec_id % 3 = 0"
+        ).fetchone()[0]
+        max_id = con.execute(
+            f"SELECT max(vec_id) FROM '{SF_SMOKE}/embeddings.parquet'"
+        ).fetchone()[0]
+        rows = con.execute(f"SELECT vec_id, embedding FROM '{path}'").fetchall()
+        assert len(rows) == n_slice + n_planted
+        assert n_planted == (n_slice + 9) // 10
+        vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+        plants = [i for i in vecs if i > max_id]
+        assert len(plants) == n_planted
+        for pid in plants:
+            orig = vecs[pid - max_id - 1]
+            cos = float(
+                orig @ vecs[pid] / (np.linalg.norm(orig) * np.linalg.norm(vecs[pid]))
+            )
+            assert 0.965 <= cos <= 0.9965, (pid, cos)
+        # cached: second call returns the same file unmodified
+        mtime = os.path.getmtime(path)
+        path2, n2 = T.make_planted_cosine_slice(SF_SMOKE, 3)
+        assert (path2, n2) == (path, n_planted)
+        assert os.path.getmtime(path) == mtime
+    finally:
+        os.remove(path)
