@@ -131,7 +131,25 @@ def eager_stats(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> DataF
             sum(sizes) if sizes else "?",
             expansion_bound,
         )
+    # The lazy path skips the materializing count, so downstream joins
+    # plan against Catalyst's ESTIMATE of the cached relation — which
+    # over-shoots aggregate outputs badly enough to demote joins the
+    # measured bound PROVES broadcast-safe (the round-7 regression:
+    # jaccard's per-doc sizes joins fell back to sort-merge at sf1,
+    # 7.3 -> 9.7 s). Annotate the frame so operators can re-assert the
+    # proof with an explicit broadcast hint (see provably_small).
+    df._sg_provably_small = not risky  # noqa: SLF001 — engine-internal annotation
     return df
+
+
+def provably_small(df: DataFrame) -> bool:
+    """True iff ``df`` came through :func:`eager_stats`'s lazy path,
+    i.e. its source-scan bytes x the call site's measured expansion
+    bound stay under the broadcast threshold — a PROOF that frames
+    derived from it row-for-row (per-key aggregates, projections) are
+    broadcast-safe, strong enough to justify an explicit broadcast hint
+    where Catalyst's estimate would demote the join."""
+    return bool(getattr(df, "_sg_provably_small", False))
 
 
 def tie_cache_lifetime(result: DataFrame, *frames: DataFrame) -> DataFrame:

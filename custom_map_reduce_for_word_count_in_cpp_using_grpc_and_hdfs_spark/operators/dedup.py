@@ -37,7 +37,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions
     poly_hash_token,
     poly_hash_token_sql,
 )
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, materialize, tie_cache_lifetime
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, materialize, provably_small, tie_cache_lifetime
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col, tokens_sql
 
 #: Measured cached-bytes-per-source-byte ceilings for the frames this
@@ -170,6 +170,11 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # per-doc sizes are row-for-row bounded by the (provably-small) index,
+    # so re-assert the measured-bound proof as a broadcast hint — the lazy
+    # persist's estimate-driven plan demoted these to sort-merge (round 7)
+    if provably_small(ds):
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     result = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -374,6 +379,8 @@ def minhash_near_dups(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    if provably_small(ds):  # same proof-backed hint as jaccard_pairs
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     result = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -119,9 +119,19 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(load_table(spark, sf_dir, "documents"))
 
 
-def curate(docs: DataFrame) -> DataFrame:
+def curate(docs: DataFrame, edge_method: str = "jaccard") -> DataFrame:
     """Pipeline over an arbitrary documents DataFrame (doc_id, text, lang)
     — the seam the pathological hot-shingle fixture test drives.
+
+    ``edge_method`` selects the near-dup edge source for the clustering
+    stage (round 7, same knob as operators/dedup.py::near_dup_components):
+    'jaccard' (default) is the exact shingle-index join with the
+    hot-shingle df cap — the oracle-exact shape; 'minhash' swaps in
+    LSH-verified MinHash edges — measured 0.55x the exact edge route at
+    sf10 (BASELINE §M), identical output wherever LSH recall is 1.0
+    (this corpus: measured at sf0.01–sf1, asserted in
+    tests/test_pipeline.py), never over-merging anywhere (verified
+    edges ⇒ the partition refines the exact one).
 
     The quality gate is computed PER ROW (quality_features/lang_id/
     fingerprint — one narrow map over the scan, no explode, no shuffle),
@@ -158,11 +168,17 @@ def curate(docs: DataFrame) -> DataFrame:
     # Exact dedup on the 8-byte normalized fingerprint; survivor = min id.
     exact_survivors = qual.groupBy("fp_normalized").agg(F.min("doc_id").alias("doc_id"))
     surv_docs = docs.join(exact_survivors.select("doc_id"), "doc_id", "left_semi")
-    # Near-dup clustering over the exact-dedup survivors, hot shingles
-    # capped out of candidate generation (see SHINGLE_DF_CAP).
-    edges = D.jaccard_pairs(surv_docs, JACCARD_T, max_shingle_df=SHINGLE_DF_CAP).select(
-        "doc_a", "doc_b"
-    )
+    # Near-dup clustering over the exact-dedup survivors. Exact route:
+    # hot shingles capped out of candidate generation (SHINGLE_DF_CAP);
+    # minhash route: the banded equi-join IS the skew bound (band width
+    # caps any key's collision mass), so no df cap applies.
+    if edge_method == "jaccard":
+        edges = D.jaccard_pairs(surv_docs, JACCARD_T, max_shingle_df=SHINGLE_DF_CAP)
+    elif edge_method == "minhash":
+        edges = D.minhash_near_dups(surv_docs, JACCARD_T)
+    else:
+        raise ValueError(f"edge_method must be 'jaccard' or 'minhash', got {edge_method!r}")
+    edges = edges.select("doc_a", "doc_b")
     comps = D.connected_components(
         surv_docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )

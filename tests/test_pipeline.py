@@ -14,7 +14,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.p
 )
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources.sinks import read_table, write_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_curation_is_strict_and_survivors_are_cluster_minima(spark):
@@ -327,3 +327,23 @@ def test_perrow_gate_bit_identical_to_profile_gate(spark):
         assert (r.punct_ratio is None) == (r.n_chars == 0)
         if r.punct_ratio is not None:
             assert r.punct_ratio == 0.0 and r.punct_ratio == r.punct_ratio  # not NaN
+
+
+def test_curate_minhash_edge_route_matches_exact(spark):
+    """curate(edge_method='minhash') — the at-scale edge knob (0.55x the
+    exact route at sf10, BASELINE §M) — must produce the exact route's
+    output wherever LSH recall is 1.0, which it measurably (and
+    deterministically) is on this corpus. The bogus-route guard rides
+    along."""
+    import pytest as _pytest
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q import curate
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {tuple(r) for r in curate(docs, edge_method="jaccard").collect()}
+    mh = {tuple(r) for r in curate(docs, edge_method="minhash").collect()}
+    assert exact, "pipeline should keep survivors at this SF"
+    assert mh == exact
+    with _pytest.raises(ValueError, match="edge_method"):
+        curate(docs, edge_method="bogus")
