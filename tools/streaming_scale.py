@@ -149,6 +149,30 @@ def main() -> None:
         print(name, json.dumps(rec), flush=True)
         session_hygiene(spark)
 
+    # The documented production posture for high-cardinality streaming
+    # state (SCALE.md lesson 30) is the RocksDB provider — bundled with
+    # Spark, off-heap, incremental snapshots — instead of the default
+    # HDFS-backed store whose versioned partition maps live on-heap.
+    # Prove it's one conf away AND measure what it buys on the heaviest
+    # state workload (watermark dedup: 10M-id first batch at sf10).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rec = drain_with_metrics(
+            stream_dedup(events_stream(spark, sf_dir).unionAll(events_stream(spark, sf_dir))),
+            "append",
+        )
+        rec["status"] = "ok"
+    except Exception as exc:  # noqa: BLE001
+        rec = {"status": "error", "err": f"{type(exc).__name__}: {exc}"[:500]}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    results["stream_dedup_rocksdb"] = rec
+    print("stream_dedup_rocksdb", json.dumps(rec), flush=True)
+    session_hygiene(spark)
+
     with open(a.out, "w") as f:
         json.dump({"sf_dir": sf_dir, "workloads": results}, f, indent=1)
     print("->", a.out)
