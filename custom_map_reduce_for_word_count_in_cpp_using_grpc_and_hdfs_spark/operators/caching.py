@@ -45,31 +45,56 @@ logger = logging.getLogger(__name__)
 _EXPANSION_BOUND = 32
 
 
-def _broadcast_risk(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> bool:
-    """Could ``df``'s true materialized size exceed the broadcast
-    threshold even though Catalyst's estimate says otherwise?
+def _size_proof(
+    df: DataFrame, expansion_bound: int = _EXPANSION_BOUND
+) -> tuple[bool, bool, list | None]:
+    """(mis-plan risk, proof of smallness, source file sizes).
 
-    ``False`` only when the source scan's file bytes (accurately known,
-    unlike the post-``Generate`` estimate) say the cached relation stays
-    broadcast-safe at ``expansion_bound``× growth — then a mis-estimated
-    broadcast is still a CORRECT broadcast and the eager count buys
-    nothing. The guarantee is only as strong as the bound: it holds for
-    every cached-bytes-per-source-byte ratio the engine has measured,
-    not for arbitrary shapes. Unknown sizes (remote schemes, non-file
-    sources) report ``True``: at production scale, materialize and
-    measure."""
+    The two booleans answer DIFFERENT questions (round-8 fix — they were
+    conflated as one flag, see below):
+
+    - *risk*: could the static planner pick ``df``'s cache as a
+      broadcast build side on a bad estimate? ``False`` when the source
+      scan's file bytes (accurately known, unlike the post-``Generate``
+      estimate) say the cached relation stays broadcast-safe at
+      ``expansion_bound``× growth — then a mis-estimated broadcast is
+      still a CORRECT broadcast and an eager measuring count buys
+      nothing. Also ``False`` when auto-broadcast is disabled
+      (threshold <= 0): the planner won't pick ANY estimate-driven
+      broadcast, so there is nothing to mis-plan.
+    - *proof*: do we have positive size evidence (``sum(file bytes) ×
+      bound < threshold``, threshold > 0) strong enough to justify an
+      explicit ``F.broadcast()`` hint? A disabled threshold is a USER
+      INSTRUCTION to avoid broadcasts, not evidence of smallness —
+      explicit hints override the disabled threshold, so treating
+      "nothing to mis-plan" as "provably small" forced broadcasts backed
+      by zero size evidence on exactly the sessions configured (-1) to
+      prevent driver-OOM broadcasts. Hence: threshold <= 0 → no proof.
+
+    Unknown sizes (remote schemes, non-file sources) report risky and
+    unproven: at production scale, materialize and measure. The
+    guarantee is only as strong as the bound: it holds for every
+    cached-bytes-per-source-byte ratio the engine has measured, not for
+    arbitrary shapes."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import _as_bytes, scan_file_sizes
 
     try:
         threshold = _as_bytes(df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     except Exception:
-        return True
-    if threshold <= 0:  # auto-broadcast disabled: nothing to mis-plan
-        return False
+        return True, False, None
+    if threshold <= 0:  # auto-broadcast disabled: nothing to mis-plan, nothing proven
+        return False, False, None
     sizes = scan_file_sizes(df)
     if sizes is None:
-        return True
-    return sum(sizes) * expansion_bound >= threshold
+        return True, False, None
+    proven = sum(sizes) * expansion_bound < threshold
+    return not proven, proven, sizes
+
+
+def _broadcast_risk(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> bool:
+    """Mis-plan risk component of :func:`_size_proof` (kept as the
+    stable name the tests and docs cite)."""
+    return _size_proof(df, expansion_bound)[0]
 
 
 def eager_stats(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> DataFrame:
@@ -116,10 +141,7 @@ def eager_stats(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> DataF
     correct plans, but the ~1.5 s count job ran even for provably-small
     sources unless the caller happened to have analyzed the frame first).
     """
-    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_file_sizes
-
-    risky = _broadcast_risk(df, expansion_bound)
-    sizes = None if risky else scan_file_sizes(df)
+    risky, proven, sizes = _size_proof(df, expansion_bound)
     df = df.persist()
     if risky:
         df.count()
@@ -137,18 +159,24 @@ def eager_stats(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> DataF
     # measured bound PROVES broadcast-safe (the round-7 regression:
     # jaccard's per-doc sizes joins fell back to sort-merge at sf1,
     # 7.3 -> 9.7 s). Annotate the frame so operators can re-assert the
-    # proof with an explicit broadcast hint (see provably_small).
-    df._sg_provably_small = not risky  # noqa: SLF001 — engine-internal annotation
+    # proof with an explicit broadcast hint (see provably_small). The
+    # annotation carries the POSITIVE size proof, not merely "not risky":
+    # a disabled broadcast threshold makes the frame not-risky but must
+    # never force hints the user's config forbids (round-8 fix).
+    df._sg_provably_small = proven  # noqa: SLF001 — engine-internal annotation
     return df
 
 
 def provably_small(df: DataFrame) -> bool:
-    """True iff ``df`` came through :func:`eager_stats`'s lazy path,
-    i.e. its source-scan bytes x the call site's measured expansion
-    bound stay under the broadcast threshold — a PROOF that frames
+    """True iff :func:`eager_stats` measured a POSITIVE size proof for
+    ``df``: source-scan bytes x the call site's measured expansion bound
+    stay under an ENABLED broadcast threshold — a proof that frames
     derived from it row-for-row (per-key aggregates, projections) are
     broadcast-safe, strong enough to justify an explicit broadcast hint
-    where Catalyst's estimate would demote the join."""
+    where Catalyst's estimate would demote the join. Always False when
+    the session disables auto-broadcast (threshold <= 0): hints override
+    that config, and "the user forbade broadcasts" is not size
+    evidence."""
     return bool(getattr(df, "_sg_provably_small", False))
 
 

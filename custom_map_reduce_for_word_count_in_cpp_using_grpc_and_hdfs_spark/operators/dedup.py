@@ -37,7 +37,7 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.functions
     poly_hash_token,
     poly_hash_token_sql,
 )
-from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, materialize, provably_small, tie_cache_lifetime
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.caching import eager_stats, materialize, tie_cache_lifetime
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.text import tokens_col, tokens_sql
 
 #: Measured cached-bytes-per-source-byte ceilings for the frames this
@@ -97,7 +97,8 @@ def shingles_sql(text_expr: str, n: int = 3) -> str:
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, hashed: bool = True
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the inverted-index input.
+    """Distinct (doc_id, n_sh, shingle) rows — the inverted-index input,
+    with the per-doc DISTINCT shingle count carried on every row.
 
     ``hashed=True`` replaces the shingle string with its xxhash64: the
     distinct + self-join then shuffle 8-byte keys instead of ~25-byte
@@ -105,6 +106,20 @@ def doc_shingles(
     hashes, not text). Set arithmetic is exact unless two distinct
     shingles collide in 64 bits: P ≈ n²/2⁶⁵ ≈ 2·10⁻⁹ at 260k shingles.
     Pass ``hashed=False`` where provable exactness beats speed.
+
+    Why ``n_sh`` rides along (round 8): Jaccard verification needs
+    |A| and |B| per candidate pair. Joining a per-doc sizes aggregate
+    onto the pair frame — the round-7 shape — planned that aggregate
+    subtree once per side (static duplicates under AQE) and re-shuffled
+    the potentially huge pair frame twice. Folding the distinct into a
+    ``groupBy(id).collect_set`` makes the count a free byproduct of the
+    ONE shuffle the distinct already paid (same key volume, keyed by id
+    instead of (id, shingle)), and verification becomes a ``min()`` in
+    the pair aggregation — zero size-joins, zero extra exchanges. Cost:
+    +8 bytes/row on the index self-join shuffle; the sizes aggregate,
+    two pair-frame joins, and their broadcast hints all disappear.
+    collect_set memory is per-doc (a group is one document's shingle
+    set), so it scales with document size, not corpus size.
     """
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
 
@@ -112,7 +127,12 @@ def doc_shingles(
     out = spread(df, by=[id_col]).select(F.col(id_col), shingle)
     if hashed:
         out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
-    return out.distinct()
+    per_doc = out.groupBy(id_col).agg(F.collect_set("shingle").alias("_sh"))
+    return per_doc.select(
+        F.col(id_col),
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("shingle"),
+    )
 
 
 def jaccard_pairs(
@@ -154,30 +174,29 @@ def jaccard_pairs(
         if owned
         else shingles
     )
-    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     index = ds
     if max_shingle_df is not None:
         freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         index = ds.join(freq.where(F.col("df") <= max_shingle_df), "shingle")
 
-    a = index.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = index.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
+    # |A| and |B| ride on the index rows (doc_shingles carries n_sh —
+    # computed BEFORE any DF capping, so capped pairs still divide by the
+    # full union), so verification is a min() inside the pair aggregation:
+    # the round-7 per-doc sizes aggregate, its two pair-frame joins, and
+    # the provably-small broadcast hints they needed are gone (round 8) —
+    # two fewer shuffles of the pair frame and a static plan back under
+    # the round-6 exchange ceilings.
+    a = index.select(F.col(id_col).alias("doc_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = index.select(F.col(id_col).alias("doc_b"), "shingle", F.col("n_sh").alias("n_b"))
+    result = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    # per-doc sizes are row-for-row bounded by the (provably-small) index,
-    # so re-assert the measured-bound proof as a broadcast hint — the lazy
-    # persist's estimate-driven plan demoted these to sort-merge (round 7)
-    if provably_small(ds):
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    result = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -353,7 +372,7 @@ def minhash_near_dups(
     ``shingles`` — share an already-persisted :func:`doc_shingles` frame
     (see :func:`jaccard_pairs`); caller-owned frames are not re-cached or
     released here."""
-    # four consumers (signatures, sizes, both verification sides) —
+    # three consumers (signatures, both verification sides) —
     # materialize the shingle inverted index once
     owned = shingles is None
     ds = (
@@ -367,24 +386,28 @@ def minhash_near_dups(
         id_col,
         num_perm,
     )
-    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ds.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = ds.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
+    # |A|/|B| ride on the index rows (see doc_shingles) — verification is
+    # a min() in the pair aggregation, no per-doc sizes joins (round 8)
+    a = ds.select(F.col(id_col).alias("doc_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = ds.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    result = (
         cands.join(a, "doc_a")
-        .join(b.withColumnRenamed("shingle", "shingle_b"), ["doc_b"])
+        .join(b, "doc_b")
         .where(F.col("shingle") == F.col("shingle_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    if provably_small(ds):  # same proof-backed hint as jaccard_pairs
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    result = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -456,6 +456,34 @@ def test_eager_stats_count_gated_on_source_bytes(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_disabled_threshold_is_not_a_smallness_proof(spark):
+    """ADVICE r7 (medium): with autoBroadcastJoinThreshold=-1 the frame
+    is not RISKY (the planner won't pick any estimate-driven broadcast)
+    but must also not be marked PROVABLY SMALL — explicit F.broadcast()
+    hints override a disabled threshold, so annotating "provably small"
+    off a config the user set specifically to prevent driver-OOM
+    broadcasts would force broadcasts backed by zero size evidence."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import caching
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frame = caching.eager_stats(D.doc_shingles(docs), D.SHINGLE_INDEX_BOUND)
+        try:
+            assert caching.provably_small(frame) is False
+        finally:
+            frame.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # with the threshold ENABLED the same tiny source IS proven small
+    frame = caching.eager_stats(D.doc_shingles(docs), D.SHINGLE_INDEX_BOUND)
+    try:
+        assert caching.provably_small(frame) is True
+    finally:
+        frame.unpersist()
+
+
 def test_eager_stats_lazy_path_logs_audit_line(spark):
     """Round-7 (VERDICT r6 item 8): per-call-site expansion bounds are
     only safe if a wrong bound is diagnosable — the lazy-path decision

@@ -303,17 +303,15 @@ HEADLINE_PLAN_CEILINGS = {
     "rel_q3_shipping_priority": (3, 0, 0),
     "rel_q5_region_revenue": (6, 0, 0),
     "win_running_sum": (1, 0, 0),
-    # 7 (round 7): the provably-small lazy persist (caching.eager_stats
-    # no longer force-materializes small sources) plans the per-doc
-    # sizes aggregate TWICE in the static text — once per consumer
-    # (doc_a / doc_b side), each under its hint-forced BroadcastExchange
-    # — but the subtrees are identical and AQE reuses the shuffle stage
-    # at runtime (the rel_sketch_suite precedent). Measured warm at sf1:
-    # lazy 5.2 s vs force-materialized 4.7 s, and the lazy path skips
-    # the materializing count job the old shape always paid.
-    "dedup_jaccard_pairs": (7, 0, 0),
+    # 3 (round 8, down from 7): doc_shingles now carries the per-doc
+    # shingle count on every index row (collect_set fold — same single
+    # shuffle the distinct already paid), so the per-doc sizes aggregate,
+    # its two pair-frame joins, and the round-7 proof-backed broadcast
+    # hints are gone from the plan entirely: index shuffle + self-join
+    # broadcast + pair aggregation is the whole query.
+    "dedup_jaccard_pairs": (3, 0, 0),
     "dedup_simhash_near": (3, 0, 0),
-    "dedup_minhash_lsh": (8, 0, 0),  # +1 in round 7: same lazy-persist duplicated-sizes shape as jaccard above
+    "dedup_minhash_lsh": (6, 0, 0),  # round 8: sizes joins gone (see jaccard above), 8 -> 6
     "ann_topk_bruteforce": (3, 1, 0),
     "text_doc_profile": (3, 0, 0),
     "stream_window_suite": (0, 0, 0),
