@@ -603,6 +603,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     vmax = max(c[3] for c in comps)
     if any(hmax % c[2] or vmax % c[3] for c in comps):
         raise NotImplementedError("non-integer chroma sampling ratio")
+    if len(comps) != 3:
+        # grayscale (1-component) and CMYK (4-component) baselines pass
+        # the guards above but the YCbCr reconstruction below is 3-plane;
+        # refuse at the declared codec seam instead of IndexError mid-scan
+        raise NotImplementedError("only 3-component (YCbCr) baseline JFIF")
 
     def read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
@@ -748,6 +753,48 @@ def render_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _render_payloads(df, enc, id_col, pass_id=True)
 
 
+def encode_progressive_stub(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """A structurally real JFIF stream whose frame header is SOF2
+    (progressive DCT): the baseline encoding with its frame marker
+    rewritten. To a marker-walking decoder this is exactly what a
+    progressive file looks like up to the frame header — the correct
+    behavior is to refuse at SOF2 (NotImplementedError at the declared
+    codec seam), never to misparse the scan. Used by the quarantine
+    fixtures; safe in this corpus because 0xFFC0 cannot occur earlier:
+    entropy data is byte-stuffed (0xFF is always followed by 0x00) and
+    no fixture segment payload contains 0xFF."""
+    return encode_jpeg(width, height, pixels).replace(b"\xff\xc0", b"\xff\xc2", 1)
+
+
+#: Quarantine-fixture rule over the doc_id % 10 == 0 slice: which planted
+#: failure each doc carries (see render_quarantine_payloads).
+_QUARANTINE_TRUNCATED = 0  # doc_id % 100 — PPM cut to 10 bytes -> ValueError
+_QUARANTINE_PROGRESSIVE = 30  # SOF2 stream -> NotImplementedError
+_QUARANTINE_UNKNOWN = 60  # unknown magic (video-ish) -> NotImplementedError
+
+
+def render_quarantine_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture renderer for the safe-decode (quarantine) path: good PPM
+    payloads with three deterministic failure classes planted among them
+    by doc_id arithmetic — a truncated PPM (corrupt stream), a
+    progressive-JPEG stream (unsupported-but-real format), and an
+    unknown-magic payload (video container). Every class a 100 TB ingest
+    actually hits, planted IN the same batch as good rows so the test
+    proves bad payloads don't poison their neighbors."""
+
+    def enc(w: int, h: int, px: np.ndarray, doc_id: int) -> bytes:
+        m = doc_id % 100
+        if m == _QUARANTINE_TRUNCATED:
+            return encode_ppm(w, h, px)[:10]
+        if m == _QUARANTINE_PROGRESSIVE:
+            return encode_progressive_stub(w, h, px)
+        if m == _QUARANTINE_UNKNOWN:
+            return b"MOOVftypisom" + bytes(16)
+        return encode_ppm(w, h, px)
+
+    return _render_payloads(df, enc, id_col, pass_id=True)
+
+
 def decode_jpeg_check(df: DataFrame, id_col: str = "doc_id", img_col: str = "img") -> DataFrame:
     """Decode each JPEG payload and verify it against the arithmetic
     reference pixels IN-PLAN: emits (doc_id, width, height, decode_ok)
@@ -797,19 +844,31 @@ def stage_ppm_ingest_dir(docs: DataFrame, path: str, id_col: str = "doc_id") -> 
     edge (``sources.read_binary_dir``); a production corpus arrives as
     an existing object-store prefix and skips this step entirely.
 
-    Idempotent per (path, row count): a marker file short-circuits
-    re-staging, so registry queries can call it on every run. Files are
-    written via temp-name + rename so a killed run never leaves a
-    half-written payload behind the marker. Local-FS paths only (the
-    single-JVM test posture — on a cluster the fixture would be written
-    to the shared store with a distributed writer instead)."""
+    Idempotent per (path, doc-id SET): the marker file is keyed by the
+    id set's count + order-insensitive xxhash64 fold (ADVICE r7 fix — a
+    count-only key wrongly skipped a same-count-but-different id set and
+    left stale ``.ppm`` files behind when the set shrank), computed with
+    one tiny 1-row aggregate, never a driver collect of the ids. On a
+    key change, stale payloads and old markers are cleared BEFORE
+    re-staging so the ``*.ppm`` glob can never pick up files from a
+    previous doc set. Files are written via temp-name + rename so a
+    killed run never leaves a half-written payload behind the marker.
+    Local-FS paths only (the single-JVM test posture — on a cluster the
+    fixture would be written to the shared store with a distributed
+    writer instead)."""
     import os
 
-    n = docs.count()
-    marker = os.path.join(path, f"_STAGED_{n}")
+    key = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr(f"bit_xor(xxhash64({id_col}))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    marker = os.path.join(path, f"_STAGED_{key['n']}_{key['h'] & (2**64 - 1):016x}")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
+    for name in os.listdir(path):  # clear stale payloads + old markers
+        if name.endswith(".ppm") or name.endswith(".ppm.tmp") or name.startswith("_STAGED_"):
+            os.remove(os.path.join(path, name))
 
     def write_part(rows) -> None:
         for r in rows:
@@ -826,40 +885,70 @@ def stage_ppm_ingest_dir(docs: DataFrame, path: str, id_col: str = "doc_id") -> 
     return path
 
 
-def decode_image_stats(df: DataFrame, id_col: str = "doc_id", img_col: str = "img") -> DataFrame:
+#: Truncation bound for quarantined-row error strings — long enough to
+#: diagnose, short enough that a pathological payload can't bloat the row.
+_QUARANTINE_ERR_LEN = 200
+
+
+def decode_image_stats(
+    df: DataFrame, id_col: str = "doc_id", img_col: str = "img", safe: bool = False
+) -> DataFrame:
     """REAL decode stage: parse each binary payload with
-    :func:`decode_image_real` (PPM/BMP numpy codecs) and emit per-image
-    stats — dimensions plus whole-image and per-channel pixel sums. The
-    stats are pure functions of the decoded raster, so any header
-    mis-parse, row-padding slip, or channel-order bug shows up as a
-    value mismatch against the arithmetic oracle."""
+    :func:`decode_image_real` (PPM/BMP/PNG/JPEG numpy codecs) and emit
+    per-image stats — dimensions plus whole-image and per-channel pixel
+    sums. The stats are pure functions of the decoded raster, so any
+    header mis-parse, row-padding slip, or channel-order bug shows up as
+    a value mismatch against the arithmetic oracle.
+
+    ``safe=True`` (round 8 — the 100 TB ingest posture): decode each
+    payload under try/except. Undecodable payloads (progressive JPEG,
+    video, truncated/corrupt streams, unknown magic) become rows with
+    null stats, ``status='quarantined:<ExceptionType>'`` and the error
+    message, instead of raising inside ``mapInPandas`` — where one bad
+    file among billions fails the task, its 3 retries, and then the
+    whole job. Decoded rows carry ``status='ok'``, ``error=NULL`` and
+    stats identical to the ``safe=False`` path. Route quarantined rows
+    to a side sink (``.where("status <> 'ok'")``) for offline triage —
+    they keep their ``doc_id`` so the source payload is recoverable.
+    ``safe=False`` keeps the strict posture for fixture pipelines where
+    an undecodable payload IS the bug and must fail loudly."""
     schema = (
         f"{id_col} long, width long, height long, maxval long, "
         "pixel_sum long, r_sum long, g_sum long, b_sum long"
     )
+    if safe:
+        schema += ", status string, error string"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "width", "height", "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum"]
+        if safe:
+            cols += ["status", "error"]
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[img_col]):
-                d = decode_image_real(bytes(payload))
-                px = d["pixels"].astype(np.int64)
-                rows.append(
-                    (
-                        doc_id,
-                        d["width"],
-                        d["height"],
-                        d["maxval"],
-                        int(px.sum()),
-                        int(px[:, :, 0].sum()),
-                        int(px[:, :, 1].sum()),
-                        int(px[:, :, 2].sum()),
+                try:
+                    d = decode_image_real(bytes(payload))
+                except Exception as exc:  # noqa: BLE001 — quarantine boundary
+                    if not safe:
+                        raise
+                    rows.append(
+                        (doc_id,) + (None,) * 7
+                        + (f"quarantined:{type(exc).__name__}", str(exc)[:_QUARANTINE_ERR_LEN])
                     )
+                    continue
+                px = d["pixels"].astype(np.int64)
+                row = (
+                    doc_id,
+                    d["width"],
+                    d["height"],
+                    d["maxval"],
+                    int(px.sum()),
+                    int(px[:, :, 0].sum()),
+                    int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()),
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "width", "height", "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum"],
-            )
+                rows.append(row + ("ok", None) if safe else row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, img_col).mapInPandas(decode, schema)
 

@@ -64,6 +64,89 @@ def get_session(app_name: str = "spark-engine", *, extra_conf: dict[str, str] | 
     return builder.getOrCreate()
 
 
+#: Bundled RocksDB state-store provider — the documented posture for
+#: high-cardinality streaming state (SCALE.md lesson 30; measured round 7:
+#: 295 MB vs 1.8 GB on-heap at a 20M-row dedup state, 6.1x).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_state_store(spark: SparkSession, kind: str = "rocksdb") -> SparkSession:
+    """Select the streaming state-store provider for queries STARTED
+    after this call (the provider is pinned per query at its first
+    checkpoint; restarts keep whatever the checkpoint was created with).
+
+    ``kind='rocksdb'`` — off-heap RocksDB with incremental snapshots:
+    flip this for high-cardinality state (watermark dedup over billions
+    of ids, wide session maps). Round-7 measurement on the sf10 dedup
+    drain (20M rows of state): 295 MB RocksDB vs 1.8 GB on-heap, 6.1×,
+    at ~equal wall time — the on-heap provider keeps every versioned
+    partition map on the JVM heap, where a 100 TB key horizon OOMs
+    executors long before compute saturates.
+
+    ``kind='hdfs'`` — Spark's default HDFSBackedStateStoreProvider:
+    right for small state (windowed aggregates over bounded keys) where
+    the on-heap map's zero-serialization reads win.
+    """
+    if kind == "rocksdb":
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    elif kind == "hdfs":
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        raise ValueError(f"unknown state store kind {kind!r} (rocksdb|hdfs)")
+    return spark
+
+
+class job_checkpoint_dir:
+    """Context manager giving iterative operators (connected_components,
+    IVF training) a RELIABLE per-job checkpoint directory that is removed
+    on exit — the turnkey answer to the two lifecycle traps the docs warn
+    about (operators/caching.py::materialize): Spark only deletes
+    checkpoint files when ``spark.cleaner.referenceTracking
+    .cleanCheckpoints=true`` (default false), and even then deletion is
+    GC-driven best-effort — so long-lived sessions accumulate checkpoint
+    state unless the job scopes its own directory.
+
+    >>> with job_checkpoint_dir(spark, "/shared/store/ckpt"):  # doctest: +SKIP
+    ...     connected_components(v, e).collect()
+    # (reliable checkpoints during the job, directory gone after)
+
+    On a cluster, pass a shared-store URI (HDFS/S3); locally any temp
+    path works. The previous checkpoint dir (usually none) is restored
+    on exit. Removal uses the Hadoop FileSystem API, so it works for any
+    scheme the session can write to, not just the local FS."""
+
+    def __init__(self, spark: SparkSession, base: str) -> None:
+        import uuid
+
+        self._spark = spark
+        self._dir = f"{base.rstrip('/')}/job-{uuid.uuid4().hex}"
+
+    def __enter__(self) -> str:
+        sc = self._spark.sparkContext
+        self._prev = sc.getCheckpointDir()
+        sc.setCheckpointDir(self._dir)
+        return self._dir
+
+    def __exit__(self, *exc) -> None:
+        sc = self._spark.sparkContext
+        jvm = self._spark._jvm
+        try:
+            path = jvm.org.apache.hadoop.fs.Path(self._dir)
+            fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(path, True)
+        except Exception:
+            pass  # removal is hygiene; never fail the job over it
+        # None is not settable through the public API ($-mangled Scala
+        # setter reached via getattr); restore "no checkpoint dir" exactly
+        if self._prev is not None:
+            sc.setCheckpointDir(self._prev)
+        else:
+            setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+            setter(jvm.scala.Option.apply(None))
+
+
 def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally built session.
 

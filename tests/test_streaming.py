@@ -363,3 +363,80 @@ def test_kafka_live_source_smoke(spark):
     )
     out = _drain(tumbling_counts(stream), "complete")
     assert out.count() >= 0  # schema + plumbing; content depends on the live topic
+
+
+def test_rocksdb_state_store_seam(spark):
+    """VERDICT r7 item 5: the RocksDB state-store trade (measured 295 MB
+    vs 1.8 GB on-heap at 20M dedup rows) is one session call away —
+    session.use_state_store('rocksdb') — and the provider swap changes
+    WHERE state lives, not WHAT the query emits: the watermark-dedup
+    scenario reproduces the default provider's exact output, and the
+    query's state-operator metrics prove RocksDB actually served it."""
+    import json
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session import ROCKSDB_PROVIDER, use_state_store
+
+    batches = [
+        [(1, _ts(10, 0), 1, 1.0), (2, _ts(10, 5), 1, 1.0)],
+        [(1, _ts(10, 1), 1, 1.0), (3, _ts(10, 30), 1, 1.0)],
+    ]
+    root = _write_batches(spark, batches)
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+        name = f"rocks_{uuid.uuid4().hex[:10]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+        ids = sorted(r.event_id for r in spark.table(name).collect())
+        return ids, json.loads(q.lastProgress.json) if q.lastProgress else {}
+
+    baseline_ids, _ = run()
+    use_state_store(spark, "rocksdb")
+    try:
+        assert spark.conf.get("spark.sql.streaming.stateStore.providerClass") == ROCKSDB_PROVIDER
+        rocks_ids, progress = run()
+    finally:
+        use_state_store(spark, "hdfs")
+    assert rocks_ids == baseline_ids == [1, 2, 3]
+    metrics = (progress.get("stateOperators") or [{}])[0].get("customMetrics", {})
+    assert any(k.startswith("rocksdb") for k in metrics), metrics
+
+
+def test_job_checkpoint_dir_lifecycle(spark, tmp_path):
+    """VERDICT r7 item 7: job_checkpoint_dir gives iterative operators a
+    reliable checkpoint dir for the job's duration and removes it on
+    exit — no unbounded checkpoint accumulation across jobs. Inside the
+    context, materialize() takes the RELIABLE branch (the frame reports
+    isCheckpointed); after exit the per-job directory is gone and the
+    previous checkpoint dir (none) is restored."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import dedup as D
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session import job_checkpoint_dir
+
+    base = str(tmp_path / "ckpt")
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "src long, dst long")
+    prev = spark.sparkContext.getCheckpointDir()
+    with job_checkpoint_dir(spark, base) as job_dir:
+        # Spark appends its own session UUID below the dir we set
+        assert job_dir.rsplit("/", 1)[-1] in spark.sparkContext.getCheckpointDir()
+        comps = {
+            (r["id"], r["comp"])
+            for r in D.connected_components(vertices, edges).collect()
+        }
+        assert comps == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)}
+        # the reliable store was actually used: the job dir has content
+        assert os.path.isdir(job_dir) and os.listdir(job_dir)
+    assert not os.path.exists(job_dir)  # removed on exit
+    assert spark.sparkContext.getCheckpointDir() == prev  # restored (None)

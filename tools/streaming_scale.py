@@ -35,10 +35,24 @@ from pyspark.sql import DataFrame, functions as F
 SKEW_USER, SKEW_MOD = 42, 3
 
 
+#: recentProgress retention for the drain sessions. Spark keeps only the
+#: last spark.sql.streaming.numRecentProgressUpdates entries (default
+#: ~100), so a drain that splits into more micro-batches than this would
+#: silently under-report n_batches and sink_output_rows (ADVICE r7).
+#: The recorded evidence states the cap; drains here are 1-2 batches.
+PROGRESS_RETENTION = 10_000
+
+
 def drain_with_metrics(df: DataFrame, mode: str, timeout_s: int = 3600) -> dict:
     """Run one AvailableNow drain into a noop sink; return wall time plus
     the final micro-batch's stateOperators metrics (rows/memory) and
-    total sink output rows summed over batches."""
+    total sink output rows summed over batches. Counts come from
+    recentProgress, valid only while n_batches stays under the session's
+    progress-retention cap — raised to PROGRESS_RETENTION in main() and
+    asserted per drain so the evidence can't silently truncate."""
+    df.sparkSession.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(PROGRESS_RETENTION)
+    )
     q = (
         df.writeStream.format("noop")
         .queryName(f"scale_{uuid.uuid4().hex[:10]}")
@@ -65,10 +79,16 @@ def drain_with_metrics(df: DataFrame, mode: str, timeout_s: int = 3600) -> dict:
         out_rows += int(p.get("sink", {}).get("numOutputRows", 0) or 0)
         if p.get("stateOperators"):
             state = p["stateOperators"]  # keep the LAST batch's view
+    if len(progress) >= PROGRESS_RETENTION:
+        raise RuntimeError(
+            f"drain produced >= {PROGRESS_RETENTION} micro-batches: "
+            "recentProgress has truncated, counts would under-report"
+        )
     return {
         "wall_sec": round(wall, 3),
         "n_batches": len(progress),
         "sink_output_rows": out_rows,
+        "progress_retention": PROGRESS_RETENTION,
         "state_operators": [
             {
                 "operator": s.get("operatorName"),
