@@ -51,15 +51,14 @@ def attach_payload(df: DataFrame, text_col: str = "text", modality: str = "text"
 def decode_image_real(payload_bytes: bytes) -> dict:
     """Real codec hook, dispatched on the payload's magic bytes.
 
-    PPM (P6) and BMP (uncompressed 24-bit) are decoded for real in pure
-    numpy below — no media libraries needed. Compressed formats
-    (JPEG/PNG/video) require codec libraries this container does not
-    ship; PPM, BMP, zlib-PNG and baseline JPEG (4:4:4 and subsampled
-    4:2:0/4:2:2) decode natively below — the remaining seam is
-    progressive JPEG and video, which raise with the exact production
-    drop-in documented (PIL/libvips/ffmpeg slot in at this seam; the
-    mapInPandas plumbing around it is identical — see
-    :func:`decode_image_stats`).
+    PPM (P6), BMP (uncompressed 24-bit), zlib-PNG, and JPEG — baseline
+    AND progressive, 4:4:4 and subsampled 4:2:0/4:2:2 — decode natively
+    below in pure numpy/stdlib, no media libraries needed. The remaining
+    seams are arithmetic-coded JPEG, restart-marker streams, and video,
+    which raise with the exact production drop-in documented
+    (PIL/libvips/ffmpeg slot in at this seam; the mapInPandas plumbing
+    around it is identical — see :func:`decode_image_stats`, and its
+    ``safe=True`` quarantine mode for the 100 TB ingest posture).
     """
     if payload_bytes[:2] == b"P6":
         w, h, maxval, px = decode_ppm(payload_bytes)
@@ -72,9 +71,8 @@ def decode_image_real(payload_bytes: bytes) -> dict:
     else:
         raise NotImplementedError(
             "video codecs need ffmpeg, which this environment does not "
-            "ship; PPM, BMP, zlib-PNG and baseline JPEG (4:4:4 + "
-            "subsampled) decode natively here (progressive JPEG raises "
-            "inside decode_jpeg with the production drop-in documented)"
+            "ship; PPM, BMP, zlib-PNG and Huffman JPEG (baseline + "
+            "progressive, 4:4:4 + subsampled) decode natively here"
         )
     return {"width": w, "height": h, "maxval": maxval, "pixels": px}
 
@@ -292,20 +290,29 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 # --------------------------------------------------------------------------
-# JPEG: baseline sequential DCT (ITU-T T.81), 8-bit, 3 components,
-# 4:4:4 or subsampled (4:2:0 H2V2 — the dominant camera/web layout —
-# and any integer Hi/Vi geometry on the decode side).
-# A real TRANSFORM codec in pure numpy: JFIF container, DQT/SOF0/DHT/SOS
+# JPEG: sequential baseline (SOF0) AND progressive (SOF2) DCT
+# (ITU-T T.81), 8-bit, 3 components, 4:4:4 or subsampled (4:2:0 H2V2 —
+# the dominant camera/web layout — and any integer Hi/Vi geometry on the
+# decode side).
+# A real TRANSFORM codec in pure numpy: JFIF container, DQT/SOF/DHT/SOS
 # marker grammar, canonical Huffman entropy coding (tables shipped in and
 # parsed back out of the DHT segments — the decoder builds its codes from
 # the bitstream, never from this module's constants), byte stuffing,
 # level-shifted 2-D DCT with quantization, and the JFIF YCbCr<->RGB
-# transform. JPEG is lossy by construction, so unlike PPM/BMP/PNG the
+# transform. Progressive (round 8 — previously the #1 codec-seam gap:
+# progressive is the CDN/Photoshop default for web JPEGs) is the full
+# multi-scan coefficient-accumulation protocol of T.81 Annex G:
+# spectral-selection scans (interleaved DC-only; per-component AC bands),
+# successive approximation (DC point transform + 1-bit refinement; AC
+# first pass + correction-bit refinement), and EOB-run coding across
+# blocks. JPEG is lossy by construction, so unlike PPM/BMP/PNG the
 # round-trip is verified against an in-plan error BOUND (see
-# decode_jpeg_check / JPEG_TOLERANCE) rather than exact pixel sums.
-# Progressive JPEG raises NotImplementedError — that, plus video, is
-# now the entire codec seam; PIL/libvips/ffmpeg remain the production
-# drop-in at decode_image_real.
+# decode_jpeg_check / JPEG_TOLERANCE) — and a fully-refined progressive
+# stream decodes to coefficients IDENTICAL to its baseline encoding, an
+# exact-equality invariant the tests pin. The remaining seams:
+# arithmetic-coded JPEG (SOF9+ — unsupported in stock libjpeg builds
+# too), restart markers (DRI), and video; PIL/libvips/ffmpeg remain the
+# production drop-in at decode_image_real.
 # --------------------------------------------------------------------------
 
 
@@ -340,7 +347,15 @@ _DCT_M = _dct_matrix()
 #: decoder proves it reads tables from the DHT segment, not from here.
 _DC_SYMBOLS = list(range(12))  # magnitude categories 0..11, 4-bit codes
 _DC_BITS = [0, 0, 0, 12] + [0] * 12
-_AC_SYMBOLS = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+#: AC symbols: EOB0 + ZRL + (run, size) pairs + the progressive EOBn
+#: codes (r<<4, r=1..14: end-of-band runs of 2^r..2^{r+1}-1 blocks).
+#: Baseline scans never emit EOBn>0; progressive AC scans use the full
+#: range, so engine fixtures exercise the decoder's EOB-run path.
+_AC_SYMBOLS = sorted(
+    {0x00, 0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(1, 15)}
+)
 _AC_BITS = [0] * 7 + [128, len(_AC_SYMBOLS) - 128] + [0] * 7  # 128 8-bit + rest 9-bit
 
 
@@ -397,12 +412,42 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     )
 
 
-def _encode_block(w: "_BitWriter", block: np.ndarray, prev_dc: int,
-                  dc_codes: dict, ac_codes: dict) -> int:
-    """DCT + quantize (unit tables) + entropy-code ONE level-shifted 8x8
-    block; returns the block's DC value (the next block's predictor)."""
-    coef = np.rint(_DCT_M @ (block - 128.0) @ _DCT_M.T).astype(np.int64)
-    zz = coef.reshape(-1)[_ZIGZAG]
+def _comp_coef_arrays(
+    width: int, height: int, pixels: np.ndarray, subsampling: str
+) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int]:
+    """Forward transform shared by the baseline and progressive writers:
+    per-component quantized (unit tables) ZIGZAG coefficient arrays on
+    the MCU grid — component c gets shape (mh*v_c, mw*h_c, 64) — plus
+    the (h_i, v_i) sampling list and MCU grid dims."""
+    ycc = _rgb_to_ycbcr(pixels)
+    hv = [(1, 1), (1, 1), (1, 1)] if subsampling == "444" else [(2, 2), (1, 1), (1, 1)]
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    mw, mh = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    padded = np.pad(
+        ycc, ((0, mh * 8 * vmax - height), (0, mw * 8 * hmax - width), (0, 0)), mode="edge"
+    )
+    arrays = []
+    for c, (hi, vi) in enumerate(hv):
+        p = padded[..., c]
+        if hi != hmax or vi != vmax:  # box-mean downsample to the comp grid
+            p = p.reshape(mh * 8 * vi, vmax // vi, mw * 8 * hi, hmax // hi).mean(axis=(1, 3))
+        rows, cols = mh * vi, mw * hi
+        arr = np.zeros((rows, cols, 64), np.int64)
+        for by in range(rows):
+            for bx in range(cols):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = np.rint(_DCT_M @ (block - 128.0) @ _DCT_M.T).astype(np.int64)
+                arr[by, bx] = coef.reshape(-1)[_ZIGZAG]
+        arrays.append(arr)
+    return arrays, hv, mw, mh
+
+
+def _write_block_baseline(
+    w: "_BitWriter", zz: np.ndarray, prev_dc: int, dc_codes: dict, ac_codes: dict
+) -> int:
+    """Entropy-code ONE block's zigzag coefficients in baseline mode
+    (DC diff + AC run/size with EOB/ZRL); returns the DC predictor."""
     diff = int(zz[0]) - prev_dc
     t, lo = _magnitude(diff)
     code, length = dc_codes[t]
@@ -432,65 +477,231 @@ def _encode_block(w: "_BitWriter", block: np.ndarray, prev_dc: int,
     return int(zz[0])
 
 
-def encode_jpeg(width: int, height: int, pixels: np.ndarray, subsampling: str = "444") -> bytes:
-    """Baseline JFIF encoder: unit quantization tables (spec-valid; the
-    residual loss is DCT coefficient rounding only), engine Huffman
-    tables shipped via DHT. ``subsampling``: '444' (one 8x8 block per
-    component per MCU) or '420' (H2V2: 16x16 MCUs — four Y blocks plus
-    one Cb and one Cr from 2x2-mean-downsampled chroma planes, the
-    layout most camera/web JPEGs use)."""
+def _mcu_block_order(hv: list, mw: int, mh: int):
+    """Yield (comp, block_row, block_col) in MCU-interleaved order — the
+    one walk shared by the encoder's interleaved scans and the decoder."""
+    for my in range(mh):
+        for mx in range(mw):
+            for c, (hi, vi) in enumerate(hv):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        yield c, my * vi + byy, mx * hi + bxx
+
+
+def _comp_block_dims(width: int, height: int, hi: int, vi: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved scans cover the component's TRUE extent (T.81
+    A.2.2: ceil of the component sample dims), not the MCU-padded grid."""
+    cw, ch = -(-width * hi // hmax), -(-height * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)  # (block rows, block cols)
+
+
+def _scan_dc_first(arrays, hv, mw, mh, al: int, dc_codes: dict) -> bytes:
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for c, by, bx in _mcu_block_order(hv, mw, mh):
+        v = int(arrays[c][by, bx, 0]) >> al  # arithmetic shift (T.81 point transform)
+        t, lo = _magnitude(v - prev[c])
+        prev[c] = v
+        code, length = dc_codes[t]
+        w.write(code, length)
+        if t:
+            w.write(lo, t)
+    return w.flush()
+
+
+def _scan_dc_refine(arrays, hv, mw, mh, al: int) -> bytes:
+    w = _BitWriter()
+    for c, by, bx in _mcu_block_order(hv, mw, mh):
+        w.write((int(arrays[c][by, bx, 0]) >> al) & 1, 1)
+    return w.flush()
+
+
+def _flush_eobrun(w: "_BitWriter", eobrun: int, ac_codes: dict, bits: list | None = None) -> int:
+    """Emit a pending EOBn code (+ its buffered correction bits in a
+    refinement scan); returns the reset run count (0)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        w.write(code, length)
+        if r:
+            w.write(eobrun - (1 << r), r)
+        if bits:
+            for b in bits:
+                w.write(b, 1)
+            bits.clear()
+    return 0
+
+
+def _scan_ac_first(arr, cbh: int, cbw: int, ss: int, se: int, al: int, ac_codes: dict) -> bytes:
+    """Spectral-selection first pass (Ah=0) over one component's band:
+    point-transformed coefficients with EOB-run coding across blocks."""
+    w = _BitWriter()
+    eobrun = 0
+    for by in range(cbh):
+        for bx in range(cbw):
+            zz = arr[by, bx]
+            vals = [
+                (1 if int(v) > 0 else -1) * (abs(int(v)) >> al) if int(v) else 0
+                for v in zz[ss : se + 1]
+            ]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(w, eobrun, ac_codes)
+                continue
+            eobrun = _flush_eobrun(w, eobrun, ac_codes)
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                t, lo = _magnitude(v)
+                code, length = ac_codes[(run << 4) | t]
+                w.write(code, length)
+                w.write(lo, t)
+                run = 0
+            if nz[-1] < len(vals) - 1:
+                eobrun += 1  # trailing zeros fold into the EOB run
+    _flush_eobrun(w, eobrun, ac_codes)
+    return w.flush()
+
+
+def _scan_ac_refine(arr, cbh: int, cbw: int, ss: int, se: int, al: int, ac_codes: dict) -> bytes:
+    """Successive-approximation AC refinement (Ah=Al+1): one sign-coded
+    symbol per NEWLY nonzero coefficient, one correction bit per
+    previously nonzero coefficient, correction bits buffered across
+    EOB runs — the T.81 G.1.2.3 protocol as implemented by libjpeg."""
+    w = _BitWriter()
+    eobrun = 0
+    eob_bits: list[int] = []
+    for by in range(cbh):
+        for bx in range(cbw):
+            zz = arr[by, bx]
+            absv = [abs(int(v)) >> al for v in zz[ss : se + 1]]
+            signs = [int(v) > 0 for v in zz[ss : se + 1]]
+            new_pos = [i for i, a in enumerate(absv) if a == 1]
+            if not new_pos:
+                eobrun += 1
+                eob_bits += [a & 1 for a in absv if a > 1]
+                if eobrun == 0x7FFF or len(eob_bits) > 900:
+                    eobrun = _flush_eobrun(w, eobrun, ac_codes, eob_bits)
+                continue
+            eobrun = _flush_eobrun(w, eobrun, ac_codes, eob_bits)
+            last_new = new_pos[-1]
+            run = 0
+            pend: list[int] = []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= last_new:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                    for b in pend:
+                        w.write(b, 1)
+                    pend = []
+                if a > 1:  # history-nonzero: correction bit only
+                    pend.append(a & 1)
+                    continue
+                code, length = ac_codes[(run << 4) | 1]
+                w.write(code, length)
+                w.write(1 if signs[i] else 0, 1)
+                for b in pend:
+                    w.write(b, 1)
+                pend = []
+                run = 0
+            if run > 0 or pend:  # trailing zeros/corrections fold into EOB
+                eobrun += 1
+                eob_bits += pend
+    _flush_eobrun(w, eobrun, ac_codes, eob_bits)
+    return w.flush()
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+#: (dc table id, ac table id) per component — Y on tables 0, chroma on 1.
+_COMP_TABLES = [(0, 0), (1, 1), (1, 1)]
+
+
+def _sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comp_ids)])
+    for c in comp_ids:
+        dc_t, ac_t = _COMP_TABLES[c]
+        body += bytes([c + 1, (dc_t << 4) | ac_t])
+    return _jpeg_seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: np.ndarray,
+    subsampling: str = "444",
+    progressive: bool = False,
+) -> bytes:
+    """JFIF encoder: unit quantization tables (spec-valid; the residual
+    loss is DCT coefficient rounding only), engine Huffman tables shipped
+    via DHT. ``subsampling``: '444' (one 8x8 block per component per MCU)
+    or '420' (H2V2: 16x16 MCUs — four Y blocks plus one Cb and one Cr
+    from 2x2-mean-downsampled chroma planes, the layout most camera/web
+    JPEGs use).
+
+    ``progressive=True`` emits SOF2 with an 8-scan script exercising the
+    full Annex-G protocol: interleaved DC first pass at point transform
+    Al=1; per-component AC 1..63 first passes at Al=1 (EOB-run coded);
+    interleaved DC refinement; per-component AC refinements to Al=0.
+    Successive approximation is LOSSLESS once fully refined, so the
+    progressive stream decodes to coefficients identical to the baseline
+    encoding of the same pixels — tests assert exact pixel equality."""
     if pixels.shape != (height, width, 3):
         raise ValueError(f"pixel block {pixels.shape} != ({height}, {width}, 3)")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
-    ycc = _rgb_to_ycbcr(pixels)
+    arrays, hv, mw, mh = _comp_coef_arrays(width, height, pixels, subsampling)
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
-    w = _BitWriter()
-    prev_dc = [0, 0, 0]
-    if subsampling == "444":
-        bw, bh = (width + 7) // 8, (height + 7) // 8
-        padded = np.pad(
-            ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
-        )
-        for by in range(bh):
-            for bx in range(bw):
-                for comp in range(3):
-                    block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
-                    prev_dc[comp] = _encode_block(w, block, prev_dc[comp], dc_codes, ac_codes)
-        sampling = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
-    else:  # 4:2:0 — 16x16 MCUs, chroma 2x2-mean downsampled
-        mw, mh = (width + 15) // 16, (height + 15) // 16
-        padded = np.pad(
-            ycc, ((0, mh * 16 - height), (0, mw * 16 - width), (0, 0)), mode="edge"
-        )
-        y_plane = padded[..., 0]
-        chroma = [
-            padded[..., c].reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
-            for c in (1, 2)
-        ]
-        for my in range(mh):
-            for mx in range(mw):
-                for byy in range(2):  # four Y blocks, row-major within the MCU
-                    for bxx in range(2):
-                        r0, c0 = my * 16 + byy * 8, mx * 16 + bxx * 8
-                        prev_dc[0] = _encode_block(
-                            w, y_plane[r0 : r0 + 8, c0 : c0 + 8], prev_dc[0], dc_codes, ac_codes
-                        )
-                for comp, plane in enumerate(chroma, start=1):
-                    block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                    prev_dc[comp] = _encode_block(w, block, prev_dc[comp], dc_codes, ac_codes)
-        sampling = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
-    entropy = w.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
+    if progressive:
+        body = _sos_header([0, 1, 2], 0, 0, 0, 1) + _scan_dc_first(arrays, hv, mw, mh, 1, dc_codes)
+        for c in range(3):
+            cbh, cbw = _comp_block_dims(width, height, hv[c][0], hv[c][1], hmax, vmax)
+            body += _sos_header([c], 1, 63, 0, 1) + _scan_ac_first(
+                arrays[c], cbh, cbw, 1, 63, 1, ac_codes
+            )
+        body += _sos_header([0, 1, 2], 0, 0, 1, 0) + _scan_dc_refine(arrays, hv, mw, mh, 0)
+        for c in range(3):
+            cbh, cbw = _comp_block_dims(width, height, hv[c][0], hv[c][1], hmax, vmax)
+            body += _sos_header([c], 1, 63, 1, 0) + _scan_ac_refine(
+                arrays[c], cbh, cbw, 1, 63, 0, ac_codes
+            )
+    else:
+        w = _BitWriter()
+        prev_dc = [0, 0, 0]
+        for c, by, bx in _mcu_block_order(hv, mw, mh):
+            prev_dc[c] = _write_block_baseline(w, arrays[c][by, bx], prev_dc[c], dc_codes, ac_codes)
+        body = _sos_header([0, 1, 2], 0, 63, 0, 0) + w.flush()
 
     qt = bytes([1] * 64)
-    dqt = seg(0xFFDB, bytes([0x00]) + qt) + seg(0xFFDB, bytes([0x01]) + qt)
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + sampling)
+    dqt = _jpeg_seg(0xFFDB, bytes([0x00]) + qt) + _jpeg_seg(0xFFDB, bytes([0x01]) + qt)
+    sampling = b"".join(
+        bytes([c + 1, (hv[c][0] << 4) | hv[c][1], 0 if c == 0 else 1]) for c in range(3)
+    )
+    sof = _jpeg_seg(
+        0xFFC2 if progressive else 0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3) + sampling,
+    )
     dht = b"".join(
-        seg(0xFFC4, bytes([cls_id]) + bytes(bits) + bytes(syms))
+        _jpeg_seg(0xFFC4, bytes([cls_id]) + bytes(bits) + bytes(syms))
         for cls_id, bits, syms in (
             (0x00, _DC_BITS, _DC_SYMBOLS),
             (0x01, _DC_BITS, _DC_SYMBOLS),
@@ -498,9 +709,8 @@ def encode_jpeg(width: int, height: int, pixels: np.ndarray, subsampling: str = 
             (0x11, _AC_BITS, _AC_SYMBOLS),
         )
     )
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    app0 = _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + body + b"\xff\xd9"
 
 
 class _BitReader:
@@ -531,24 +741,147 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _entropy_end(payload: bytes, pos: int) -> int:
+    """First byte index at/after ``pos`` where a real marker starts —
+    entropy data ends at any 0xFF not followed by a stuffed 0x00."""
+    i = pos
+    while i < len(payload) - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("restart markers (DRI) not supported")
+            return i
+        i += 1
+    return len(payload)
+
+
+def _decode_scan_block(
+    reader: _BitReader,
+    zz: np.ndarray,
+    huff: dict,
+    dc_t: int,
+    ac_t: int,
+    si: int,
+    prev_dc: list[int],
+    state: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Decode ONE block's contribution from the current scan into its
+    zigzag coefficient buffer. Handles all four progressive scan kinds
+    (DC first / DC refine / AC first / AC refine, T.81 Annex G) — and a
+    baseline scan is exactly (Ss=0, Se=63, Ah=Al=0), whose AC part is
+    the degenerate EOB-run-of-one case of the AC-first algorithm."""
+    if ss == 0:
+        if ah == 0:  # DC first pass: Huffman-coded diff, point transform Al
+            t = _read_symbol(reader, huff[(0, dc_t)])
+            diff = _extend(reader.bits(t), t) if t else 0
+            prev_dc[si] += diff
+            zz[0] = prev_dc[si] << al
+        elif reader.bit():  # DC refinement: one raw bit per block
+            zz[0] |= 1 << al
+        if se == 0:
+            return
+    k = max(ss, 1)
+    table = huff[(1, ac_t)]
+    if ah == 0:  # AC first pass (or the AC part of a baseline scan)
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = _read_symbol(reader, table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eob = 1 << r
+                if r:
+                    eob += reader.bits(r)
+                state["eobrun"] = eob - 1  # current block consumed here
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index overruns the band")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (Ah = Al + 1): correction bits + newly nonzero coefs
+    p1 = 1 << al
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_symbol(reader, table)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += reader.bits(r)
+                    state["eobrun"] = eob
+                    break
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan symbol with size > 1")
+                val = p1 if reader.bit() else -p1
+            while k <= se:  # advance r zero-HISTORY positions, correcting others
+                if zz[k] != 0:
+                    if reader.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if state["eobrun"] > 0:  # EOB-covered remainder still carries corrections
+        while k <= se:
+            if zz[k] != 0 and reader.bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Generic baseline JPEG decoder: walks the marker stream, builds
-    Huffman tables FROM the DHT segments, entropy-decodes the interleaved
-    scan MCU by MCU at the sampling geometry the SOF0 declares (4:4:4,
-    4:2:0, 4:2:2 — any integer Hi/Vi dividing Hmax/Vmax), dequantizes
-    via the DQT tables, inverse-zigzags, IDCTs, replication-upsamples
-    subsampled chroma planes to full resolution and converts JFIF YCbCr
-    back to RGB. Progressive streams raise NotImplementedError
-    (PIL/libvips are the production drop-in at the decode_image_real
-    seam)."""
+    """Generic JPEG decoder for baseline (SOF0) and progressive (SOF2)
+    streams: walks the marker stream, builds Huffman tables FROM the DHT
+    segments, entropy-decodes every scan into per-component coefficient
+    buffers — MCU-interleaved at the SOF sampling geometry (4:4:4,
+    4:2:0, 4:2:2 — any integer Hi/Vi dividing Hmax/Vmax) or
+    single-component raster for progressive AC band scans, with EOB-run
+    and successive-approximation refinement per T.81 Annex G — then
+    dequantizes via the DQT tables, inverse-zigzags, IDCTs (vectorized
+    over all blocks), replication-upsamples subsampled chroma planes and
+    converts JFIF YCbCr back to RGB. Arithmetic-coded frames (SOF9+),
+    hierarchical/lossless modes and restart markers raise
+    NotImplementedError (PIL/libvips are the production drop-in at the
+    decode_image_real seam)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
+    progressive = False
     comps: list[tuple[int, int, int, int]] = []  # (id, quant_id, h_i, v_i)
-    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_table, ac_table)
+    scans: list[tuple[list, int, int, int, int, int, int]] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
@@ -556,6 +889,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
+            continue
         (seg_len,) = struct.unpack_from(">H", payload, pos)
         data = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -576,94 +911,92 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 codes = _canonical_codes(bits, syms)
                 huff[(cls, tid)] = {(l, c): s for s, (c, l) in codes.items()}
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _, height, width, nc = struct.unpack_from(">BHHB", data, 0)
             for i in range(nc):
                 cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, tq, hv >> 4, hv & 0xF))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG (SOF0)")
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) Huffman JPEG"
+            )
+        elif marker == 0xDA:  # SOS — locate this scan's entropy slice
             ns = data[0]
+            scan = []
             for i in range(ns):
                 cid, tables = data[1 + 2 * i], data[2 + 2 * i]
                 idx = next(j for j, c in enumerate(comps) if c[0] == cid)
                 scan.append((idx, tables >> 4, tables & 0xF))
-            pos += seg_len
-            break
+            ss, se, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            start = pos + seg_len
+            end = _entropy_end(payload, start)
+            scans.append((scan, ss, se, ahal >> 4, ahal & 0xF, start, end))
+            pos = end
+            continue
         pos += seg_len
-    if width is None or not scan:
-        raise ValueError("JPEG missing SOF0/SOS")
-    if len(scan) != len(comps):
-        # non-interleaved multi-scan baseline: sampling factors don't
-        # apply per T.81 and data-unit order is plane-raster — a layout
-        # neither JFIF encoders nor this engine's fixtures emit
-        raise NotImplementedError("only single-interleaved-scan baseline JPEG")
+    if width is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     if any(hmax % c[2] or vmax % c[3] for c in comps):
         raise NotImplementedError("non-integer chroma sampling ratio")
     if len(comps) != 3:
-        # grayscale (1-component) and CMYK (4-component) baselines pass
-        # the guards above but the YCbCr reconstruction below is 3-plane;
+        # grayscale (1-component) and CMYK (4-component) frames pass the
+        # guards above but the YCbCr reconstruction below is 3-plane;
         # refuse at the declared codec seam instead of IndexError mid-scan
         raise NotImplementedError("only 3-component (YCbCr) baseline JFIF")
+    if not progressive and (
+        len(scans) != 1 or len(scans[0][0]) != len(comps) or scans[0][1:5] != (0, 63, 0, 0)
+    ):
+        # non-interleaved multi-scan baseline: sampling factors don't
+        # apply per T.81 and data-unit order is plane-raster — a layout
+        # neither JFIF encoders nor this engine's fixtures emit
+        raise NotImplementedError("only single-interleaved-scan baseline JPEG")
 
-    def read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length <= 16:
-            code = (code << 1) | r.bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code in scan")
-
-    reader = _BitReader(payload[pos:])
-    # MCU grid: hmax*8 x vmax*8 pixels per MCU; component ci contributes
-    # h_i x v_i blocks per MCU into its own (possibly subsampled) plane
+    # Per-component zigzag coefficient buffers on the MCU grid; every
+    # scan ACCUMULATES into them (baseline = the one-scan special case).
     mw, mh = -(-width // (8 * hmax)), -(-height // (8 * vmax))
-    planes = [np.zeros((mh * 8 * c[3], mw * 8 * c[2]), dtype=np.float64) for c in comps]
-    prev_dc = [0] * len(scan)
+    bufs = [np.zeros((mh * c[3], mw * c[2], 64), dtype=np.int64) for c in comps]
+    for scan, ss, se, ah, al, start, end in scans:
+        reader = _BitReader(payload[start:end])
+        prev_dc = [0] * len(scan)
+        state = {"eobrun": 0}
+        if len(scan) > 1:
+            if progressive and se != 0:
+                raise ValueError("interleaved progressive scan must be DC-only")
+            for my in range(mh):
+                for mx in range(mw):
+                    for si, (ci, dc_t, ac_t) in enumerate(scan):
+                        _, _, hi, vi = comps[ci]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                _decode_scan_block(
+                                    reader, bufs[ci][my * vi + byy, mx * hi + bxx],
+                                    huff, dc_t, ac_t, si, prev_dc, state, ss, se, ah, al,
+                                )
+        else:  # non-interleaved: the component's TRUE block extent, raster order
+            ci, dc_t, ac_t = scan[0]
+            _, _, hi, vi = comps[ci]
+            cbh, cbw = _comp_block_dims(width, height, hi, vi, hmax, vmax)
+            for by in range(cbh):
+                for bx in range(cbw):
+                    _decode_scan_block(
+                        reader, bufs[ci][by, bx], huff, dc_t, ac_t, 0, prev_dc,
+                        state, ss, se, ah, al,
+                    )
+
+    # Dequantize (DQT is zigzag-ordered per T.81 B.2.4.1, matching the
+    # buffers), inverse-zigzag, and IDCT all blocks per component at once.
     inv_zz = np.argsort(_ZIGZAG)
-    for my in range(mh):
-        for mx in range(mw):
-            for si, (ci, dc_t, ac_t) in enumerate(scan):
-                _, tq, hi, vi = comps[ci]
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = read_symbol(reader, huff[(0, dc_t)])
-                        diff = _extend(reader.bits(t), t) if t else 0
-                        prev_dc[si] += diff
-                        zz[0] = prev_dc[si]
-                        k = 1
-                        while k < 64:
-                            rs = read_symbol(reader, huff[(1, ac_t)])
-                            if rs == 0x00:  # EOB
-                                break
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC run/size")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
-                        # DQT stores quantizers in zigzag order (T.81
-                        # B.2.4.1), matching zz — dequantize first, then
-                        # inverse-zigzag
-                        block = (zz * qt[tq])[inv_zz].reshape(8, 8)
-                        r0 = (my * vi + byy) * 8
-                        c0 = (mx * hi + bxx) * 8
-                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = (
-                            _DCT_M.T @ block @ _DCT_M + 128.0
-                        )
-    # replication-upsample subsampled planes to the full MCU-grid size
     full = []
-    for ci, (_, _, hi, vi) in enumerate(comps):
-        p = planes[ci]
-        if vi != vmax:
+    for ci, (_, tq, hi, vi) in enumerate(comps):
+        rows, cols = mh * vi, mw * hi
+        deq = bufs[ci].reshape(rows * cols, 64) * qt[tq][None, :]
+        nat = deq[:, inv_zz].reshape(rows * cols, 8, 8).astype(np.float64)
+        blocks = _DCT_M.T @ nat @ _DCT_M + 128.0
+        p = blocks.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        if vi != vmax:  # replication-upsample to the full MCU-grid size
             p = np.repeat(p, vmax // vi, axis=0)
         if hi != hmax:
             p = np.repeat(p, hmax // hi, axis=1)
@@ -718,6 +1051,15 @@ def _jpeg_subsampling(doc_id: int) -> str:
     return "420" if doc_id % 20 == 0 else "444"
 
 
+def _jpeg_progressive(doc_id: int) -> bool:
+    """Fixture rule (round 8): every fourth JPEG doc (doc_id % 40 == 0)
+    renders as PROGRESSIVE (SOF2, 8-scan successive approximation) —
+    composed with :func:`_jpeg_subsampling` those docs are progressive
+    4:2:0, the dominant real-web layout. Decoded through the same
+    decode_jpeg_check bound as baseline in every mm_suite run."""
+    return doc_id % 40 == 0
+
+
 def render_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture-image renderer: one real PPM binary per row, content a
     deterministic function of the id (``_fixture_pixels``). mapInPandas
@@ -737,47 +1079,53 @@ def render_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def render_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Same fixture pixels through the LOSSY transform codec: a real
-    baseline JFIF per row (DCT + canonical-Huffman entropy coding, unit
+    JFIF per row (DCT + canonical-Huffman entropy coding, unit
     quantization). Per :func:`_jpeg_subsampling`, half the docs render
     4:2:0 (H2V2, 16x16 MCUs over the 2x2-block-constant 4:2:0 fixture)
-    and half 4:4:4, so both sampling layouts decode in every run.
-    Verified via :func:`decode_jpeg_check`'s in-plan error bound rather
-    than exact sums — JPEG loses by design."""
+    and half 4:4:4; per :func:`_jpeg_progressive` a quarter render as
+    8-scan PROGRESSIVE streams — baseline and progressive, subsampled
+    and not, all decode in every run. Verified via
+    :func:`decode_jpeg_check`'s in-plan error bound rather than exact
+    sums — JPEG loses by design."""
 
     def enc(w: int, h: int, px: np.ndarray, doc_id: int) -> bytes:
         sub = _jpeg_subsampling(doc_id)
         if sub == "420":
             px = _fixture_pixels_420(doc_id, w, h)
-        return encode_jpeg(w, h, px, subsampling=sub)
+        return encode_jpeg(w, h, px, subsampling=sub, progressive=_jpeg_progressive(doc_id))
 
     return _render_payloads(df, enc, id_col, pass_id=True)
 
 
-def encode_progressive_stub(width: int, height: int, pixels: np.ndarray) -> bytes:
-    """A structurally real JFIF stream whose frame header is SOF2
-    (progressive DCT): the baseline encoding with its frame marker
-    rewritten. To a marker-walking decoder this is exactly what a
-    progressive file looks like up to the frame header — the correct
-    behavior is to refuse at SOF2 (NotImplementedError at the declared
-    codec seam), never to misparse the scan. Used by the quarantine
-    fixtures; safe in this corpus because 0xFFC0 cannot occur earlier:
-    entropy data is byte-stuffed (0xFF is always followed by 0x00) and
-    no fixture segment payload contains 0xFF."""
-    return encode_jpeg(width, height, pixels).replace(b"\xff\xc0", b"\xff\xc2", 1)
+def encode_arithmetic_stub(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """A structurally real JFIF stream whose frame header is SOF9
+    (arithmetic-coded sequential DCT): the baseline encoding with its
+    frame marker rewritten. Arithmetic-coded JPEG is a real format this
+    engine — like stock libjpeg builds — does not decode; to a
+    marker-walking decoder the stream is exactly an arithmetic file up
+    to the frame header, and the correct behavior is to refuse at SOF9
+    (NotImplementedError at the declared codec seam), never to misparse
+    the scan. Used by the quarantine fixtures; safe in this corpus
+    because 0xFFC0 cannot occur earlier: entropy data is byte-stuffed
+    (0xFF is always followed by 0x00) and no fixture segment payload
+    contains 0xFF. (Until round 8 this stub used SOF2 — progressive now
+    DECODES natively, so the planted 'unsupported real format' moved to
+    the next seam out.)"""
+    return encode_jpeg(width, height, pixels).replace(b"\xff\xc0", b"\xff\xc9", 1)
 
 
 #: Quarantine-fixture rule over the doc_id % 10 == 0 slice: which planted
 #: failure each doc carries (see render_quarantine_payloads).
 _QUARANTINE_TRUNCATED = 0  # doc_id % 100 — PPM cut to 10 bytes -> ValueError
-_QUARANTINE_PROGRESSIVE = 30  # SOF2 stream -> NotImplementedError
+_QUARANTINE_ARITHMETIC = 30  # SOF9 stream -> NotImplementedError
 _QUARANTINE_UNKNOWN = 60  # unknown magic (video-ish) -> NotImplementedError
 
 
 def render_quarantine_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture renderer for the safe-decode (quarantine) path: good PPM
     payloads with three deterministic failure classes planted among them
-    by doc_id arithmetic — a truncated PPM (corrupt stream), a
-    progressive-JPEG stream (unsupported-but-real format), and an
+    by doc_id arithmetic — a truncated PPM (corrupt stream), an
+    arithmetic-coded JPEG (unsupported-but-real format), and an
     unknown-magic payload (video container). Every class a 100 TB ingest
     actually hits, planted IN the same batch as good rows so the test
     proves bad payloads don't poison their neighbors."""
@@ -786,8 +1134,8 @@ def render_quarantine_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFra
         m = doc_id % 100
         if m == _QUARANTINE_TRUNCATED:
             return encode_ppm(w, h, px)[:10]
-        if m == _QUARANTINE_PROGRESSIVE:
-            return encode_progressive_stub(w, h, px)
+        if m == _QUARANTINE_ARITHMETIC:
+            return encode_arithmetic_stub(w, h, px)
         if m == _QUARANTINE_UNKNOWN:
             return b"MOOVftypisom" + bytes(16)
         return encode_ppm(w, h, px)

@@ -256,24 +256,30 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       only). Inflate + defilter must reproduce the arithmetic pixel
       sums bit-exactly, so the compressed-codec seam is proven, not
       stubbed.
-    - op='jpeg_decode' (round 6): the fixture pixels through a real
-      TRANSFORM codec — baseline JFIF (multimodal.py encode_jpeg /
-      decode_jpeg: DCT, canonical Huffman from the DHT segments, byte
-      stuffing, YCbCr). JPEG is lossy by design, so the driver-exact
-      values are the decoded dimensions and the pixel check is in-plan:
+    - op='jpeg_decode' (round 6; progressive round 8): the fixture
+      pixels through a real TRANSFORM codec — JFIF (multimodal.py
+      encode_jpeg / decode_jpeg: DCT, canonical Huffman from the DHT
+      segments, byte stuffing, YCbCr), with every fourth JPEG doc
+      rendered as an 8-scan PROGRESSIVE (SOF2) stream — successive
+      approximation + EOB-run coding per T.81 Annex G, decoded by the
+      same decoder. JPEG is lossy by design, so the driver-exact values
+      are the decoded dimensions and the pixel check is in-plan:
       decode_ok = max |decoded - arithmetic reference| <= JPEG_TOLERANCE
       (the recall-invariant pattern; the tolerance is the measured
-      unit-quant round-trip bound, tests/test_multimodal.py). Sampled
-      doc_id % 10 == 0 to bound Python entropy-decode cost at scale.
-      The remaining NotImplementedError seam: progressive JPEG and
+      unit-quant round-trip bound, tests/test_multimodal.py — and a
+      progressive stream decodes EXACTLY equal to its baseline
+      encoding, pinned there too). Sampled doc_id % 10 == 0 to bound
+      Python entropy-decode cost at scale. The remaining
+      NotImplementedError seams: arithmetic-coded JPEG, DRI streams,
       video (PIL/libvips/ffmpeg drop in at decode_image_real).
     - op='quarantine' (round 8): the safe-decode route. Three failure
-      classes a real 100 TB ingest hits — truncated stream, progressive
-      JPEG, unknown container magic — planted by doc_id arithmetic among
-      good PPMs in the same Arrow batches; decode_image_stats(safe=True)
-      turns them into status='quarantined:<ExceptionClass>' rows with
-      null stats while the good neighbors decode to hash-exact pixel
-      sums. No stage-killing decode path remains: strict mode stays the
+      classes a real 100 TB ingest hits — truncated stream,
+      arithmetic-coded JPEG (SOF9, real-but-unsupported), unknown
+      container magic — planted by doc_id arithmetic among good PPMs in
+      the same Arrow batches; decode_image_stats(safe=True) turns them
+      into status='quarantined:<ExceptionClass>' rows with null stats
+      while the good neighbors decode to hash-exact pixel sums. No
+      stage-killing decode path remains: strict mode stays the
       fixture-pipeline default, safe mode is the production ingest
       posture.
     """

@@ -108,20 +108,64 @@ def test_jpeg_container_is_real():
 
 
 def test_jpeg_unsupported_modes_raise():
-    """Progressive (SOF2) and non-integer sampling ratios hit the
-    documented NotImplementedError seam (4:2:0/4:2:2 subsampling decodes
-    natively since round 7 — see test_jpeg_420_roundtrip)."""
+    """Arithmetic coding (SOF9) and non-integer sampling ratios hit the
+    documented NotImplementedError seam; a SOF2 frame whose scan is
+    baseline-shaped (interleaved Ss=0..63 — illegal in progressive, the
+    round-7 'flipped marker' stub) is refused as a corrupt stream, not
+    misparsed. (4:2:0/4:2:2 decode natively since round 7; REAL
+    progressive streams decode natively since round 8 — see
+    test_jpeg_progressive_equals_baseline.)"""
     data = bytearray(MM.encode_jpeg(6, 5, _px(6, 5)))
     sof = data.find(b"\xff\xc0")
-    progressive = bytearray(data)
-    progressive[sof + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="baseline"):
-        MM.decode_jpeg(bytes(progressive))
+    arith = bytearray(data)
+    arith[sof + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        MM.decode_jpeg(bytes(arith))
+    flipped = bytearray(data)
+    flipped[sof + 1] = 0xC2  # SOF2 frame, but the scan stays baseline-shaped
+    with pytest.raises(ValueError, match="DC-only"):
+        MM.decode_jpeg(bytes(flipped))
     weird = bytearray(data)
     weird[sof + 11] = 0x32  # Y sampling 3x2: 3 % 2 != 0 against Cb/Cr 1x1? no —
     weird[sof + 14] = 0x21  # Cb 2x1: hmax=3, 3 % 2 != 0 -> non-integer ratio
     with pytest.raises(NotImplementedError, match="non-integer"):
         MM.decode_jpeg(bytes(weird))
+
+
+@pytest.mark.parametrize("w,h,sub", [(1, 1, "444"), (4, 7, "444"), (16, 14, "444"),
+                                     (33, 9, "444"), (16, 16, "420"), (17, 9, "420")])
+def test_jpeg_progressive_equals_baseline(w, h, sub):
+    """Progressive (SOF2, 8-scan successive approximation) decodes to
+    pixels EXACTLY equal to the baseline encoding of the same image:
+    the point transform + refinement chain is lossless once fully
+    refined, so the two streams carry identical coefficients — a far
+    stronger invariant than the lossy tolerance bound."""
+    px = MM._fixture_pixels_420(w * 100 + h, w, h) if sub == "420" else _px(w, h, seed=w + h)
+    base = MM.encode_jpeg(w, h, px, subsampling=sub)
+    prog = MM.encode_jpeg(w, h, px, subsampling=sub, progressive=True)
+    assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog  # really SOF2
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert prog.count(b"\xff\xda") >= 8  # multi-scan, not a relabeled baseline
+    _, _, _, bout = MM.decode_jpeg(base)
+    dw, dh, maxval, pout = MM.decode_jpeg(prog)
+    assert (dw, dh, maxval) == (w, h, 255)
+    assert np.array_equal(bout, pout)
+    err = int(np.abs(pout.astype(np.int64) - px.astype(np.int64)).max())
+    assert err <= MM.JPEG_TOLERANCE
+
+
+def test_jpeg_progressive_eob_runs_decode():
+    """A mostly-empty image makes the AC first passes emit multi-block
+    EOB runs (EOBn, r > 0) and the refinement passes carry buffered
+    correction bits across those runs — the Annex-G paths a busy image
+    never reaches. Constant image -> every AC band empty."""
+    px = np.full((32, 48, 3), 77, np.uint8)
+    prog = MM.encode_jpeg(48, 32, px, progressive=True)
+    _, _, _, out = MM.decode_jpeg(prog)
+    assert int(np.abs(out.astype(np.int64) - px.astype(np.int64)).max()) <= MM.JPEG_TOLERANCE
+    # dispatch seam: progressive flows through decode_image_real like any JPEG
+    d = MM.decode_image_real(MM.encode_jpeg(16, 16, _px(16, 16), progressive=True))
+    assert (d["width"], d["height"]) == (16, 16)
 
 
 def test_jpeg_420_roundtrip():
@@ -306,7 +350,7 @@ def test_safe_decode_quarantines_bad_payloads_without_killing_job(spark):
     rows = {r["doc_id"]: r for r in MM.decode_image_stats(rendered, safe=True).collect()}
     assert len(rows) == 7  # every payload produced a row — nothing dropped
     assert rows[0]["status"] == "quarantined:ValueError"  # truncated PPM
-    assert rows[30]["status"] == "quarantined:NotImplementedError"  # progressive
+    assert rows[30]["status"] == "quarantined:NotImplementedError"  # arithmetic-coded
     assert rows[60]["status"] == "quarantined:NotImplementedError"  # unknown magic
     for bad in (0, 30, 60):
         assert rows[bad]["error"], "quarantined row must carry the error string"
@@ -323,11 +367,13 @@ def test_safe_decode_quarantines_bad_payloads_without_killing_job(spark):
         MM.decode_image_stats(rendered, safe=False).collect()
 
 
-def test_progressive_stub_is_structurally_progressive():
-    """The quarantine fixture's progressive stream must carry a real
-    SOF2 frame marker (not a corrupted byte soup): a marker walk finds
-    SOF2 and no SOF0."""
+def test_arithmetic_stub_is_structurally_arithmetic():
+    """The quarantine fixture's arithmetic-coded stream must carry a
+    real SOF9 frame marker (not a corrupted byte soup): a marker walk
+    finds SOF9 and no SOF0/SOF2, and decode refuses at the seam."""
     w, h = MM._fixture_dims(30)
-    data = MM.encode_progressive_stub(w, h, MM._fixture_pixels(30, w, h))
-    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    data = MM.encode_arithmetic_stub(w, h, MM._fixture_pixels(30, w, h))
+    assert b"\xff\xc9" in data and b"\xff\xc0" not in data and b"\xff\xc2" not in data
     assert data[:2] == b"\xff\xd8"
+    with pytest.raises(NotImplementedError):
+        MM.decode_jpeg(data)
