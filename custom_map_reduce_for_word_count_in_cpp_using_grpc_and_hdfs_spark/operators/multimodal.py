@@ -54,7 +54,7 @@ def decode_image_real(payload_bytes: bytes) -> dict:
     PPM (P6), BMP (uncompressed 24-bit), zlib-PNG, and JPEG — baseline
     AND progressive, 4:4:4 and subsampled 4:2:0/4:2:2 — decode natively
     below in pure numpy/stdlib, no media libraries needed. The remaining
-    seams are arithmetic-coded JPEG, restart-marker streams, and video,
+    seams are arithmetic-coded JPEG and video,
     which raise with the exact production drop-in documented
     (PIL/libvips/ffmpeg slot in at this seam; the mapInPandas plumbing
     around it is identical — see :func:`decode_image_stats`, and its
@@ -311,7 +311,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 # stream decodes to coefficients IDENTICAL to its baseline encoding, an
 # exact-equality invariant the tests pin. The remaining seams:
 # arithmetic-coded JPEG (SOF9+ — unsupported in stock libjpeg builds
-# too), restart markers (DRI), and video; PIL/libvips/ffmpeg remain the
+# too) and video (restart-marker/DRI streams decode natively); PIL/libvips/ffmpeg remain the
 # production drop-in at decode_image_real.
 # --------------------------------------------------------------------------
 
@@ -387,10 +387,22 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
+        """Byte-align with 1-bits (T.81 F.1.2.3); a pad byte that lands
+        on 0xFF gets stuffed like any data byte."""
         if self.n:
-            pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+            k = 8 - self.n
+            self.write((1 << k) - 1, k)
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (markers are never stuffed);
+        caller must have byte-aligned first."""
+        if self.n:
+            raise ValueError("raw marker bytes require byte alignment")
+        self.buf += b
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.buf)
 
 
@@ -478,14 +490,25 @@ def _write_block_baseline(
 
 
 def _mcu_block_order(hv: list, mw: int, mh: int):
-    """Yield (comp, block_row, block_col) in MCU-interleaved order — the
-    one walk shared by the encoder's interleaved scans and the decoder."""
+    """Yield (mcu_index, comp, block_row, block_col) in MCU-interleaved
+    order — the one walk shared by the encoder's interleaved scans and
+    the decoder; the MCU index is the restart-interval unit."""
     for my in range(mh):
         for mx in range(mw):
             for c, (hi, vi) in enumerate(hv):
                 for byy in range(vi):
                     for bxx in range(hi):
-                        yield c, my * vi + byy, mx * hi + bxx
+                        yield my * mw + mx, c, my * vi + byy, mx * hi + bxx
+
+
+def _maybe_restart(w: "_BitWriter", unit: int, restart: int, prev: list | None = None) -> None:
+    """Encoder-side restart boundary: at every ``restart`` units emit a
+    byte-aligned RSTn (n cycling 0..7) and reset the DC predictors."""
+    if restart and unit and unit % restart == 0:
+        w.pad()
+        w.raw(bytes([0xFF, 0xD0 + ((unit // restart - 1) % 8)]))
+        if prev is not None:
+            prev[:] = [0] * len(prev)
 
 
 def _comp_block_dims(width: int, height: int, hi: int, vi: int, hmax: int, vmax: int) -> tuple[int, int]:
@@ -495,10 +518,14 @@ def _comp_block_dims(width: int, height: int, hi: int, vi: int, hmax: int, vmax:
     return -(-ch // 8), -(-cw // 8)  # (block rows, block cols)
 
 
-def _scan_dc_first(arrays, hv, mw, mh, al: int, dc_codes: dict) -> bytes:
+def _scan_dc_first(arrays, hv, mw, mh, al: int, dc_codes: dict, restart: int = 0) -> bytes:
     w = _BitWriter()
     prev = [0, 0, 0]
-    for c, by, bx in _mcu_block_order(hv, mw, mh):
+    seen = -1
+    for mcu, c, by, bx in _mcu_block_order(hv, mw, mh):
+        if mcu != seen:
+            _maybe_restart(w, mcu, restart, prev)
+            seen = mcu
         v = int(arrays[c][by, bx, 0]) >> al  # arithmetic shift (T.81 point transform)
         t, lo = _magnitude(v - prev[c])
         prev[c] = v
@@ -509,9 +536,13 @@ def _scan_dc_first(arrays, hv, mw, mh, al: int, dc_codes: dict) -> bytes:
     return w.flush()
 
 
-def _scan_dc_refine(arrays, hv, mw, mh, al: int) -> bytes:
+def _scan_dc_refine(arrays, hv, mw, mh, al: int, restart: int = 0) -> bytes:
     w = _BitWriter()
-    for c, by, bx in _mcu_block_order(hv, mw, mh):
+    seen = -1
+    for mcu, c, by, bx in _mcu_block_order(hv, mw, mh):
+        if mcu != seen:
+            _maybe_restart(w, mcu, restart)
+            seen = mcu
         w.write((int(arrays[c][by, bx, 0]) >> al) & 1, 1)
     return w.flush()
 
@@ -532,94 +563,104 @@ def _flush_eobrun(w: "_BitWriter", eobrun: int, ac_codes: dict, bits: list | Non
     return 0
 
 
-def _scan_ac_first(arr, cbh: int, cbw: int, ss: int, se: int, al: int, ac_codes: dict) -> bytes:
+def _scan_ac_first(
+    arr, cbh: int, cbw: int, ss: int, se: int, al: int, ac_codes: dict, restart: int = 0
+) -> bytes:
     """Spectral-selection first pass (Ah=0) over one component's band:
-    point-transformed coefficients with EOB-run coding across blocks."""
+    point-transformed coefficients with EOB-run coding across blocks.
+    EOB runs never cross a restart boundary (flushed before each RSTn)."""
     w = _BitWriter()
     eobrun = 0
-    for by in range(cbh):
-        for bx in range(cbw):
-            zz = arr[by, bx]
-            vals = [
-                (1 if int(v) > 0 else -1) * (abs(int(v)) >> al) if int(v) else 0
-                for v in zz[ss : se + 1]
-            ]
-            nz = [i for i, v in enumerate(vals) if v]
-            if not nz:
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    eobrun = _flush_eobrun(w, eobrun, ac_codes)
-                continue
+    for unit, (by, bx) in enumerate((b, x) for b in range(cbh) for x in range(cbw)):
+        if restart and unit and unit % restart == 0:
             eobrun = _flush_eobrun(w, eobrun, ac_codes)
-            run = 0
-            for i in range(nz[-1] + 1):
-                v = vals[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]
-                    w.write(code, length)
-                    run -= 16
-                t, lo = _magnitude(v)
-                code, length = ac_codes[(run << 4) | t]
+            _maybe_restart(w, unit, restart)
+        zz = arr[by, bx]
+        vals = [
+            (1 if int(v) > 0 else -1) * (abs(int(v)) >> al) if int(v) else 0
+            for v in zz[ss : se + 1]
+        ]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(w, eobrun, ac_codes)
+            continue
+        eobrun = _flush_eobrun(w, eobrun, ac_codes)
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
                 w.write(code, length)
-                w.write(lo, t)
-                run = 0
-            if nz[-1] < len(vals) - 1:
-                eobrun += 1  # trailing zeros fold into the EOB run
+                run -= 16
+            t, lo = _magnitude(v)
+            code, length = ac_codes[(run << 4) | t]
+            w.write(code, length)
+            w.write(lo, t)
+            run = 0
+        if nz[-1] < len(vals) - 1:
+            eobrun += 1  # trailing zeros fold into the EOB run
     _flush_eobrun(w, eobrun, ac_codes)
     return w.flush()
 
 
-def _scan_ac_refine(arr, cbh: int, cbw: int, ss: int, se: int, al: int, ac_codes: dict) -> bytes:
+def _scan_ac_refine(
+    arr, cbh: int, cbw: int, ss: int, se: int, al: int, ac_codes: dict, restart: int = 0
+) -> bytes:
     """Successive-approximation AC refinement (Ah=Al+1): one sign-coded
     symbol per NEWLY nonzero coefficient, one correction bit per
     previously nonzero coefficient, correction bits buffered across
-    EOB runs — the T.81 G.1.2.3 protocol as implemented by libjpeg."""
+    EOB runs — the T.81 G.1.2.3 protocol as implemented by libjpeg.
+    EOB runs (and their buffered bits) flush before each RSTn."""
     w = _BitWriter()
     eobrun = 0
     eob_bits: list[int] = []
-    for by in range(cbh):
-        for bx in range(cbw):
-            zz = arr[by, bx]
-            absv = [abs(int(v)) >> al for v in zz[ss : se + 1]]
-            signs = [int(v) > 0 for v in zz[ss : se + 1]]
-            new_pos = [i for i, a in enumerate(absv) if a == 1]
-            if not new_pos:
-                eobrun += 1
-                eob_bits += [a & 1 for a in absv if a > 1]
-                if eobrun == 0x7FFF or len(eob_bits) > 900:
-                    eobrun = _flush_eobrun(w, eobrun, ac_codes, eob_bits)
-                continue
+    for unit, (by, bx) in enumerate((b, x) for b in range(cbh) for x in range(cbw)):
+        if restart and unit and unit % restart == 0:
             eobrun = _flush_eobrun(w, eobrun, ac_codes, eob_bits)
-            last_new = new_pos[-1]
-            run = 0
-            pend: list[int] = []
-            for i, a in enumerate(absv):
-                if a == 0:
-                    run += 1
-                    continue
-                while run > 15 and i <= last_new:
-                    code, length = ac_codes[0xF0]
-                    w.write(code, length)
-                    run -= 16
-                    for b in pend:
-                        w.write(b, 1)
-                    pend = []
-                if a > 1:  # history-nonzero: correction bit only
-                    pend.append(a & 1)
-                    continue
-                code, length = ac_codes[(run << 4) | 1]
+            _maybe_restart(w, unit, restart)
+        zz = arr[by, bx]
+        absv = [abs(int(v)) >> al for v in zz[ss : se + 1]]
+        signs = [int(v) > 0 for v in zz[ss : se + 1]]
+        new_pos = [i for i, a in enumerate(absv) if a == 1]
+        if not new_pos:
+            eobrun += 1
+            eob_bits += [a & 1 for a in absv if a > 1]
+            if eobrun == 0x7FFF or len(eob_bits) > 900:
+                eobrun = _flush_eobrun(w, eobrun, ac_codes, eob_bits)
+            continue
+        eobrun = _flush_eobrun(w, eobrun, ac_codes, eob_bits)
+        last_new = new_pos[-1]
+        run = 0
+        pend: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= last_new:
+                code, length = ac_codes[0xF0]
                 w.write(code, length)
-                w.write(1 if signs[i] else 0, 1)
+                run -= 16
                 for b in pend:
                     w.write(b, 1)
                 pend = []
-                run = 0
-            if run > 0 or pend:  # trailing zeros/corrections fold into EOB
-                eobrun += 1
-                eob_bits += pend
+            if a > 1:  # history-nonzero: correction bit only
+                pend.append(a & 1)
+                continue
+            code, length = ac_codes[(run << 4) | 1]
+            w.write(code, length)
+            w.write(1 if signs[i] else 0, 1)
+            for b in pend:
+                w.write(b, 1)
+            pend = []
+            run = 0
+        if run > 0 or pend:  # trailing zeros/corrections fold into EOB
+            eobrun += 1
+            eob_bits += pend
     _flush_eobrun(w, eobrun, ac_codes, eob_bits)
     return w.flush()
 
@@ -646,6 +687,7 @@ def encode_jpeg(
     pixels: np.ndarray,
     subsampling: str = "444",
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """JFIF encoder: unit quantization tables (spec-valid; the residual
     loss is DCT coefficient rounding only), engine Huffman tables shipped
@@ -660,7 +702,12 @@ def encode_jpeg(
     interleaved DC refinement; per-component AC refinements to Al=0.
     Successive approximation is LOSSLESS once fully refined, so the
     progressive stream decodes to coefficients identical to the baseline
-    encoding of the same pixels — tests assert exact pixel equality."""
+    encoding of the same pixels — tests assert exact pixel equality.
+
+    ``restart_interval`` > 0 emits a DRI segment and byte-aligned RSTn
+    markers every that-many MCUs (interleaved scans) / blocks
+    (progressive per-component scans), with DC predictors and EOB runs
+    reset at each boundary — the camera-JPEG resync layout."""
     if pixels.shape != (height, width, 3):
         raise ValueError(f"pixel block {pixels.shape} != ({height}, {width}, 3)")
     if subsampling not in ("444", "420"):
@@ -670,29 +717,38 @@ def encode_jpeg(
     vmax = max(v for _, v in hv)
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    ri = restart_interval
 
     if progressive:
-        body = _sos_header([0, 1, 2], 0, 0, 0, 1) + _scan_dc_first(arrays, hv, mw, mh, 1, dc_codes)
+        body = _sos_header([0, 1, 2], 0, 0, 0, 1) + _scan_dc_first(
+            arrays, hv, mw, mh, 1, dc_codes, ri
+        )
         for c in range(3):
             cbh, cbw = _comp_block_dims(width, height, hv[c][0], hv[c][1], hmax, vmax)
             body += _sos_header([c], 1, 63, 0, 1) + _scan_ac_first(
-                arrays[c], cbh, cbw, 1, 63, 1, ac_codes
+                arrays[c], cbh, cbw, 1, 63, 1, ac_codes, ri
             )
-        body += _sos_header([0, 1, 2], 0, 0, 1, 0) + _scan_dc_refine(arrays, hv, mw, mh, 0)
+        body += _sos_header([0, 1, 2], 0, 0, 1, 0) + _scan_dc_refine(arrays, hv, mw, mh, 0, ri)
         for c in range(3):
             cbh, cbw = _comp_block_dims(width, height, hv[c][0], hv[c][1], hmax, vmax)
             body += _sos_header([c], 1, 63, 1, 0) + _scan_ac_refine(
-                arrays[c], cbh, cbw, 1, 63, 0, ac_codes
+                arrays[c], cbh, cbw, 1, 63, 0, ac_codes, ri
             )
     else:
         w = _BitWriter()
         prev_dc = [0, 0, 0]
-        for c, by, bx in _mcu_block_order(hv, mw, mh):
+        seen = -1
+        for mcu, c, by, bx in _mcu_block_order(hv, mw, mh):
+            if mcu != seen:
+                _maybe_restart(w, mcu, ri, prev_dc)
+                seen = mcu
             prev_dc[c] = _write_block_baseline(w, arrays[c][by, bx], prev_dc[c], dc_codes, ac_codes)
         body = _sos_header([0, 1, 2], 0, 63, 0, 0) + w.flush()
 
     qt = bytes([1] * 64)
     dqt = _jpeg_seg(0xFFDB, bytes([0x00]) + qt) + _jpeg_seg(0xFFDB, bytes([0x01]) + qt)
+    if ri:
+        dqt += _jpeg_seg(0xFFDD, struct.pack(">H", ri))  # DRI
     sampling = b"".join(
         bytes([c + 1, (hv[c][0] << 4) | hv[c][1], 0 if c == 0 else 1]) for c in range(3)
     )
@@ -736,6 +792,18 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def expect_rst(self, n: int) -> None:
+        """Byte-align (dropping pad bits), skip any stuffed pad byte, and
+        consume the RSTn marker — restart markers interleave with entropy
+        data at byte boundaries (T.81 B.2.1.2)."""
+        self.n = 0
+        while self.data[self.pos : self.pos + 2] == b"\xff\x00":  # stuffed 0xFF pad byte
+            self.pos += 2
+        got = self.data[self.pos : self.pos + 2]
+        if got != bytes([0xFF, 0xD0 + n]):
+            raise ValueError(f"expected RST{n} marker, got {got!r}")
+        self.pos += 2
+
 
 def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
@@ -753,16 +821,15 @@ def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def _entropy_end(payload: bytes, pos: int) -> int:
     """First byte index at/after ``pos`` where a real marker starts —
-    entropy data ends at any 0xFF not followed by a stuffed 0x00."""
+    entropy data ends at any 0xFF not followed by a stuffed 0x00 or a
+    restart marker (RST0..7 interleave WITH the entropy data)."""
     i = pos
     while i < len(payload) - 1:
         if payload[i] == 0xFF:
             nxt = payload[i + 1]
-            if nxt == 0x00:
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                 i += 2
                 continue
-            if 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers (DRI) not supported")
             return i
         i += 1
     return len(payload)
@@ -869,8 +936,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     and successive-approximation refinement per T.81 Annex G — then
     dequantizes via the DQT tables, inverse-zigzags, IDCTs (vectorized
     over all blocks), replication-upsamples subsampled chroma planes and
-    converts JFIF YCbCr back to RGB. Arithmetic-coded frames (SOF9+),
-    hierarchical/lossless modes and restart markers raise
+    converts JFIF YCbCr back to RGB, resynchronizing at RSTn restart
+    markers (DRI) with DC-predictor/EOB-run resets. Arithmetic-coded
+    frames (SOF9+) and hierarchical/lossless modes raise
     NotImplementedError (PIL/libvips are the production drop-in at the
     decode_image_real seam)."""
     if payload[:2] != b"\xff\xd8":
@@ -880,8 +948,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     progressive = False
+    restart = 0  # current DRI interval (0 = none); captured per scan
     comps: list[tuple[int, int, int, int]] = []  # (id, quant_id, h_i, v_i)
-    scans: list[tuple[list, int, int, int, int, int, int]] = []
+    scans: list[tuple[list, int, int, int, int, int, int, int]] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
@@ -921,6 +990,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             raise NotImplementedError(
                 "only baseline (SOF0) and progressive (SOF2) Huffman JPEG"
             )
+        elif marker == 0xDD:  # DRI — restart interval for following scans
+            restart = struct.unpack_from(">H", data, 0)[0]
         elif marker == 0xDA:  # SOS — locate this scan's entropy slice
             ns = data[0]
             scan = []
@@ -931,7 +1002,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             ss, se, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
             start = pos + seg_len
             end = _entropy_end(payload, start)
-            scans.append((scan, ss, se, ahal >> 4, ahal & 0xF, start, end))
+            scans.append((scan, ss, se, ahal >> 4, ahal & 0xF, start, end, restart))
             pos = end
             continue
         pos += seg_len
@@ -958,33 +1029,41 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     # scan ACCUMULATES into them (baseline = the one-scan special case).
     mw, mh = -(-width // (8 * hmax)), -(-height // (8 * vmax))
     bufs = [np.zeros((mh * c[3], mw * c[2], 64), dtype=np.int64) for c in comps]
-    for scan, ss, se, ah, al, start, end in scans:
+    for scan, ss, se, ah, al, start, end, ri in scans:
         reader = _BitReader(payload[start:end])
         prev_dc = [0] * len(scan)
         state = {"eobrun": 0}
+        # restart-interval UNITS: MCUs for interleaved scans, data units
+        # (blocks) for non-interleaved progressive band scans (T.81 B.2.1.2)
+        units: list[list] = []
         if len(scan) > 1:
             if progressive and se != 0:
                 raise ValueError("interleaved progressive scan must be DC-only")
             for my in range(mh):
                 for mx in range(mw):
+                    unit = []
                     for si, (ci, dc_t, ac_t) in enumerate(scan):
                         _, _, hi, vi = comps[ci]
                         for byy in range(vi):
                             for bxx in range(hi):
-                                _decode_scan_block(
-                                    reader, bufs[ci][my * vi + byy, mx * hi + bxx],
-                                    huff, dc_t, ac_t, si, prev_dc, state, ss, se, ah, al,
-                                )
+                                unit.append((bufs[ci][my * vi + byy, mx * hi + bxx], si, dc_t, ac_t))
+                    units.append(unit)
         else:  # non-interleaved: the component's TRUE block extent, raster order
             ci, dc_t, ac_t = scan[0]
             _, _, hi, vi = comps[ci]
             cbh, cbw = _comp_block_dims(width, height, hi, vi, hmax, vmax)
-            for by in range(cbh):
-                for bx in range(cbw):
-                    _decode_scan_block(
-                        reader, bufs[ci][by, bx], huff, dc_t, ac_t, 0, prev_dc,
-                        state, ss, se, ah, al,
-                    )
+            units = [
+                [(bufs[ci][by, bx], 0, dc_t, ac_t)] for by in range(cbh) for bx in range(cbw)
+            ]
+        for ui, unit in enumerate(units):
+            if ri and ui and ui % ri == 0:  # resync: RSTn + predictor/EOB reset
+                reader.expect_rst((ui // ri - 1) % 8)
+                prev_dc[:] = [0] * len(scan)
+                state["eobrun"] = 0
+            for buf, si, dc_t, ac_t in unit:
+                _decode_scan_block(
+                    reader, buf, huff, dc_t, ac_t, si, prev_dc, state, ss, se, ah, al
+                )
 
     # Dequantize (DQT is zigzag-ordered per T.81 B.2.4.1, matching the
     # buffers), inverse-zigzag, and IDCT all blocks per component at once.

@@ -270,8 +270,8 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       progressive stream decodes EXACTLY equal to its baseline
       encoding, pinned there too). Sampled doc_id % 10 == 0 to bound
       Python entropy-decode cost at scale. The remaining
-      NotImplementedError seams: arithmetic-coded JPEG, DRI streams,
-      video (PIL/libvips/ffmpeg drop in at decode_image_real).
+      NotImplementedError seams: arithmetic-coded JPEG and video
+      (PIL/libvips/ffmpeg drop in at decode_image_real).
     - op='quarantine' (round 8): the safe-decode route. Three failure
       classes a real 100 TB ingest hits — truncated stream,
       arithmetic-coded JPEG (SOF9, real-but-unsupported), unknown

@@ -377,3 +377,36 @@ def test_arithmetic_stub_is_structurally_arithmetic():
     assert data[:2] == b"\xff\xd8"
     with pytest.raises(NotImplementedError):
         MM.decode_jpeg(data)
+
+
+@pytest.mark.parametrize("prog", [False, True])
+def test_jpeg_restart_markers_roundtrip(prog):
+    """DRI streams (the camera-JPEG resync layout) decode natively:
+    restart_interval=k emits a DRI segment and byte-aligned RSTn markers
+    every k MCUs/blocks with DC-predictor and EOB-run resets, and the
+    decode is EXACTLY equal to the same image without restarts — a
+    failed predictor reset would skew every post-marker DC value."""
+    px = _px(33, 17, seed=5)
+    ref = MM.decode_jpeg(MM.encode_jpeg(33, 17, px, progressive=prog))[3]
+    for ri in (1, 2, 5):
+        data = MM.encode_jpeg(33, 17, px, progressive=prog, restart_interval=ri)
+        assert b"\xff\xdd" in data and b"\xff\xd0" in data  # DRI + RST0 present
+        _, _, _, out = MM.decode_jpeg(data)
+        assert np.array_equal(ref, out), (prog, ri)
+    # 4:2:0 with restarts, for the MCU-grid-vs-true-extent interaction
+    px420 = MM._fixture_pixels_420(3, 33, 17)
+    ref420 = MM.decode_jpeg(MM.encode_jpeg(33, 17, px420, subsampling="420", progressive=prog))[3]
+    out420 = MM.decode_jpeg(
+        MM.encode_jpeg(33, 17, px420, subsampling="420", progressive=prog, restart_interval=2)
+    )[3]
+    assert np.array_equal(ref420, out420)
+
+
+def test_jpeg_misnumbered_restart_marker_rejected():
+    """RSTn markers must cycle 0..7; a stream whose first restart marker
+    carries the wrong index is corrupt and must fail loudly (quarantine
+    class ValueError), not desynchronize silently."""
+    data = MM.encode_jpeg(33, 17, _px(33, 17), restart_interval=1)
+    bad = data.replace(b"\xff\xd0", b"\xff\xd4", 1)  # RST0 -> RST4
+    with pytest.raises(ValueError, match="RST"):
+        MM.decode_jpeg(bad)
