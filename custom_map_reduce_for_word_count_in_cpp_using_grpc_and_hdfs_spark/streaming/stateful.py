@@ -124,3 +124,65 @@ def user_activity_state_with_timeout(events: DataFrame, timeout_ms: int = 500) -
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API v2)
+# --------------------------------------------------------------------------
+
+try:  # the v2 API's state-server protocol needs protobuf at runtime
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _ActivityProcessor(StatefulProcessor):
+        """StatefulProcessor twin of :func:`user_activity_state`'s
+        accumulator: a ValueState holding (count, value_cents), updated
+        per Arrow batch, one output row per key per trigger."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001 — API signature
+            st = self._acc.get() if self._acc.exists() else (0, 0)
+            count, cents = int(st[0]), int(st[1])
+            for pdf in rows:
+                count += len(pdf)
+                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            self._acc.update((count, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [count], "total_value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover — very old pyspark
+    _ActivityProcessor = None
+
+
+def user_activity_state_v2(events: DataFrame) -> DataFrame:
+    """:func:`user_activity_state` on Spark 4's arbitrary-state API v2
+    (``transformWithStateInPandas`` + ``StatefulProcessor``) — same
+    output schema and values, different state plumbing: named,
+    individually evolvable state variables (ValueState/ListState/
+    MapState), timers instead of GroupStateTimeout, and a
+    RocksDB-provider requirement (the API targets exactly the
+    high-cardinality posture ``session.use_state_store('rocksdb')``
+    configures).
+
+    Runtime prerequisites beyond the classic API: the RocksDB state
+    store provider AND the ``protobuf`` package (the v2 state server
+    speaks protobuf to the Python worker) — absent protobuf the query
+    fails at initialization with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, which is an
+    environment gap, not an operator bug; the conformance test
+    (tests/test_streaming.py) skips cleanly there and asserts
+    output parity with :func:`user_activity_state` where the deps
+    exist."""
+    if _ActivityProcessor is None:
+        raise NotImplementedError("transformWithStateInPandas requires pyspark >= 4.0")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _ActivityProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
