@@ -310,12 +310,15 @@ HEADLINE_PLAN_CEILINGS = {
     # hints are gone from the plan entirely: index shuffle + self-join
     # broadcast + pair aggregation is the whole query.
     "dedup_jaccard_pairs": (3, 0, 0),
-    "dedup_simhash_near": (3, 0, 0),
+    "dedup_simhash_near": (2, 0, 0),  # round 8: measured 2 at HEAD, pin the gain
     "dedup_minhash_lsh": (6, 0, 0),  # round 8: sizes joins gone (see jaccard above), 8 -> 6
     "ann_topk_bruteforce": (3, 1, 0),
     "text_doc_profile": (3, 0, 0),
     "stream_window_suite": (0, 0, 0),
-    "pipeline_corpus_curation": (7, 0, 0),
+    # 5 (round 8, down from 7): the curation pipeline's near-dup stage
+    # inherits jaccard's n_sh-carrying index — its per-doc sizes
+    # aggregate and pair-frame joins disappeared here too.
+    "pipeline_corpus_curation": (5, 0, 0),
     # 32 (round 6): the single-pass weighted cms build consumes
     # exact_counts under three consumers (weighted rollup build, probe
     # keys, final join) — one more DISTINCT Exchange node id in the
@@ -326,7 +329,7 @@ HEADLINE_PLAN_CEILINGS = {
     "rel_sketch_suite": (32, 3, 0),
     "wc_zipf_plain": (2, 0, 0),
     "wc_zipf_salted": (3, 0, 0),
-    "dedup_cosine_corpus": (5, 0, 0),
+    "dedup_cosine_corpus": (4, 0, 0),  # round 8: measured 4 at HEAD, pin the gain
 }
 
 
