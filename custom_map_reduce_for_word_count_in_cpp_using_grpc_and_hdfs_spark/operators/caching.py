@@ -145,13 +145,22 @@ def eager_stats(df: DataFrame, expansion_bound: int = _EXPANSION_BOUND) -> DataF
     df = df.persist()
     if risky:
         df.count()
-    else:
+    elif proven:
         logger.info(
             "eager_stats: lazy persist (source %s bytes x bound %s under the "
             "broadcast threshold) — if this relation later mis-broadcasts, "
             "raise expansion_bound at this call site",
             sum(sizes) if sizes else "?",
             expansion_bound,
+        )
+    else:
+        # not risky yet not proven = auto-broadcast disabled: nothing was
+        # measured, so log the ACTUAL rationale — the under-the-threshold
+        # message would record a size proof that never held (round-8 fix)
+        logger.info(
+            "eager_stats: lazy persist (autoBroadcastJoinThreshold disabled: "
+            "the planner cannot mis-pick an estimate-driven broadcast, and "
+            "no size proof was taken)"
         )
     # The lazy path skips the materializing count, so downstream joins
     # plan against Catalyst's ESTIMATE of the cached relation — which

@@ -47,7 +47,11 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators
 #: across decades get tight bounds so small sources keep the lazy persist
 #: (and its fast broadcast plans) instead of paying the materializing
 #: count; caching.py logs every lazy decision for the audit trail.
-SHINGLE_INDEX_BOUND = 8   # hashed (doc_id, xxhash64) pairs: 3.4-3.7x flat
+SHINGLE_INDEX_BOUND = 8   # hashed (doc_id, n_sh, xxhash64) rows: 3.5-3.7x flat
+# (re-measured round 8 after n_sh joined the cached rows — sf0.1/sf1/sf10
+# gave 3.7/3.7/3.48x, same as the round-7 two-column shape: the per-doc
+# count is constant within a doc, so the columnar cache run-length
+# compresses it to ~nothing and the ~2x headroom under the bound stands)
 MINHASH_SIG_BOUND = 5     # (doc_id, 32 longs): 2.3x flat
 SIMHASH_FP_BOUND = 1      # (doc_id, long): 0.08-0.10x
 

@@ -1272,7 +1272,8 @@ def stage_ppm_ingest_dir(docs: DataFrame, path: str, id_col: str = "doc_id") -> 
     an existing object-store prefix and skips this step entirely.
 
     Idempotent per (path, doc-id SET): the marker file is keyed by the
-    id set's count + order-insensitive xxhash64 fold (ADVICE r7 fix — a
+    id MULTISET's count + order-insensitive xxhash64 xor-fold + decimal
+    hash sum (ADVICE r7 fix — a
     count-only key wrongly skipped a same-count-but-different id set and
     left stale ``.ppm`` files behind when the set shrank), computed with
     one tiny 1-row aggregate, never a driver collect of the ids. On a
@@ -1285,11 +1286,22 @@ def stage_ppm_ingest_dir(docs: DataFrame, path: str, id_col: str = "doc_id") -> 
     writer instead)."""
     import os
 
+    # count + xor-fold + decimal sum of the id hashes: xor alone lets
+    # duplicate ids cancel (the multisets [a,a,b] and [b,c,c] xor-collide),
+    # so the sum is kept alongside — a collision now needs all three to
+    # agree; decimal(38,0) so the sum never overflows under ANSI mode
     key = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.expr(f"bit_xor(xxhash64({id_col}))"), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.expr(f"sum(cast(xxhash64({id_col}) as decimal(38, 0)))"),
+            F.lit(0).cast("decimal(38, 0)"),
+        ).alias("s"),
     ).collect()[0]
-    marker = os.path.join(path, f"_STAGED_{key['n']}_{key['h'] & (2**64 - 1):016x}")
+    marker = os.path.join(
+        path,
+        f"_STAGED_{key['n']}_{key['h'] & (2**64 - 1):016x}_{int(key['s']) & (2**64 - 1):016x}",
+    )
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
@@ -1328,8 +1340,8 @@ def decode_image_stats(
     a value mismatch against the arithmetic oracle.
 
     ``safe=True`` (round 8 — the 100 TB ingest posture): decode each
-    payload under try/except. Undecodable payloads (progressive JPEG,
-    video, truncated/corrupt streams, unknown magic) become rows with
+    payload under try/except. Undecodable payloads (arithmetic-coded
+    JPEG, video, truncated/corrupt streams, unknown magic) become rows with
     null stats, ``status='quarantined:<ExceptionType>'`` and the error
     message, instead of raising inside ``mapInPandas`` — where one bad
     file among billions fails the task, its 3 retries, and then the

@@ -206,8 +206,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pxsums WHERE doc_id % 10 = 0
   UNION ALL
     -- quarantine (round 8): good PPMs decode to exact stats + status='ok';
-    -- the three planted failure classes (truncated stream, progressive
-    -- JPEG, unknown magic) surface as null-stat rows tagged with the
+    -- the three planted failure classes (truncated stream,
+    -- arithmetic-coded JPEG, unknown magic) surface as null-stat rows tagged with the
     -- exception class — the job-survives-bad-payloads contract, driver-
     -- checked. Classes are doc_id arithmetic, so fully SQL-expressible.
     SELECT 'quarantine', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
@@ -326,7 +326,7 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # op='quarantine' (round 8, VERDICT r7 item 1): safe-mode decode over
     # a batch with three planted failure classes (truncated PPM,
-    # progressive JPEG, unknown magic). The job completes, good rows stay
+    # arithmetic-coded JPEG, unknown magic). The job completes, good rows stay
     # hash-exact, bad rows surface as status='quarantined:<ExcType>' —
     # the posture a 100 TB ingest needs (one corrupt file among billions
     # must not kill the stage). The free-text error column is dropped

@@ -70,6 +70,9 @@ def get_session(app_name: str = "spark-engine", *, extra_conf: dict[str, str] | 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
 
 
 def use_state_store(spark: SparkSession, kind: str = "rocksdb") -> SparkSession:
@@ -92,7 +95,10 @@ def use_state_store(spark: SparkSession, kind: str = "rocksdb") -> SparkSession:
     if kind == "rocksdb":
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     elif kind == "hdfs":
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        # set the on-heap provider EXPLICITLY — an unset() would merely
+        # restore whatever the session builder / spark-defaults pinned,
+        # silently keeping RocksDB on clusters configured that way
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER)
     else:
         raise ValueError(f"unknown state store kind {kind!r} (rocksdb|hdfs)")
     return spark
