@@ -357,6 +357,13 @@ _AC_SYMBOLS = sorted(
     | {r << 4 for r in range(1, 15)}
 )
 _AC_BITS = [0] * 7 + [128, len(_AC_SYMBOLS) - 128] + [0] * 7  # 128 8-bit + rest 9-bit
+#: Alternate AC table over the SAME alphabet and code lengths but with
+#: the symbol order reversed within each length group — a second valid
+#: canonical table that assigns every symbol a DIFFERENT code. Used by
+#: ``encode_jpeg(per_scan_dht=True)`` to emulate libjpeg's per-scan
+#: optimized-table pattern (DHT segments between SOS markers reusing
+#: table ids), which the decoder must honor via per-scan table snapshots.
+_AC_SYMBOLS_ALT = list(reversed(_AC_SYMBOLS[:128])) + list(reversed(_AC_SYMBOLS[128:]))
 
 
 def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
@@ -688,6 +695,7 @@ def encode_jpeg(
     subsampling: str = "444",
     progressive: bool = False,
     restart_interval: int = 0,
+    per_scan_dht: bool = False,
 ) -> bytes:
     """JFIF encoder: unit quantization tables (spec-valid; the residual
     loss is DCT coefficient rounding only), engine Huffman tables shipped
@@ -707,11 +715,20 @@ def encode_jpeg(
     ``restart_interval`` > 0 emits a DRI segment and byte-aligned RSTn
     markers every that-many MCUs (interleaved scans) / blocks
     (progressive per-component scans), with DC predictors and EOB runs
-    reset at each boundary — the camera-JPEG resync layout."""
+    reset at each boundary — the camera-JPEG resync layout.
+
+    ``per_scan_dht=True`` (progressive only) emits a DHT segment BEFORE
+    each AC scan that redefines table ids 0x10/0x11, alternating between
+    two distinct canonical tables over the same alphabet — the layout
+    libjpeg's optimized-coding progressive writer produces (per-scan
+    tables reusing ids). Decoders that ignore inter-scan table state and
+    decode every scan against the final tables misdecode these streams."""
     if pixels.shape != (height, width, 3):
         raise ValueError(f"pixel block {pixels.shape} != ({height}, {width}, 3)")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if per_scan_dht and not progressive:
+        raise ValueError("per_scan_dht requires progressive=True")
     arrays, hv, mw, mh = _comp_coef_arrays(width, height, pixels, subsampling)
     hmax = max(h for h, _ in hv)
     vmax = max(v for _, v in hv)
@@ -720,19 +737,39 @@ def encode_jpeg(
     ri = restart_interval
 
     if progressive:
+        # per_scan_dht: two valid canonical tables over the same alphabet,
+        # alternated per AC scan, each shipped in a DHT that REDEFINES
+        # ids 0x10/0x11 right before its SOS (the libjpeg layout)
+        ac_variants = (
+            (ac_codes, _AC_SYMBOLS),
+            (_canonical_codes(_AC_BITS, _AC_SYMBOLS_ALT), _AC_SYMBOLS_ALT),
+        )
+
+        def _ac_scan_tables(scan_idx: int) -> tuple[dict, bytes]:
+            if not per_scan_dht:
+                return ac_codes, b""
+            codes, syms = ac_variants[scan_idx % 2]
+            dht_seg = b"".join(
+                _jpeg_seg(0xFFC4, bytes([cls_id]) + bytes(_AC_BITS) + bytes(syms))
+                for cls_id in (0x10, 0x11)
+            )
+            return codes, dht_seg
+
         body = _sos_header([0, 1, 2], 0, 0, 0, 1) + _scan_dc_first(
             arrays, hv, mw, mh, 1, dc_codes, ri
         )
         for c in range(3):
             cbh, cbw = _comp_block_dims(width, height, hv[c][0], hv[c][1], hmax, vmax)
-            body += _sos_header([c], 1, 63, 0, 1) + _scan_ac_first(
-                arrays[c], cbh, cbw, 1, 63, 1, ac_codes, ri
+            codes, dht_seg = _ac_scan_tables(c)
+            body += dht_seg + _sos_header([c], 1, 63, 0, 1) + _scan_ac_first(
+                arrays[c], cbh, cbw, 1, 63, 1, codes, ri
             )
         body += _sos_header([0, 1, 2], 0, 0, 1, 0) + _scan_dc_refine(arrays, hv, mw, mh, 0, ri)
         for c in range(3):
             cbh, cbw = _comp_block_dims(width, height, hv[c][0], hv[c][1], hmax, vmax)
-            body += _sos_header([c], 1, 63, 1, 0) + _scan_ac_refine(
-                arrays[c], cbh, cbw, 1, 63, 0, ac_codes, ri
+            codes, dht_seg = _ac_scan_tables(c + 1)  # offset: refine differs from first pass
+            body += dht_seg + _sos_header([c], 1, 63, 1, 0) + _scan_ac_refine(
+                arrays[c], cbh, cbw, 1, 63, 0, codes, ri
             )
     else:
         w = _BitWriter()
@@ -810,8 +847,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    # strictly-< bound: the longest legal JPEG code is 16 bits, so a
+    # corrupt stream raises without assembling a 17-bit candidate (or
+    # consuming a bit past the last legal position) — keeps quarantine
+    # error positions exact.
     code, length = 0, 0
-    while length <= 16:
+    while length < 16:
         code = (code << 1) | r.bit()
         length += 1
         if (length, code) in table:
@@ -950,7 +991,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     progressive = False
     restart = 0  # current DRI interval (0 = none); captured per scan
     comps: list[tuple[int, int, int, int]] = []  # (id, quant_id, h_i, v_i)
-    scans: list[tuple[list, int, int, int, int, int, int, int]] = []
+    # each scan carries SNAPSHOTS of the huff/qt table state at its SOS:
+    # real-world progressive streams (libjpeg default) emit per-scan
+    # optimized DHT segments REUSING table ids between SOS markers, so
+    # decoding earlier scans against the final tables would misdecode.
+    scans: list[tuple] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
@@ -1002,7 +1047,24 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             ss, se, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
             start = pos + seg_len
             end = _entropy_end(payload, start)
-            scans.append((scan, ss, se, ahal >> 4, ahal & 0xF, start, end, restart))
+            scans.append(
+                (
+                    scan,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0xF,
+                    start,
+                    end,
+                    restart,
+                    # table state in effect at THIS scan's SOS (like the
+                    # restart interval above): inner huff dicts copied
+                    # because DHT rebuilds them; qt arrays are replaced
+                    # (never mutated) so a shallow copy pins them
+                    {k: dict(v) for k, v in huff.items()},
+                    dict(qt),
+                )
+            )
             pos = end
             continue
         pos += seg_len
@@ -1029,7 +1091,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     # scan ACCUMULATES into them (baseline = the one-scan special case).
     mw, mh = -(-width // (8 * hmax)), -(-height // (8 * vmax))
     bufs = [np.zeros((mh * c[3], mw * c[2], 64), dtype=np.int64) for c in comps]
-    for scan, ss, se, ah, al, start, end, ri in scans:
+    for scan, ss, se, ah, al, start, end, ri, scan_huff, _ in scans:
         reader = _BitReader(payload[start:end])
         prev_dc = [0] * len(scan)
         state = {"eobrun": 0}
@@ -1062,16 +1124,30 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 state["eobrun"] = 0
             for buf, si, dc_t, ac_t in unit:
                 _decode_scan_block(
-                    reader, buf, huff, dc_t, ac_t, si, prev_dc, state, ss, se, ah, al
+                    reader, buf, scan_huff, dc_t, ac_t, si, prev_dc, state, ss, se, ah, al
                 )
 
     # Dequantize (DQT is zigzag-ordered per T.81 B.2.4.1, matching the
     # buffers), inverse-zigzag, and IDCT all blocks per component at once.
     inv_zz = np.argsort(_ZIGZAG)
+
+    def _qt_for(ci: int, tq: int) -> np.ndarray:
+        # T.81 requires a component's quant table be in effect before its
+        # first scan and stay fixed for the frame; honor the snapshot at
+        # first use (falling back to the final table for streams that
+        # define it late — defensive, spec-invalid input).
+        for s in scans:
+            if any(e[0] == ci for e in s[0]):
+                snap = s[9]
+                if tq in snap:
+                    return snap[tq]
+                break
+        return qt[tq]
+
     full = []
     for ci, (_, tq, hi, vi) in enumerate(comps):
         rows, cols = mh * vi, mw * hi
-        deq = bufs[ci].reshape(rows * cols, 64) * qt[tq][None, :]
+        deq = bufs[ci].reshape(rows * cols, 64) * _qt_for(ci, tq)[None, :]
         nat = deq[:, inv_zz].reshape(rows * cols, 8, 8).astype(np.float64)
         blocks = _DCT_M.T @ nat @ _DCT_M + 128.0
         p = blocks.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)

@@ -15,9 +15,12 @@ for the 100 TB posture:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 #: Configuration applied to every session the engine builds. Values are
 #: strings because SparkConf is stringly typed.
@@ -145,12 +148,38 @@ class job_checkpoint_dir:
         except Exception:
             pass  # removal is hygiene; never fail the job over it
         # None is not settable through the public API ($-mangled Scala
-        # setter reached via getattr); restore "no checkpoint dir" exactly
+        # setter reached via getattr); restore "no checkpoint dir" exactly.
+        # self.restored records whether the restore took effect.
         if self._prev is not None:
             sc.setCheckpointDir(self._prev)
+            self.restored = True
         else:
-            setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
-            setter(jvm.scala.Option.apply(None))
+            self.restored = _restore_unset_checkpoint_dir(sc, jvm)
+
+
+def _restore_unset_checkpoint_dir(sc, jvm) -> bool:
+    """Best-effort restore of the "no checkpoint dir set" state via the
+    private Scala setter ``checkpointDir_$eq`` (pinned working on pyspark
+    4.1; there is no public API to UNSET a checkpoint dir). Version-
+    brittle by nature, so the failure mode is LOUD, never silent: on any
+    error (renamed internal, Connect session without ``_jsc``, ...) a
+    warning states the consequence — the just-deleted job dir stays set
+    as the context's checkpoint dir, and later ``RDD.checkpoint()`` calls
+    in this session would target a missing directory — and False is
+    returned so callers/tests can assert on it."""
+    try:
+        setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+        setter(jvm.scala.Option.apply(None))
+        return True
+    except Exception as exc:
+        _LOG.warning(
+            "could not unset the session checkpoint dir (private setter "
+            "checkpointDir_$eq unavailable: %s); the removed per-job dir "
+            "remains configured — call sc.setCheckpointDir() with a valid "
+            "path before the next checkpointing operator",
+            exc,
+        )
+        return False
 
 
 def apply_engine_conf(spark: SparkSession) -> SparkSession:

@@ -154,6 +154,34 @@ def test_jpeg_progressive_equals_baseline(w, h, sub):
     assert err <= MM.JPEG_TOLERANCE
 
 
+@pytest.mark.parametrize("sub,ri", [("444", 0), ("444", 2), ("420", 0)])
+def test_jpeg_per_scan_dht_tables(sub, ri):
+    """Real-world progressive streams (libjpeg's optimized-coding
+    default) emit DHT segments BETWEEN SOS markers that redefine table
+    ids per scan. The decoder must decode each scan against the tables
+    in effect at ITS OWN SOS — snapshotted like the restart interval —
+    not the stream's final tables; otherwise these streams silently
+    misdecode (or raise) despite being spec-valid."""
+    w, h = 19, 13
+    px = MM._fixture_pixels_420(w * 100 + h, w, h) if sub == "420" else _px(w, h, seed=5)
+    base = MM.encode_jpeg(w, h, px, subsampling=sub)
+    prog = MM.encode_jpeg(
+        w, h, px, subsampling=sub, progressive=True, restart_interval=ri, per_scan_dht=True
+    )
+    # structural proof the fixture has power: DHT segments appear AFTER
+    # the first SOS (0xFF in entropy data is always stuffed/RST, so the
+    # raw marker bytes can't be false positives), and the two alternated
+    # tables genuinely assign different codes to the same alphabet
+    first_sos = prog.find(b"\xff\xda")
+    assert prog.find(b"\xff\xc4", first_sos) != -1
+    assert MM._AC_SYMBOLS_ALT != MM._AC_SYMBOLS
+    assert sorted(MM._AC_SYMBOLS_ALT) == sorted(MM._AC_SYMBOLS)
+    _, _, _, bout = MM.decode_jpeg(base)
+    dw, dh, maxval, pout = MM.decode_jpeg(prog)
+    assert (dw, dh, maxval) == (w, h, 255)
+    assert np.array_equal(bout, pout)  # per-scan snapshots: still EXACT
+
+
 def test_jpeg_progressive_eob_runs_decode():
     """A mostly-empty image makes the AC first passes emit multi-block
     EOB runs (EOBn, r > 0) and the refinement passes carry buffered

@@ -442,6 +442,32 @@ def test_job_checkpoint_dir_lifecycle(spark, tmp_path):
     assert spark.sparkContext.getCheckpointDir() == prev  # restored (None)
 
 
+def test_checkpoint_dir_restore_fallback_is_loud(caplog):
+    """ADVICE r8 + VERDICT r8 #6: unsetting the checkpoint dir rides the
+    private Scala setter ``checkpointDir_$eq``; if a Spark version
+    renames it, the failure must be LOUD (warning naming the consequence,
+    False returned), never a crash at context exit or a silent pass."""
+    import logging as _logging
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session import _restore_unset_checkpoint_dir
+
+    class _NoSetterScalaCtx:  # a Spark whose internal was renamed away
+        pass
+
+    class _FakeJsc:
+        def sc(self):
+            return _NoSetterScalaCtx()
+
+    class _FakeSc:
+        _jsc = _FakeJsc()
+
+    with caplog.at_level(_logging.WARNING, logger="custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session"):
+        ok = _restore_unset_checkpoint_dir(_FakeSc(), jvm=None)
+    assert ok is False
+    assert any("checkpointDir_$eq" in r.getMessage() for r in caplog.records)
+    assert any("setCheckpointDir" in r.getMessage() for r in caplog.records)
+
+
 def _has_tws_protobuf() -> bool:
     """transformWithStateInPandas' state server needs a working protobuf
     install; this sandbox ships a broken namespace stub, so probe the
