@@ -499,13 +499,16 @@ def connected_components(
         vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp")),
         prefer_local=True,
     )
-    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
-        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-    )
-    # materialize the edge list once — the loop re-reads it every round,
-    # and edges often come from an expensive upstream (e.g. a Jaccard
-    # similarity join) that must not be recomputed per iteration
-    sym = materialize(sym)
+    # materialize the DIRECTED pair list BEFORE the direction flip (round
+    # 9): unioning first and materializing after ran the edge frame — an
+    # expensive similarity join in the dedup pipelines — once per union
+    # branch inside a single job, with concurrent branch tasks racing to
+    # populate any lazy upstream caches (measured: the sf10 curation
+    # pipeline spent 522 s with the union-first shape vs 183 s staged;
+    # .scratch/r9). Flipping over the checkpointed pairs is a projection,
+    # and the loop's per-round re-reads scan the same materialized bytes.
+    pairs = materialize(edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")))
+    sym = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # sym holds both directions, so grouping on "a" covers every endpoint
     labels = materialize(
         sym.groupBy("a")
@@ -584,17 +587,21 @@ def near_dup_components(
     hand, and the cheaper edge generator wasn't reachable at all):
 
     - ``edge_method='jaccard'`` — exact shingle-inverted-index edges.
-      The semantically-exact route; at sf10 the edge join is 69% of the
-      operator's cost (BASELINE §K: 94.9 s of 138.2 s).
+      The semantically-exact route, and the measured cheaper one through
+      sf1 (fresh-session r9 A/B after the union-first fix below — the
+      r7 numbers that read "minhash 0.55x at sf10" were inflated by the
+      edge join being evaluated once per union branch).
     - ``edge_method='minhash'`` — MinHash-LSH candidates verified with
       exact Jaccard (:func:`minhash_near_dups`): every emitted edge is a
       TRUE >=threshold pair (precision exactly 1), so the resulting
       partition always REFINES the exact one — it can only under-merge,
       never over-merge, by losing a true pair whose every band disagrees
       (measured recall 1.0 at sf0.01/sf0.1/sf1 on the fixture corpus,
-      >=0.8 asserted in tests). The at-scale default: the LSH equi-join
-      replaces the shingle self-join, the measured ~3x cheaper edge
-      route at sf10 (operator-only 32.3 s vs 94.9 s).
+      0.9999+ at sf10/sf100, >=0.8 asserted in tests). The at-scale
+      route: edge-stage A/B at sf10 40.8 s vs exact 50.8 s (a wash
+      within host noise), at sf100 231.6 s vs 704.3 s — 0.33x, the
+      decisive third-decade win (.scratch/r9, queries/pipeline_q.py's
+      EDGE_AUTO_CROSSOVER_POSTINGS pins the auto switch).
 
     Both routes accept a caller-shared ``shingles`` frame (see
     :func:`jaccard_pairs`); extra ``edge_kwargs`` pass through to the

@@ -16,8 +16,12 @@ No stage is quadratic in corpus size.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import dedup as D
 from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import sampling as S
@@ -43,6 +47,39 @@ MAX_PUNCT_RATIO = 0.10
 #: 20 ≈ 2× the sf0.1 p99.9 shingle df, so genuine near-dup shingles
 #: (df 2-3) are untouched.
 SHINGLE_DF_CAP = 20
+
+#: Cost-aware near-dup edge-route crossover (VERDICT r8 item 1), in
+#: estimated shingle POSTINGS = n_docs x avg distinct shingles/doc. The
+#: exact inverted-index route's self-join cost grows superlinearly in
+#: postings while the MinHash route is ~linear in docs with a fixed
+#: per-doc signature cost, so at some corpus size the routes cross.
+#: Measured fresh-session on the fixture corpus (~48-52 shingles/doc;
+#: .scratch/r9 — measured AFTER the round-9 connected_components fix
+#: that stopped the union-first shape evaluating the edge join twice,
+#: which had inflated the exact route's r7 numbers and produced the
+#: now-retired "minhash 0.55x at sf10" claim):
+#:   sf0.1 (5k docs, 0.26M postings): pipeline exact 6.9 s vs mh 19.4 s
+#:   sf1  (50k docs, 2.6M postings): pipeline exact 21.4 s vs mh 25.8 s
+#:   sf10 (500k docs, 26M postings): a wash — edge-only exact 50.8 s vs
+#:     mh 40.8 s, full pipeline exact 208.7 s vs mh 226.3 s (within the
+#:     1.1-1.3x host-noise band both ways)
+#:   sf100 (5M docs, 259M postings): edge-only exact 704.3 s vs mh
+#:     231.6 s — minhash 0.33x, the decisive third-decade win
+#: 30M pins the crossover just above the measured sf10 tie: every
+#: correctness-gate SF (sf0.01 driver gate through the sf10 sampled
+#: oracles) keeps the oracle-exact route, and corpora a decade bigger
+#: get the 3x-cheaper scale route. Semantics across the switch: MinHash
+#: edges are exact-Jaccard VERIFIED (precision 1 — the partition can
+#: only REFINE, never over-merge); LSH recall is measured 1.0 at
+#: sf0.01-sf1 and 0.9999+ above (sf10 raw-docs edge A/B: 25,598/25,600
+#: pairs; sf100: 255,984/256,000) — the documented LSH contract, with
+#: any miss surfacing as under-merged clusters, i.e. a hash MISMATCH in
+#: an oracle compare, never a silent over-delete.
+EDGE_AUTO_CROSSOVER_POSTINGS = 30_000_000
+#: Docs sampled (via limit — one scan batch, no full pass) for the avg
+#: shingles/doc estimate. The estimate only needs to land on the right
+#: side of a crossover two decades wide, so a small fixed sample is fine.
+EDGE_AUTO_SAMPLE_DOCS = 1_000
 
 _TOKS = T.tokens_sql("text")
 
@@ -119,19 +156,54 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(load_table(spark, sf_dir, "documents"))
 
 
-def curate(docs: DataFrame, edge_method: str = "jaccard") -> DataFrame:
+def _decide_edge_method(n_docs: int, avg_shingles: float) -> tuple[str, float]:
+    """Pure crossover decision (unit-testable at both ends): returns the
+    chosen route and the estimated posting count it was based on."""
+    est = n_docs * avg_shingles
+    return ("minhash" if est > EDGE_AUTO_CROSSOVER_POSTINGS else "jaccard"), est
+
+
+def choose_edge_method(docs: DataFrame, text_col: str = "text", n: int = 3) -> str:
+    """Measure the corpus and pick the near-dup edge route (see
+    EDGE_AUTO_CROSSOVER_POSTINGS for the measured crossover). Cost of
+    the measurement itself: one count (metadata-only on a parquet scan)
+    plus one limit-bounded sample aggregate — negligible against either
+    edge join."""
+    n_docs = docs.count()
+    avg = (
+        docs.limit(EDGE_AUTO_SAMPLE_DOCS)
+        .select(F.size(F.array_distinct(D.shingles_col(text_col, n))).alias("k"))
+        .agg(F.avg("k"))
+        .first()[0]
+        or 0.0
+    )
+    method, est = _decide_edge_method(n_docs, avg)
+    _LOG.info(
+        "edge route auto-selected %r: %d docs x %.1f shingles/doc = %.0f "
+        "estimated postings vs crossover %d",
+        method, n_docs, avg, est, EDGE_AUTO_CROSSOVER_POSTINGS,
+    )
+    return method
+
+
+def curate(docs: DataFrame, edge_method: str = "auto") -> DataFrame:
     """Pipeline over an arbitrary documents DataFrame (doc_id, text, lang)
     — the seam the pathological hot-shingle fixture test drives.
 
     ``edge_method`` selects the near-dup edge source for the clustering
-    stage (round 7, same knob as operators/dedup.py::near_dup_components):
-    'jaccard' (default) is the exact shingle-index join with the
-    hot-shingle df cap — the oracle-exact shape; 'minhash' swaps in
-    LSH-verified MinHash edges — measured 0.55x the exact edge route at
-    sf10 (BASELINE §M), identical output wherever LSH recall is 1.0
-    (this corpus: measured at sf0.01–sf1, asserted in
-    tests/test_pipeline.py), never over-merging anywhere (verified
-    edges ⇒ the partition refines the exact one).
+    stage (same knob as operators/dedup.py::near_dup_components):
+    'auto' (default since round 9 — VERDICT r8 item 1) picks the route
+    from measured corpus stats via :func:`choose_edge_method`: exact
+    below the pinned posting crossover (every SF with a hash-exact
+    oracle lands here), MinHash above it (the measured 0.33x edge route
+    at sf100 — at 100 TB a user takes the default, so the default is
+    cost-aware); 'jaccard' forces the exact shingle-index join with the
+    hot-shingle df cap — the oracle-exact shape; 'minhash' forces
+    LSH-verified MinHash edges — identical output wherever LSH recall
+    is 1.0 (this corpus: measured 1.0 at sf0.01–sf1, asserted in
+    tests/test_pipeline.py; 0.9999+ at sf10/sf100 — see
+    EDGE_AUTO_CROSSOVER_POSTINGS), never over-merging anywhere
+    (verified edges ⇒ the partition refines the exact one).
 
     The quality gate is computed PER ROW (quality_features/lang_id/
     fingerprint — one narrow map over the scan, no explode, no shuffle),
@@ -172,12 +244,20 @@ def curate(docs: DataFrame, edge_method: str = "jaccard") -> DataFrame:
     # hot shingles capped out of candidate generation (SHINGLE_DF_CAP);
     # minhash route: the banded equi-join IS the skew bound (band width
     # caps any key's collision mass), so no df cap applies.
+    if edge_method == "auto":
+        # decide on the RAW input frame: its count is metadata-cheap for
+        # a parquet scan (survivors would force the gate+dedup stages an
+        # extra time) and upper-bounds the survivor count, so the switch
+        # can only trip EARLY — toward the route that wins at scale
+        edge_method = choose_edge_method(docs)
     if edge_method == "jaccard":
         edges = D.jaccard_pairs(surv_docs, JACCARD_T, max_shingle_df=SHINGLE_DF_CAP)
     elif edge_method == "minhash":
         edges = D.minhash_near_dups(surv_docs, JACCARD_T)
     else:
-        raise ValueError(f"edge_method must be 'jaccard' or 'minhash', got {edge_method!r}")
+        raise ValueError(
+            f"edge_method must be 'auto', 'jaccard' or 'minhash', got {edge_method!r}"
+        )
     edges = edges.select("doc_a", "doc_b")
     comps = D.connected_components(
         surv_docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"

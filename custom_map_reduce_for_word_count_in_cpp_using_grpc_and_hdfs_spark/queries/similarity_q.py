@@ -226,6 +226,22 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 100 = 0 THEN 'quarantined:ValueError'
                 ELSE 'quarantined:NotImplementedError' END
     FROM dims WHERE doc_id % 10 = 0 AND doc_id % 100 IN (0, 30, 60)
+  UNION ALL
+    -- quarantine_summary (round 9): per-status doc counts over the same
+    -- planted batch — the rollup operator's driver-stable projection
+    SELECT 'quarantine_summary', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+           CASE WHEN doc_id % 100 = 0 THEN 'quarantined:ValueError'
+                WHEN doc_id % 100 IN (30, 60) THEN 'quarantined:NotImplementedError'
+                ELSE 'ok' END
+    FROM dims WHERE doc_id % 10 = 0
+    GROUP BY CASE WHEN doc_id % 100 = 0 THEN 'quarantined:ValueError'
+                  WHEN doc_id % 100 IN (30, 60) THEN 'quarantined:NotImplementedError'
+                  ELSE 'ok' END
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +298,11 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       stage-killing decode path remains: strict mode stays the
       fixture-pipeline default, safe mode is the production ingest
       posture.
+    - op='quarantine_summary' (round 9): the one-pass per-status rollup
+      (operators/multimodal.py quarantine_summary) over the same
+      safe-decode output — per-status doc counts, driver-checked, so
+      the quarantine RATE is a first-class observable next to the
+      decode itself.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = MM.attach_payload(docs)
@@ -332,14 +353,30 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must not kill the stage). The free-text error column is dropped
     # here (kept for triage in the operator output): exception MESSAGES
     # can vary across numpy versions, exception CLASSES cannot.
-    quarantine_rows = MM.decode_image_stats(
-        MM.render_quarantine_payloads(jpeg_docs), safe=True
-    ).select(
+    q_stats = MM.decode_image_stats(MM.render_quarantine_payloads(jpeg_docs), safe=True)
+    quarantine_rows = q_stats.select(
         F.lit("quarantine").alias("op"),
         "doc_id", ns.alias("payload_md5"), ns.alias("modality"), nb.alias("byte_len"),
         "width", "height", nb.alias("n_frames"),
         nb.alias("resized_w"), nb.alias("resized_h"), ns.alias("sampled_frames"),
         "maxval", "pixel_sum", "r_sum", "g_sum", "b_sum",
+        nflag.alias("decode_ok"), "status",
+    )
+    # op='quarantine_summary' (round 9, VERDICT r8 item 7): the one-pass
+    # quarantine-rate rollup a 100 TB ingest watches next to the decode —
+    # per-status doc counts (in byte_len) over the same safe-decode
+    # output. The operator also emits share + a triage example error;
+    # the driver row keeps the driver-stable columns (counts + status —
+    # error MESSAGES vary across numpy versions, counts and CLASSES
+    # cannot).
+    summary_rows = MM.quarantine_summary(q_stats).select(
+        F.lit("quarantine_summary").alias("op"),
+        nb.alias("doc_id"), ns.alias("payload_md5"), ns.alias("modality"),
+        F.col("n_docs").alias("byte_len"),
+        nb.alias("width"), nb.alias("height"), nb.alias("n_frames"),
+        nb.alias("resized_w"), nb.alias("resized_h"), ns.alias("sampled_frames"),
+        nb.alias("maxval"), nb.alias("pixel_sum"),
+        nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
         nflag.alias("decode_ok"), "status",
     )
     # op='binary_ingest' (round 7, VERDICT r6 item 3): the raw-FILE edge.
@@ -370,4 +407,5 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(jpeg_rows)
         .unionAll(ingest_rows)
         .unionAll(quarantine_rows)
+        .unionAll(summary_rows)
     )

@@ -395,6 +395,76 @@ def test_safe_decode_quarantines_bad_payloads_without_killing_job(spark):
         MM.decode_image_stats(rendered, safe=False).collect()
 
 
+def test_quarantine_summary_rollup(spark):
+    """VERDICT r8 item 7: quarantine_summary aggregates a safe-decode
+    output into per-status counts + shares + a deterministic example
+    error — the one-pass rate observable a 100 TB ingest watches. Counts
+    and shares must reconcile exactly with the planted failure classes."""
+    ids = [(i,) for i in (0, 10, 20, 30, 40, 60, 70)]  # 0/30/60 planted bad
+    docs = spark.createDataFrame(ids, "doc_id long")
+    stats = MM.decode_image_stats(MM.render_quarantine_payloads(docs), safe=True)
+    rows = {r["status"]: r for r in MM.quarantine_summary(stats).collect()}
+    assert set(rows) == {"ok", "quarantined:ValueError", "quarantined:NotImplementedError"}
+    assert rows["ok"]["n_docs"] == 4
+    assert rows["quarantined:ValueError"]["n_docs"] == 1
+    assert rows["quarantined:NotImplementedError"]["n_docs"] == 2
+    assert abs(rows["ok"]["share"] - 4 / 7) < 1e-12
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-12
+    assert rows["ok"]["example_error"] is None
+    for bad in ("quarantined:ValueError", "quarantined:NotImplementedError"):
+        assert rows[bad]["example_error"]  # non-empty triage string
+
+
+def _has_pillow() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed (production decode adapter)")
+def test_pillow_adapter_decodes_what_native_quarantines(spark):
+    """VERDICT r8 item 2, skip-clean like tests/test_hdfs.py: where
+    Pillow exists, decode_backend='pillow' decodes media classes the
+    native numpy codecs quarantine (here: GIF — unknown magic natively),
+    through the SAME mapInPandas plumbing and schema; and on formats
+    both speak (PPM) the two backends agree exactly."""
+    import io
+
+    from PIL import Image
+
+    im = Image.new("RGB", (5, 4))
+    im.putdata([(i % 256, (3 * i) % 256, (7 * i) % 256) for i in range(20)])
+    buf = io.BytesIO()
+    im.save(buf, format="GIF")
+    gif = buf.getvalue()
+    # native: quarantined (unknown magic); pillow: decoded
+    d = MM.decode_image_pillow(gif)
+    assert (d["width"], d["height"]) == (5, 4)
+    df = spark.createDataFrame([(1, bytearray(gif))], "doc_id long, img binary")
+    native = MM.decode_image_stats(df, safe=True).collect()[0]
+    assert native["status"].startswith("quarantined:")
+    via_pil = MM.decode_image_stats(df, safe=True, decode_backend="pillow").collect()[0]
+    assert via_pil["status"] == "ok" and (via_pil["width"], via_pil["height"]) == (5, 4)
+    # cross-backend agreement on a format both decode natively
+    ppm = MM.encode_ppm(5, 4, MM._fixture_pixels(7, 5, 4))
+    assert MM.decode_image_pillow(ppm)["pixels"].tolist() == MM.decode_image_real(ppm)["pixels"].tolist()
+
+
+@pytest.mark.skipif(_has_pillow(), reason="Pillow installed — missing-backend guard not reachable")
+def test_pillow_backend_missing_fails_loudly_at_build_time(spark):
+    """Without Pillow, asking for the pillow backend must fail ON THE
+    DRIVER at operator-build time with a clear ImportError — not decode
+    every image into quarantined:ImportError rows executor-side."""
+    df = spark.createDataFrame([(1, bytearray(b"P6"))], "doc_id long, img binary")
+    with pytest.raises(ImportError, match="Pillow"):
+        MM.decode_image_stats(df, safe=True, decode_backend="pillow")
+    with pytest.raises(ValueError, match="decode_backend"):
+        MM.decode_image_stats(df, decode_backend="bogus")
+
+
 def test_arithmetic_stub_is_structurally_arithmetic():
     """The quarantine fixture's arithmetic-coded stream must carry a
     real SOF9 frame marker (not a corrupted byte soup): a marker walk

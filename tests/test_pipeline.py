@@ -347,3 +347,48 @@ def test_curate_minhash_edge_route_matches_exact(spark):
     assert mh == exact
     with _pytest.raises(ValueError, match="edge_method"):
         curate(docs, edge_method="bogus")
+
+
+def test_edge_route_crossover_decision():
+    """VERDICT r8 item 1: the auto route's crossover decision, pinned at
+    BOTH ends with the measured corpus shapes (~48-52 shingles/doc).
+    Every SF with a hash-exact oracle (500 docs at sf0.01 through 500k
+    at sf10) stays on the exact jaccard side — at sf10 the routes are a
+    measured wash, so exact (the oracle shape) keeps the tie; the sf100
+    shape (5M docs, where minhash edges are the measured 0.33x route)
+    switches; the boundary itself is exclusive (est == crossover keeps
+    exact)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q import (
+        EDGE_AUTO_CROSSOVER_POSTINGS,
+        _decide_edge_method,
+    )
+
+    for n_docs in (500, 5_000, 50_000, 500_000):  # sf0.01 / 0.1 / 1 / 10
+        method, est = _decide_edge_method(n_docs, 52.0)
+        assert method == "jaccard", (n_docs, est)
+    method, est = _decide_edge_method(5_000_000, 52.0)  # sf100
+    assert method == "minhash" and est == 260_000_000.0
+    # exclusive boundary + degenerate corpus stays exact
+    assert _decide_edge_method(EDGE_AUTO_CROSSOVER_POSTINGS, 1.0)[0] == "jaccard"
+    assert _decide_edge_method(EDGE_AUTO_CROSSOVER_POSTINGS + 1, 1.0)[0] == "minhash"
+    assert _decide_edge_method(0, 0.0)[0] == "jaccard"
+
+
+def test_curate_auto_selects_and_logs(spark, caplog):
+    """curate() defaults to the cost-aware route: on the fixture corpus
+    (below the crossover) auto measures the corpus, logs the selection,
+    picks jaccard, and produces the forced-jaccard output bit for bit —
+    so the driver's hash gate sees the same rows the oracle states."""
+    import logging as _logging
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q import choose_edge_method, curate
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    with caplog.at_level(_logging.INFO, logger="custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q"):
+        assert choose_edge_method(docs) == "jaccard"
+    msgs = [r.getMessage() for r in caplog.records if "auto-selected" in r.getMessage()]
+    assert msgs and "'jaccard'" in msgs[0] and "500 docs" in msgs[0]
+    auto = {tuple(r) for r in curate(docs).collect()}
+    exact = {tuple(r) for r in curate(docs, edge_method="jaccard").collect()}
+    assert auto == exact and auto
