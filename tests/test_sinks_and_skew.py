@@ -112,6 +112,38 @@ def test_salted_join_equals_plain_join(spark, how):
     assert nullsafe(plain.collect()) == nullsafe(salted.collect())
 
 
+def test_skewed_fact_join_strategies_agree(spark):
+    """VERDICT r8 item 5: the deliberately skewed fact-fact join shape
+    (every orderkey ≡ 0 mod 3 remapped to ONE hot key, so the hot key
+    carries ~1/3 of all rows — the exact fixture tools/skew_join_ab.py
+    times at sf10) must produce identical results under all three
+    documented strategies: plain join with AQE skew-join ON, plain join
+    with it OFF, and the salted_join fallback."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_join
+    from tools.skew_join_ab import skewed_frames
+
+    from .conftest import SF_SMOKE
+
+    skewed, dim = skewed_frames(spark, SF_SMOKE)
+    hot_rows = skewed.where(F.col("jk") == 1).count()
+    assert hot_rows >= skewed.count() // 4  # the fixture is genuinely skewed
+
+    def result(df):
+        return sorted(
+            map(tuple, df.groupBy("jk").agg(F.count(F.lit(1)).alias("n"),
+                                            F.min("dim_payload").alias("p")).collect())
+        )
+
+    plain = result(skewed.join(dim, "jk"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        no_skew_aqe = result(skewed.join(dim, "jk"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    salted = result(salted_join(skewed, dim, "jk", num_salts=8))
+    assert plain == no_skew_aqe == salted and plain
+
+
 def test_salted_join_tpch_inner(spark):
     """Same equality on real tables (lineitem ⋈ orders aggregate)."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_join
