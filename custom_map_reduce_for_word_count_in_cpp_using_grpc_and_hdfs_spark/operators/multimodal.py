@@ -70,9 +70,11 @@ def decode_image_real(payload_bytes: bytes) -> dict:
         w, h, maxval, px = decode_jpeg(payload_bytes)
     else:
         raise NotImplementedError(
-            "video codecs need ffmpeg, which this environment does not "
-            "ship; PPM, BMP, zlib-PNG and Huffman JPEG (baseline + "
-            "progressive, 4:4:4 + subsampled) decode natively here"
+            "COMPRESSED video codecs need ffmpeg, which this environment "
+            "does not ship (raw Y4M containers decode natively via "
+            "decode_y4m/video_frame_stats); PPM, BMP, zlib-PNG and "
+            "Huffman JPEG (baseline + progressive, 4:4:4 + subsampled) "
+            "decode natively here"
         )
     return {"width": w, "height": h, "maxval": maxval, "pixels": px}
 
@@ -1554,6 +1556,153 @@ def quarantine_summary(stats: DataFrame) -> DataFrame:
 RESIZE_BOX = 224
 #: Keep every k-th frame when sampling.
 FRAME_STRIDE = 2
+
+
+# --------------------------------------------------------------------------
+# Real VIDEO container: YUV4MPEG2 (Y4M) — the raw-video interchange format
+# mjpegtools/ffmpeg use (`ffmpeg -f yuv4mpegpipe`). Pure bytes: an ASCII
+# stream header, then per frame an ASCII "FRAME" line + raw planar Y'CbCr.
+# Decoding it natively moves the video seam from "all video" down to
+# COMPRESSED video only (H.264 etc. stay at the ffmpeg drop-in).
+# --------------------------------------------------------------------------
+
+
+def encode_y4m(width: int, height: int, frames: np.ndarray) -> bytes:
+    """YUV4MPEG2 writer: stream header ``YUV4MPEG2 W H F25:1 Ip A1:1
+    C444`` then per frame ``FRAME\\n`` + planar Y, Cb, Cr (C444: each
+    plane width*height bytes). ``frames``: uint8 of shape
+    (n_frames, 3, width*height)."""
+    if frames.ndim != 3 or frames.shape[1:] != (3, width * height):
+        raise ValueError(f"frames {frames.shape} != (n, 3, {width * height})")
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode())
+    for fr in frames.astype(np.uint8):
+        out += b"FRAME\n"
+        out += fr.tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """YUV4MPEG2 parser: stream-header parameter scan (W/H required;
+    frame-rate/interlace/aspect accepted and ignored; colorspace must be
+    C444 — chroma-subsampled Y4M raises at the declared seam like
+    grayscale JPEG does), then length-based frame extraction — FRAME
+    lines may carry their own parameters per spec, everything to the
+    newline is header. Returns (width, height, frames) with frames
+    uint8 (n, 3, width*height) planar Y'CbCr."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    width = height = None
+    colorspace = "C420"  # the spec default when no C tag is present
+    for tag in payload[9:nl].split():
+        t = tag.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("C"):
+            colorspace = t
+    if not width or not height:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if colorspace != "C444":
+        raise NotImplementedError(
+            f"only C444 planar Y4M decodes natively (stream is {colorspace})"
+        )
+    frame_bytes = 3 * width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"FRAME marker expected at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        raw = payload[pos : pos + frame_bytes]
+        if len(raw) != frame_bytes:
+            raise ValueError("truncated FRAME payload")
+        frames.append(np.frombuffer(raw, np.uint8).reshape(3, width * height))
+        pos += frame_bytes
+    if not frames:
+        raise ValueError("YUV4MPEG2 stream carries no frames")
+    return width, height, np.stack(frames)
+
+
+def _y4m_fixture_geom(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — arithmetic on doc_id so a SQL oracle
+    regenerates the exact geometry; n_frames spans 2..6 so the
+    FRAME_STRIDE sampling keeps 1..3 frames at every id."""
+    return 4 + doc_id % 5, 4 + doc_id % 3, 2 + doc_id % 5
+
+
+def _y4m_fixture_frames(doc_id: int, w: int, h: int, n: int) -> np.ndarray:
+    """Plane byte at (frame f, plane p, flat i) =
+    (11*doc_id + 17*f + 23*p + 31*i) mod 256 — pure arithmetic, so the
+    oracle recomputes every byte via generate_series. The bytes ARE the
+    Y'CbCr planes (no RGB conversion anywhere), keeping the video branch
+    loss-free end to end, unlike JPEG's bounded-error check."""
+    f = np.arange(n, dtype=np.int64)[:, None, None]
+    p = np.arange(3, dtype=np.int64)[None, :, None]
+    i = np.arange(w * h, dtype=np.int64)[None, None, :]
+    return ((11 * doc_id + 17 * f + 23 * p + 31 * i) % 256).astype(np.uint8)
+
+
+def render_y4m_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture-video renderer: one real Y4M container per row, geometry
+    and plane bytes deterministic functions of the id — executor-side
+    Arrow batches, same ingest shape as the image renderers."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h, n = _y4m_fixture_geom(int(doc_id))
+                vids.append(encode_y4m(w, h, _y4m_fixture_frames(int(doc_id), w, h, n)))
+            yield pd.DataFrame({id_col: pdf[id_col], "video": vids})
+
+    return df.select(id_col).mapInPandas(render, f"{id_col} long, video binary")
+
+
+def video_frame_stats(
+    df: DataFrame, id_col: str = "doc_id", vid_col: str = "video", stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """REAL video decode + frame-sample stage: parse each Y4M container
+    (:func:`decode_y4m`), keep every ``stride``-th frame, and emit one
+    row per document — exact container byte length, dimensions, total
+    frame count, the sampled frame indices, and per-plane (Y/Cb/Cr)
+    byte sums over the SAMPLED frames. Sums are pure functions of the
+    container bytes, so a header mis-parse, frame mis-split, or plane
+    offset slip is a value mismatch against the arithmetic oracle.
+    Same Arrow/mapInPandas plumbing as :func:`decode_image_stats`; a
+    compressed-video pipeline swaps :func:`decode_y4m` for an ffmpeg
+    adapter inside the same batch iterator."""
+    schema = (
+        f"{id_col} long, byte_len long, width long, height long, n_frames long, "
+        "sampled_frames string, y_sum long, cb_sum long, cr_sum long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "byte_len", "width", "height", "n_frames",
+                "sampled_frames", "y_sum", "cb_sum", "cr_sum"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[vid_col]):
+                data = bytes(payload)
+                w, h, frames = decode_y4m(data)
+                kept = frames[::stride].astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        len(data),
+                        w,
+                        h,
+                        len(frames),
+                        ",".join(str(i) for i in range(0, len(frames), stride)),
+                        int(kept[:, 0].sum()),
+                        int(kept[:, 1].sum()),
+                        int(kept[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, vid_col).mapInPandas(decode, schema)
 
 
 def fake_decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

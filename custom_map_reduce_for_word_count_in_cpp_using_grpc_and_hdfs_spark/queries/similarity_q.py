@@ -148,6 +148,26 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, width, height,
                unnest(generate_series(0, width*height*3 - 1)) AS i
         FROM dims
+    ), vid AS (
+        -- Y4M fixture geometry: arithmetic on doc_id (sampled 1-in-10
+        -- like the jpeg branch)
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS BIGINT) AS w,
+               CAST(4 + doc_id % 3 AS BIGINT) AS h,
+               CAST(2 + doc_id % 5 AS BIGINT) AS n
+        FROM documents WHERE doc_id % 10 = 0
+    ), vsums AS (
+        -- per-plane byte sums over the SAMPLED frames (every
+        -- {MM.FRAME_STRIDE}-th): byte(f,p,i) = (11*d + 17*f + 23*p + 31*i) mod 256
+        SELECT v.doc_id,
+               CAST(SUM(CASE WHEN p = 0 THEN (11*v.doc_id + 17*f + 23*p + 31*i) % 256 ELSE 0 END) AS BIGINT) AS y_sum,
+               CAST(SUM(CASE WHEN p = 1 THEN (11*v.doc_id + 17*f + 23*p + 31*i) % 256 ELSE 0 END) AS BIGINT) AS cb_sum,
+               CAST(SUM(CASE WHEN p = 2 THEN (11*v.doc_id + 17*f + 23*p + 31*i) % 256 ELSE 0 END) AS BIGINT) AS cr_sum
+        FROM vid v,
+             unnest(generate_series(0, v.n - 1, {MM.FRAME_STRIDE})) AS gf(f),
+             unnest(generate_series(0, 2)) AS gp(p),
+             unnest(generate_series(0, v.w * v.h - 1)) AS gi(i)
+        GROUP BY v.doc_id
     ), pxsums AS (
         SELECT doc_id, width, height,
                CAST(SUM((7*doc_id + 31*i) % 256) AS BIGINT) AS pixel_sum,
@@ -242,6 +262,21 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CASE WHEN doc_id % 100 = 0 THEN 'quarantined:ValueError'
                   WHEN doc_id % 100 IN (30, 60) THEN 'quarantined:NotImplementedError'
                   ELSE 'ok' END
+  UNION ALL
+    -- video_y4m (round 9): native raw-video container decode — exact
+    -- byte length (ASCII header + n frames of 'FRAME\\n' + 3 planes),
+    -- frame-sampled per-plane sums carried in the r/g/b slots
+    SELECT 'video_y4m', v.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(length('YUV4MPEG2 W' || v.w || ' H' || v.h || ' F25:1 Ip A1:1 C444') + 1
+                + v.n * (6 + 3 * v.w * v.h) AS BIGINT),
+           v.w, v.h, v.n,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           array_to_string(generate_series(0, CAST(v.n AS INTEGER) - 1, {MM.FRAME_STRIDE}), ','),
+           CAST(NULL AS BIGINT),
+           s.y_sum + s.cb_sum + s.cr_sum,
+           s.y_sum, s.cb_sum, s.cr_sum,
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+    FROM vid v JOIN vsums s USING (doc_id)
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +338,14 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       safe-decode output — per-status doc counts, driver-checked, so
       the quarantine RATE is a first-class observable next to the
       decode itself.
+    - op='video_y4m' (round 9): REAL video-container decode — raw
+      YUV4MPEG2 streams (the mjpegtools/ffmpeg raw-video interchange
+      format) rendered executor-side, parsed natively (header parameter
+      scan, length-based FRAME split), frame-sampled every
+      FRAME_STRIDE-th, per-plane Y/Cb/Cr byte sums + exact container
+      byte length vs the arithmetic oracle. Moves the video seam from
+      "all video" to COMPRESSED video only (H.264 etc. remain at the
+      ffmpeg drop-in behind the same mapInPandas batch iterator).
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = MM.attach_payload(docs)
@@ -369,6 +412,25 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver row keeps the driver-stable columns (counts + status —
     # error MESSAGES vary across numpy versions, counts and CLASSES
     # cannot).
+    # op='video_y4m' (round 9): REAL video-container decode — one raw
+    # YUV4MPEG2 stream per sampled doc rendered executor-side, parsed by
+    # the native Y4M decoder (header parameter scan + length-based FRAME
+    # split), every FRAME_STRIDE-th frame kept, per-plane byte sums over
+    # the sampled frames. Exact end to end (the fixture bytes ARE the
+    # planes — no color conversion), so the oracle regenerates every
+    # byte arithmetically: byte_len = exact container size, pixel_sum =
+    # y+cb+cr, and the r/g/b columns carry the Y/Cb/Cr plane sums.
+    video_rows = MM.video_frame_stats(MM.render_y4m_payloads(jpeg_docs)).select(
+        F.lit("video_y4m").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), "byte_len",
+        "width", "height", "n_frames",
+        nb.alias("resized_w"), nb.alias("resized_h"), "sampled_frames",
+        nb.alias("maxval"),
+        (F.col("y_sum") + F.col("cb_sum") + F.col("cr_sum")).alias("pixel_sum"),
+        F.col("y_sum").alias("r_sum"), F.col("cb_sum").alias("g_sum"),
+        F.col("cr_sum").alias("b_sum"),
+        nflag.alias("decode_ok"), ns.alias("status"),
+    )
     summary_rows = MM.quarantine_summary(q_stats).select(
         F.lit("quarantine_summary").alias("op"),
         nb.alias("doc_id"), ns.alias("payload_md5"), ns.alias("modality"),
@@ -408,4 +470,5 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ingest_rows)
         .unionAll(quarantine_rows)
         .unionAll(summary_rows)
+        .unionAll(video_rows)
     )

@@ -465,6 +465,61 @@ def test_pillow_backend_missing_fails_loudly_at_build_time(spark):
         MM.decode_image_stats(df, decode_backend="bogus")
 
 
+def test_y4m_roundtrip_and_seams():
+    """Native YUV4MPEG2 codec: encode -> decode round-trips every plane
+    byte exactly (raw container, zero lossy math); header parameters in
+    any order parse; FRAME lines with their own parameters parse;
+    chroma-subsampled streams refuse at the declared seam; truncated
+    frames and missing markers fail loudly."""
+    w, h, n = MM._y4m_fixture_geom(37)
+    frames = MM._y4m_fixture_frames(37, w, h, n)
+    data = MM.encode_y4m(w, h, frames)
+    assert data.startswith(b"YUV4MPEG2 ") and data.count(b"FRAME\n") == n
+    dw, dh, out = MM.decode_y4m(data)
+    assert (dw, dh) == (w, h) and np.array_equal(out, frames)
+    # exact container size: ASCII header + n * (6-byte FRAME line + planes)
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()
+    assert len(data) == len(header) + n * (6 + 3 * w * h)
+    # parameter order freedom + FRAME-line parameters (spec-legal)
+    reordered = b"YUV4MPEG2 C444 H2 W3 F30:1\n" + b"FRAME Xtag\n" + bytes(18)
+    dw, dh, out = MM.decode_y4m(reordered)
+    assert (dw, dh, out.shape) == (3, 2, (1, 3, 6))
+    with pytest.raises(NotImplementedError, match="C420"):
+        MM.decode_y4m(b"YUV4MPEG2 W2 H2\n" + b"FRAME\n" + bytes(12))  # default C420
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_y4m(data[:-1])
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        MM.decode_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="no frames"):
+        MM.decode_y4m(header)
+
+
+def test_video_frame_stats_samples_and_sums(spark):
+    """video_frame_stats over rendered Y4M containers: exact byte
+    length, geometry, stride-sampled frame list, and per-plane sums
+    recomputed independently in numpy for every doc."""
+    ids = [0, 3, 10, 37]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {
+        r["doc_id"]: r
+        for r in MM.video_frame_stats(MM.render_y4m_payloads(docs)).collect()
+    }
+    assert set(rows) == set(ids)
+    for i in ids:
+        w, h, n = MM._y4m_fixture_geom(i)
+        frames = MM._y4m_fixture_frames(i, w, h, n)
+        kept = frames[:: MM.FRAME_STRIDE].astype("int64")
+        r = rows[i]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, n)
+        assert r["byte_len"] == len(MM.encode_y4m(w, h, frames))
+        assert r["sampled_frames"] == ",".join(
+            str(f) for f in range(0, n, MM.FRAME_STRIDE)
+        )
+        assert (r["y_sum"], r["cb_sum"], r["cr_sum"]) == (
+            int(kept[:, 0].sum()), int(kept[:, 1].sum()), int(kept[:, 2].sum())
+        )
+
+
 def test_arithmetic_stub_is_structurally_arithmetic():
     """The quarantine fixture's arithmetic-coded stream must carry a
     real SOF9 frame marker (not a corrupted byte soup): a marker walk
