@@ -1625,6 +1625,135 @@ def decode_y4m(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, np.stack(frames)
 
 
+# --------------------------------------------------------------------------
+# Real AUDIO container: WAV (RIFF) with 16-bit PCM — the raw-audio
+# interchange format. Chunk-walked parse (fmt may be followed by LIST/
+# fact/cue chunks before data), PCM s16le only; float/ADPCM/24-bit raise
+# at the declared seam (libsndfile/ffmpeg drop in behind the same batch
+# iterator). With Y4M this makes all three media modalities decode REAL
+# containers natively: image (PPM/BMP/PNG/JPEG), audio (WAV), video (Y4M).
+# --------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Canonical RIFF/WAVE writer: 16-byte PCM fmt chunk + data chunk.
+    ``samples``: int16 of shape (n_samples, n_channels), interleaved on
+    disk per the WAV layout."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"samples must be int16 (n, channels), got {samples.dtype} {samples.shape}")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()  # interleaved frames, s16le
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE parser: validate the RIFF/WAVE signature, WALK the
+    chunk list (real writers interleave LIST/fact/cue chunks between
+    fmt and data; chunks are word-aligned with a pad byte after odd
+    sizes), require PCM s16le, and return (sample_rate, samples) with
+    samples int16 (n_samples, n_channels) de-interleaved."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt /data chunk")
+    tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV decodes natively (format tag {tag}, {bits}-bit)"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    if ch < 1 or len(samples) % ch:
+        raise ValueError("data chunk is not whole interleaved frames")
+    return rate, samples.reshape(-1, ch).astype(np.int16)
+
+
+def _wav_fixture_geom(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_samples) — arithmetic on doc_id;
+    channels alternate mono/stereo so both layouts decode every run."""
+    return 8000 + 100 * (doc_id % 5), 1 + doc_id % 2, 40 + doc_id % 23
+
+
+def _wav_fixture_samples(doc_id: int, ch: int, n: int) -> np.ndarray:
+    """Interleaved sample at flat index i = ((13*doc_id + 29*i) mod
+    4096) - 2048 — signed 12-bit swing inside int16, pure arithmetic
+    for the SQL oracle."""
+    i = np.arange(n * ch, dtype=np.int64)
+    return (((13 * doc_id + 29 * i) % 4096) - 2048).astype(np.int16).reshape(n, ch)
+
+
+def render_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture-audio renderer: one real WAV per row, executor-side."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for doc_id in pdf[id_col].astype("int64"):
+                rate, ch, n = _wav_fixture_geom(int(doc_id))
+                wavs.append(encode_wav(rate, _wav_fixture_samples(int(doc_id), ch, n)))
+            yield pd.DataFrame({id_col: pdf[id_col], "audio": wavs})
+
+    return df.select(id_col).mapInPandas(render, f"{id_col} long, audio binary")
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio") -> DataFrame:
+    """REAL audio decode + feature stage: parse each WAV
+    (:func:`decode_wav`) and emit per-document features — exact
+    container byte length, sample rate, channel/sample counts, exact
+    integer duration in µs, per-channel sample sums (first two
+    channels) and the whole-stream L1 energy (sum of |sample|). All
+    integers, all pure functions of the container bytes — a chunk-walk
+    slip, endianness bug, or de-interleave error is a value mismatch
+    against the arithmetic oracle. Same mapInPandas plumbing as the
+    image/video stages; a compressed-audio pipeline swaps decode_wav
+    for libsndfile/ffmpeg inside the same iterator."""
+    schema = (
+        f"{id_col} long, byte_len long, sample_rate long, n_channels long, "
+        "n_samples long, duration_us long, ch0_sum long, ch1_sum long, abs_sum long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "byte_len", "sample_rate", "n_channels", "n_samples",
+                "duration_us", "ch0_sum", "ch1_sum", "abs_sum"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[audio_col]):
+                data = bytes(payload)
+                rate, samples = decode_wav(data)
+                n, ch = samples.shape
+                s64 = samples.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        len(data),
+                        rate,
+                        ch,
+                        n,
+                        n * 1_000_000 // rate,
+                        int(s64[:, 0].sum()),
+                        int(s64[:, 1].sum()) if ch > 1 else None,
+                        int(np.abs(s64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, audio_col).mapInPandas(decode, schema)
+
+
 def _y4m_fixture_geom(doc_id: int) -> tuple[int, int, int]:
     """(width, height, n_frames) — arithmetic on doc_id so a SQL oracle
     regenerates the exact geometry; n_frames spans 2..6 so the

@@ -148,6 +148,23 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, width, height,
                unnest(generate_series(0, width*height*3 - 1)) AS i
         FROM dims
+    ), aud AS (
+        -- WAV fixture geometry: arithmetic on doc_id (same 1-in-10 sample)
+        SELECT doc_id,
+               CAST(8000 + 100 * (doc_id % 5) AS BIGINT) AS rate,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(40 + doc_id % 23 AS BIGINT) AS n
+        FROM documents WHERE doc_id % 10 = 0
+    ), asums AS (
+        -- interleaved sample at flat i = ((13*d + 29*i) mod 4096) - 2048;
+        -- channel of i = i mod ch (SUM over an empty CASE set = NULL, so
+        -- ch1_sum is NULL for mono exactly like the engine emits)
+        SELECT a.doc_id,
+               CAST(SUM(CASE WHEN i % a.ch = 0 THEN ((13*a.doc_id + 29*i) % 4096) - 2048 END) AS BIGINT) AS ch0_sum,
+               CAST(SUM(CASE WHEN i % a.ch = 1 THEN ((13*a.doc_id + 29*i) % 4096) - 2048 END) AS BIGINT) AS ch1_sum,
+               CAST(SUM(ABS(((13*a.doc_id + 29*i) % 4096) - 2048)) AS BIGINT) AS abs_sum
+        FROM aud a, unnest(generate_series(0, a.ch * a.n - 1)) AS gi(i)
+        GROUP BY a.doc_id
     ), vid AS (
         -- Y4M fixture geometry: arithmetic on doc_id (sampled 1-in-10
         -- like the jpeg branch)
@@ -277,6 +294,18 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.y_sum, s.cb_sum, s.cr_sum,
            CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM vid v JOIN vsums s USING (doc_id)
+  UNION ALL
+    -- audio_wav (round 9): native RIFF/PCM decode — exact byte length
+    -- (44-byte canonical header + s16le frames), integer duration, and
+    -- channel/energy sums in the documented union-slot mapping
+    SELECT 'audio_wav', a.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(44 + 2 * a.ch * a.n AS BIGINT),
+           a.rate, a.ch, a.n,
+           a.n * 1000000 // a.rate, CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           s.abs_sum, s.ch0_sum, s.ch1_sum, CAST(NULL AS BIGINT),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+    FROM aud a JOIN asums s USING (doc_id)
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,6 +375,13 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       byte length vs the arithmetic oracle. Moves the video seam from
       "all video" to COMPRESSED video only (H.264 etc. remain at the
       ffmpeg drop-in behind the same mapInPandas batch iterator).
+    - op='audio_wav' (round 9): REAL audio-container decode — RIFF/WAVE
+      16-bit PCM, chunk-walked (LIST/fact chunks and odd-size padding
+      handled), mono and stereo both exercised; features are exact
+      integers (container bytes, duration µs, per-channel sums, L1
+      energy) vs the arithmetic oracle. With images and Y4M video, all
+      three media modalities now decode REAL containers natively;
+      compressed audio (MP3/AAC) remains at the libsndfile/ffmpeg seam.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = MM.attach_payload(docs)
@@ -431,6 +467,25 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cr_sum").alias("b_sum"),
         nflag.alias("decode_ok"), ns.alias("status"),
     )
+    # op='audio_wav' (round 9): REAL audio-container decode — one RIFF/
+    # WAVE (16-bit PCM) per sampled doc, chunk-walked by the native WAV
+    # parser, per-document features all integers. Union-schema mapping
+    # (documented here because the tagged union reuses column slots):
+    # width=sample_rate, height=n_channels, n_frames=n_samples,
+    # resized_w=duration_us, pixel_sum=abs_sum (L1 energy),
+    # r_sum=ch0_sum, g_sum=ch1_sum (NULL for mono).
+    audio_rows = MM.audio_features(MM.render_wav_payloads(jpeg_docs)).select(
+        F.lit("audio_wav").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), "byte_len",
+        F.col("sample_rate").alias("width"), F.col("n_channels").alias("height"),
+        F.col("n_samples").alias("n_frames"),
+        F.col("duration_us").alias("resized_w"), nb.alias("resized_h"),
+        ns.alias("sampled_frames"), nb.alias("maxval"),
+        F.col("abs_sum").alias("pixel_sum"),
+        F.col("ch0_sum").alias("r_sum"), F.col("ch1_sum").alias("g_sum"),
+        nb.alias("b_sum"),
+        nflag.alias("decode_ok"), ns.alias("status"),
+    )
     summary_rows = MM.quarantine_summary(q_stats).select(
         F.lit("quarantine_summary").alias("op"),
         nb.alias("doc_id"), ns.alias("payload_md5"), ns.alias("modality"),
@@ -471,4 +526,5 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(quarantine_rows)
         .unionAll(summary_rows)
         .unionAll(video_rows)
+        .unionAll(audio_rows)
     )

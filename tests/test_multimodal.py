@@ -494,6 +494,64 @@ def test_y4m_roundtrip_and_seams():
         MM.decode_y4m(header)
 
 
+def test_wav_roundtrip_and_seams():
+    """Native RIFF/PCM codec: encode -> decode round-trips every sample
+    exactly for mono and stereo; the chunk walk survives interleaved
+    LIST chunks and odd-size padding (real writers emit both); non-PCM
+    and truncated payloads fail at the declared seams."""
+    for doc_id in (0, 1, 14, 37):
+        rate, ch, n = MM._wav_fixture_geom(doc_id)
+        samples = MM._wav_fixture_samples(doc_id, ch, n)
+        data = MM.encode_wav(rate, samples)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        assert len(data) == 44 + 2 * ch * n  # canonical header + s16le frames
+        drate, out = MM.decode_wav(data)
+        assert drate == rate and np.array_equal(out, samples)
+    # chunk walk: inject an odd-sized LIST chunk (with pad byte) between
+    # fmt and data — parser must skip it and still find both
+    rate, ch, n = 8000, 2, 5
+    samples = MM._wav_fixture_samples(3, ch, n)
+    data = MM.encode_wav(rate, samples)
+    fmt_end = 12 + 8 + 16
+    spliced = (
+        data[:4]
+        + int.to_bytes(len(data) - 8 + 8 + 3 + 1, 4, "little")
+        + data[8:fmt_end]
+        + b"LIST" + int.to_bytes(3, 4, "little") + b"abc\x00"  # odd size + pad
+        + data[fmt_end:]
+    )
+    drate, out = MM.decode_wav(spliced)
+    assert drate == rate and np.array_equal(out, samples)
+    # seams: float PCM refuses; truncation and bad magic fail loudly
+    bad_fmt = bytearray(data)
+    bad_fmt[20] = 3  # fmt tag 3 = IEEE float
+    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+        MM.decode_wav(bytes(bad_fmt))
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_wav(data[:-1])
+    with pytest.raises(ValueError, match="RIFF"):
+        MM.decode_wav(b"OggS" + data[4:])
+
+
+def test_audio_features_exact(spark):
+    """audio_features over rendered WAVs: every emitted integer
+    recomputed independently in numpy — byte length, duration,
+    per-channel sums (ch1 NULL for mono), L1 energy."""
+    ids = [0, 1, 10, 37]  # mixes mono (even) and stereo (odd)... geom: ch = 1 + id % 2
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r["doc_id"]: r for r in MM.audio_features(MM.render_wav_payloads(docs)).collect()}
+    for i in ids:
+        rate, ch, n = MM._wav_fixture_geom(i)
+        s = MM._wav_fixture_samples(i, ch, n).astype("int64")
+        r = rows[i]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (rate, ch, n)
+        assert r["byte_len"] == 44 + 2 * ch * n
+        assert r["duration_us"] == n * 1_000_000 // rate
+        assert r["ch0_sum"] == int(s[:, 0].sum())
+        assert r["ch1_sum"] == (int(s[:, 1].sum()) if ch > 1 else None)
+        assert r["abs_sum"] == int(np.abs(s).sum())
+
+
 def test_video_frame_stats_samples_and_sums(spark):
     """video_frame_stats over rendered Y4M containers: exact byte
     length, geometry, stride-sampled frame list, and per-plane sums
