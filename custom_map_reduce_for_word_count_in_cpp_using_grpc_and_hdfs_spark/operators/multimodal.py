@@ -1538,18 +1538,25 @@ def quarantine_summary(stats: DataFrame) -> DataFrame:
     (keys = handful of status strings), then the share via a window
     over the GROUPED frame — rows = distinct statuses, so the
     single-partition window is a few-row driver-free pass, never a
-    corpus-wide shuffle."""
+    corpus-wide shuffle.
+
+    Works on STREAMING decode output too (the continuous-ingest shape;
+    composition pinned in tests/test_streaming.py): the groupBy becomes
+    a streaming aggregation whose complete-mode output is the live
+    per-status dashboard. ``share`` is NULL there — deriving it needs a
+    second stateful aggregation (the corpus total), which Structured
+    Streaming disallows in one query; a dashboard divides by the
+    running total client-side. Batch output carries the share."""
     agg = stats.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("error").alias("example_error"),
     )
-    total = Window.partitionBy()
-    return agg.select(
-        "status",
-        "n_docs",
-        (F.col("n_docs") / F.sum("n_docs").over(total)).alias("share"),
-        "example_error",
+    share = (
+        F.lit(None).cast("double")
+        if stats.isStreaming
+        else F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy())
     )
+    return agg.select("status", "n_docs", share.alias("share"), "example_error")
 
 
 #: Resize target box (the usual vision-model input side).
