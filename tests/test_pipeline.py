@@ -392,3 +392,24 @@ def test_curate_auto_selects_and_logs(spark, caplog):
     auto = {tuple(r) for r in curate(docs).collect()}
     exact = {tuple(r) for r in curate(docs, edge_method="jaccard").collect()}
     assert auto == exact and auto
+
+
+def test_curate_auto_minhash_side_integration(spark, monkeypatch, caplog):
+    """The auto route's ABOVE-crossover side, integration-tested at
+    fixture scale: with the crossover lowered beneath this corpus's
+    posting count, auto must select (and log) 'minhash' and still
+    produce the exact route's output — the recall-1.0 regime every
+    measured SF of this corpus is in."""
+    import logging as _logging
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import pipeline_q as PQ
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    monkeypatch.setattr(PQ, "EDGE_AUTO_CROSSOVER_POSTINGS", 1_000)
+    with caplog.at_level(_logging.INFO, logger="custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q"):
+        auto = {tuple(r) for r in PQ.curate(docs).collect()}
+    msgs = [r.getMessage() for r in caplog.records if "auto-selected" in r.getMessage()]
+    assert msgs and "'minhash'" in msgs[0]
+    exact = {tuple(r) for r in PQ.curate(docs, edge_method="jaccard").collect()}
+    assert auto == exact and auto
