@@ -1717,7 +1717,9 @@ def render_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(render, f"{id_col} long, audio binary")
 
 
-def audio_features(df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio") -> DataFrame:
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio", safe: bool = False
+) -> DataFrame:
     """REAL audio decode + feature stage: parse each WAV
     (:func:`decode_wav`) and emit per-document features — exact
     container byte length, sample rate, channel/sample counts, exact
@@ -1727,35 +1729,55 @@ def audio_features(df: DataFrame, id_col: str = "doc_id", audio_col: str = "audi
     slip, endianness bug, or de-interleave error is a value mismatch
     against the arithmetic oracle. Same mapInPandas plumbing as the
     image/video stages; a compressed-audio pipeline swaps decode_wav
-    for libsndfile/ffmpeg inside the same iterator."""
+    for libsndfile/ffmpeg inside the same iterator.
+
+    ``safe=True``: the same quarantine contract as
+    :func:`decode_image_stats` — undecodable payloads become rows with
+    null features, ``status='quarantined:<ExceptionType>'`` and the
+    error string, instead of failing the task (and its retries, and the
+    job) on one corrupt file among billions; decoded rows carry
+    ``status='ok'`` and features identical to strict mode. Feed the
+    output to :func:`quarantine_summary` for the rate rollup."""
     schema = (
         f"{id_col} long, byte_len long, sample_rate long, n_channels long, "
         "n_samples long, duration_us long, ch0_sum long, ch1_sum long, abs_sum long"
     )
+    if safe:
+        schema += ", status string, error string"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [id_col, "byte_len", "sample_rate", "n_channels", "n_samples",
                 "duration_us", "ch0_sum", "ch1_sum", "abs_sum"]
+        if safe:
+            cols += ["status", "error"]
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[audio_col]):
                 data = bytes(payload)
-                rate, samples = decode_wav(data)
+                try:
+                    rate, samples = decode_wav(data)
+                except Exception as exc:  # noqa: BLE001 — quarantine boundary
+                    if not safe:
+                        raise
+                    rows.append(
+                        (doc_id,) + (None,) * 8
+                        + (f"quarantined:{type(exc).__name__}", str(exc)[:_QUARANTINE_ERR_LEN])
+                    )
+                    continue
                 n, ch = samples.shape
                 s64 = samples.astype(np.int64)
-                rows.append(
-                    (
-                        doc_id,
-                        len(data),
-                        rate,
-                        ch,
-                        n,
-                        n * 1_000_000 // rate,
-                        int(s64[:, 0].sum()),
-                        int(s64[:, 1].sum()) if ch > 1 else None,
-                        int(np.abs(s64).sum()),
-                    )
+                row = (
+                    doc_id,
+                    len(data),
+                    rate,
+                    ch,
+                    n,
+                    n * 1_000_000 // rate,
+                    int(s64[:, 0].sum()),
+                    int(s64[:, 1].sum()) if ch > 1 else None,
+                    int(np.abs(s64).sum()),
                 )
+                rows.append(row + ("ok", None) if safe else row)
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, audio_col).mapInPandas(decode, schema)
@@ -1797,7 +1819,11 @@ def render_y4m_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def video_frame_stats(
-    df: DataFrame, id_col: str = "doc_id", vid_col: str = "video", stride: int = FRAME_STRIDE
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vid_col: str = "video",
+    stride: int = FRAME_STRIDE,
+    safe: bool = False,
 ) -> DataFrame:
     """REAL video decode + frame-sample stage: parse each Y4M container
     (:func:`decode_y4m`), keep every ``stride``-th frame, and emit one
@@ -1808,34 +1834,53 @@ def video_frame_stats(
     offset slip is a value mismatch against the arithmetic oracle.
     Same Arrow/mapInPandas plumbing as :func:`decode_image_stats`; a
     compressed-video pipeline swaps :func:`decode_y4m` for an ffmpeg
-    adapter inside the same batch iterator."""
+    adapter inside the same batch iterator.
+
+    ``safe=True``: the decode_image_stats quarantine contract —
+    undecodable containers (chroma-subsampled Y4M, truncated frames,
+    unknown magic) become null-feature rows tagged
+    ``status='quarantined:<ExceptionType>'`` + the error string instead
+    of killing the stage; good rows carry ``status='ok'`` and features
+    identical to strict mode. Feed to :func:`quarantine_summary`."""
     schema = (
         f"{id_col} long, byte_len long, width long, height long, n_frames long, "
         "sampled_frames string, y_sum long, cb_sum long, cr_sum long"
     )
+    if safe:
+        schema += ", status string, error string"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [id_col, "byte_len", "width", "height", "n_frames",
                 "sampled_frames", "y_sum", "cb_sum", "cr_sum"]
+        if safe:
+            cols += ["status", "error"]
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[vid_col]):
                 data = bytes(payload)
-                w, h, frames = decode_y4m(data)
-                kept = frames[::stride].astype(np.int64)
-                rows.append(
-                    (
-                        doc_id,
-                        len(data),
-                        w,
-                        h,
-                        len(frames),
-                        ",".join(str(i) for i in range(0, len(frames), stride)),
-                        int(kept[:, 0].sum()),
-                        int(kept[:, 1].sum()),
-                        int(kept[:, 2].sum()),
+                try:
+                    w, h, frames = decode_y4m(data)
+                except Exception as exc:  # noqa: BLE001 — quarantine boundary
+                    if not safe:
+                        raise
+                    rows.append(
+                        (doc_id,) + (None,) * 8
+                        + (f"quarantined:{type(exc).__name__}", str(exc)[:_QUARANTINE_ERR_LEN])
                     )
+                    continue
+                kept = frames[::stride].astype(np.int64)
+                row = (
+                    doc_id,
+                    len(data),
+                    w,
+                    h,
+                    len(frames),
+                    ",".join(str(i) for i in range(0, len(frames), stride)),
+                    int(kept[:, 0].sum()),
+                    int(kept[:, 1].sum()),
+                    int(kept[:, 2].sum()),
                 )
+                rows.append(row + ("ok", None) if safe else row)
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, vid_col).mapInPandas(decode, schema)

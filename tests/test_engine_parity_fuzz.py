@@ -219,3 +219,42 @@ def test_pii_scrub_matches_duckdb(spark, texts):
             assert (row.e, row.i, row.red) == (o[0], o[1], o[2]), repr(t)
     finally:
         con.close()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),   # width
+    st.integers(min_value=1, max_value=9),    # height
+    st.integers(min_value=1, max_value=5),    # frames
+    st.integers(min_value=0, max_value=2**32 - 1),  # byte seed
+)
+def test_fuzz_y4m_roundtrip(w, h, n, seed):
+    """Property: ANY C444 frame content round-trips the Y4M container
+    byte-exactly — the codec is a pure container, no value-dependent
+    paths. Bytes include 0xFF/newline/'FRAME'-colliding content; the
+    length-based frame split must never confuse payload for structure."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, 3, w * h), dtype=np.uint8)
+    dw, dh, out = MM.decode_y4m(MM.encode_y4m(w, h, frames))
+    assert (dw, dh) == (w, h) and np.array_equal(out, frames)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),        # channels
+    st.integers(min_value=1, max_value=200),      # samples
+    st.integers(min_value=1, max_value=192000),   # rate
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_fuzz_wav_roundtrip(ch, n, rate, seed):
+    """Property: any int16 sample content (full range, including values
+    whose little-endian bytes spell 'RIFF'/'data') round-trips the WAV
+    container exactly, for any channel count and sample rate."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=(n, ch), dtype=np.int64).astype(np.int16)
+    drate, out = MM.decode_wav(MM.encode_wav(rate, samples))
+    assert drate == rate and np.array_equal(out, samples)

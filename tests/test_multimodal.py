@@ -552,6 +552,52 @@ def test_audio_features_exact(spark):
         assert r["abs_sum"] == int(np.abs(s).sum())
 
 
+def test_av_safe_mode_quarantines_bad_containers(spark):
+    """audio_features/video_frame_stats(safe=True) carry the same
+    quarantine contract as the image path: planted bad containers
+    (float-PCM WAV, truncated WAV, chroma-subsampled Y4M, alien magic)
+    become status rows with the exception class while good neighbors
+    keep strict-mode-identical features; strict mode still raises; and
+    quarantine_summary rolls both outputs up unchanged."""
+    rate, ch, n = MM._wav_fixture_geom(4)
+    good_wav = MM.encode_wav(rate, MM._wav_fixture_samples(4, ch, n))
+    float_pcm = bytearray(good_wav)
+    float_pcm[20] = 3
+    wavs = spark.createDataFrame(
+        [(1, bytearray(good_wav)), (2, bytearray(bytes(float_pcm))),
+         (3, bytearray(good_wav[:-3])), (4, bytearray(b"OggS" + b"\0" * 40))],
+        "doc_id long, audio binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.audio_features(wavs, safe=True).collect()}
+    assert rows[1]["status"] == "ok" and rows[1]["abs_sum"] is not None
+    assert rows[2]["status"] == "quarantined:NotImplementedError"
+    assert rows[3]["status"] == "quarantined:ValueError"
+    assert rows[4]["status"] == "quarantined:ValueError"
+    assert all(rows[i]["abs_sum"] is None and rows[i]["error"] for i in (2, 3, 4))
+    with pytest.raises(Exception):
+        MM.audio_features(wavs, safe=False).collect()
+    summary = {r["status"]: r["n_docs"] for r in MM.quarantine_summary(
+        MM.audio_features(wavs, safe=True)).collect()}
+    assert summary == {"ok": 1, "quarantined:NotImplementedError": 1,
+                       "quarantined:ValueError": 2}
+
+    w, h, nf = MM._y4m_fixture_geom(7)
+    good_y4m = MM.encode_y4m(w, h, MM._y4m_fixture_frames(7, w, h, nf))
+    c420 = b"YUV4MPEG2 W4 H4\n" + b"FRAME\n" + bytes(24)
+    vids = spark.createDataFrame(
+        [(1, bytearray(good_y4m)), (2, bytearray(c420)),
+         (3, bytearray(good_y4m[:-1])), (4, bytearray(b"RIFF" + b"\0" * 20))],
+        "doc_id long, video binary",
+    )
+    vrows = {r["doc_id"]: r for r in MM.video_frame_stats(vids, safe=True).collect()}
+    assert vrows[1]["status"] == "ok" and vrows[1]["y_sum"] is not None
+    assert vrows[2]["status"] == "quarantined:NotImplementedError"
+    assert vrows[3]["status"] == "quarantined:ValueError"
+    assert vrows[4]["status"] == "quarantined:ValueError"
+    with pytest.raises(Exception):
+        MM.video_frame_stats(vids, safe=False).collect()
+
+
 def test_video_frame_stats_samples_and_sums(spark):
     """video_frame_stats over rendered Y4M containers: exact byte
     length, geometry, stride-sampled frame list, and per-plane sums
