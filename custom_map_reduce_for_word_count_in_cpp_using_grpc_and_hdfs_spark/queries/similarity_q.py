@@ -148,6 +148,35 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, width, height,
                unnest(generate_series(0, width*height*3 - 1)) AS i
         FROM dims
+    ), rsize AS (
+        -- nearest-neighbor resize geometry: aspect-preserving fit into
+        -- an 8-box (small so the oracle's per-output-pixel expansion
+        -- stays bounded; the kernel is box-size-independent), never
+        -- upscaling — same integer math as multimodal.resize_fit
+        SELECT doc_id, width, height,
+               CASE WHEN greatest(width, height) <= 8 THEN width
+                    ELSE greatest(1, width * 8 // greatest(width, height)) END AS ow,
+               CASE WHEN greatest(width, height) <= 8 THEN height
+                    ELSE greatest(1, height * 8 // greatest(width, height)) END AS oh
+        FROM dims
+    ), rsums AS (
+        -- output pixel (oy, ox, c) reads fixture flat index
+        -- 3*((oy*h//oh)*w + (ox*w//ow)) + c — the NN kernel IS the
+        -- index arithmetic, so the oracle checks the kernel itself
+        SELECT doc_id,
+               CAST(SUM(v) AS BIGINT) AS pixel_sum,
+               CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+               CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+               CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+        FROM (
+            SELECT r.doc_id, c,
+                   (7*r.doc_id + 31*(3*((oy*r.height//r.oh)*r.width + (ox*r.width//r.ow)) + c)) % 256 AS v
+            FROM rsize r,
+                 unnest(generate_series(0, r.oh - 1)) AS goy(oy),
+                 unnest(generate_series(0, r.ow - 1)) AS gox(ox),
+                 unnest(generate_series(0, 2)) AS gc(c)
+        )
+        GROUP BY doc_id
     ), aud AS (
         -- WAV fixture geometry: arithmetic on doc_id (same 1-in-10 sample)
         SELECT doc_id,
@@ -306,6 +335,17 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.abs_sum, s.ch0_sum, s.ch1_sum, CAST(NULL AS BIGINT),
            CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM aud a JOIN asums s USING (doc_id)
+  UNION ALL
+    -- image_resize (round 9): the REAL resize kernel (decode -> NN
+    -- resample into an 8-box fit), resized dims in resized_w/h and the
+    -- RESIZED raster's sums in the pixel columns
+    SELECT 'image_resize', r.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), r.width, r.height, CAST(NULL AS BIGINT),
+           r.ow, r.oh, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT),
+           s.pixel_sum, s.r_sum, s.g_sum, s.b_sum,
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+    FROM rsize r JOIN rsums s USING (doc_id)
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,6 +422,11 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       energy) vs the arithmetic oracle. With images and Y4M video, all
       three media modalities now decode REAL containers natively;
       compressed audio (MP3/AAC) remains at the libsndfile/ffmpeg seam.
+    - op='image_resize' (round 9): the REAL resize kernel — decode +
+      aspect-preserving nearest-neighbor fit (no upscale), the resized
+      raster's per-channel sums hash-checked against the oracle's
+      re-derivation of every output pixel (NN resampling is pure index
+      arithmetic, so the KERNEL is verified, not just the geometry).
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = MM.attach_payload(docs)
@@ -486,6 +531,20 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("b_sum"),
         nflag.alias("decode_ok"), ns.alias("status"),
     )
+    # op='image_resize' (round 9): decode -> REAL nearest-neighbor
+    # resize (aspect-preserving 8-box fit, no upscale) -> sums of the
+    # RESIZED raster. NN resampling is pure index arithmetic, so the
+    # oracle re-derives every output pixel — the resize KERNEL is
+    # hash-checked, not just the plumbing (fake_decode_meta's resized_w/h
+    # checked only the geometry arithmetic).
+    resize_rows = MM.resized_image_stats(MM.render_ppm_payloads(docs), box=8).select(
+        F.lit("image_resize").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), nb.alias("byte_len"),
+        "width", "height", nb.alias("n_frames"),
+        F.col("resized_w"), F.col("resized_h"), ns.alias("sampled_frames"),
+        nb.alias("maxval"), "pixel_sum", "r_sum", "g_sum", "b_sum",
+        nflag.alias("decode_ok"), ns.alias("status"),
+    )
     summary_rows = MM.quarantine_summary(q_stats).select(
         F.lit("quarantine_summary").alias("op"),
         nb.alias("doc_id"), ns.alias("payload_md5"), ns.alias("modality"),
@@ -527,4 +586,5 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(summary_rows)
         .unionAll(video_rows)
         .unionAll(audio_rows)
+        .unionAll(resize_rows)
     )

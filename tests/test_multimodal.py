@@ -494,6 +494,38 @@ def test_y4m_roundtrip_and_seams():
         MM.decode_y4m(header)
 
 
+def test_resize_nn_kernel_and_stats(spark):
+    """resize_nn: identity when dims fit the box; exact NN index math on
+    downscale (checked against a hand-rolled reference); no-upscale fit
+    geometry; and resized_image_stats' sums recomputed independently."""
+    px = MM._fixture_pixels(9, 16, 10)  # (h=10, w=16, 3)
+    assert MM.resize_fit(16, 10, 16) == (16, 10)  # fits: identity
+    assert MM.resize_fit(16, 10, 8) == (8, 5)
+    assert MM.resize_fit(3, 300, 8) == (1, 8)  # extreme aspect floors at 1
+    out = MM.resize_nn(px, 8, 5)
+    ref = np.array(
+        [[px[(oy * 10) // 5, (ox * 16) // 8] for ox in range(8)] for oy in range(5)]
+    )
+    assert out.shape == (5, 8, 3) and np.array_equal(out, ref)
+    assert np.array_equal(MM.resize_nn(px, 16, 10), px)  # identity geometry
+    ids = [0, 3, 7, 12]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {
+        r["doc_id"]: r
+        for r in MM.resized_image_stats(MM.render_ppm_payloads(docs), box=8).collect()
+    }
+    for i in ids:
+        w, h = MM._fixture_dims(i)
+        ow, oh = MM.resize_fit(w, h, 8)
+        resized = MM.resize_nn(MM._fixture_pixels(i, w, h), ow, oh).astype("int64")
+        r = rows[i]
+        assert (r["width"], r["height"], r["resized_w"], r["resized_h"]) == (w, h, ow, oh)
+        assert r["pixel_sum"] == int(resized.sum())
+        assert (r["r_sum"], r["g_sum"], r["b_sum"]) == tuple(
+            int(resized[:, :, c].sum()) for c in range(3)
+        )
+
+
 def test_wav_roundtrip_and_seams():
     """Native RIFF/PCM codec: encode -> decode round-trips every sample
     exactly for mono and stereo; the chunk walk survives interleaved
