@@ -179,8 +179,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     - kind='exact': edges from the exact shingle-inverted-index Jaccard
       join — the semantically-exact route.
     - kind='minhash' (round 7, VERDICT r6 item 2): edges from
-      MinHash-LSH candidates verified with exact Jaccard — the ~3x
-      cheaper edge route at sf10. Verified edges make the partition a
+      MinHash-LSH candidates verified with exact Jaccard — a wash with
+      the exact route at sf10 and the measured 0.33x route at sf100
+      (post-union-fix r9 numbers; SCALE.md lessons 33-34). Verified
+      edges make the partition a
       provable REFINEMENT of the exact one (precision 1 ⇒ never
       over-merges); equality to the exact oracle additionally requires
       LSH recall 1.0, which is a measured, deterministic property of the
