@@ -14,8 +14,12 @@ merge expressions explicitly.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def salted_group_agg(
@@ -147,3 +151,66 @@ def salted_join(
         *[F.col(c) for c in small.columns if c != key],
     )
     return joined.unionByName(extended)
+
+
+#: Hot-key share above which salting the join beats leaving the hot key
+#: in one task, measured on the sf10 fact-fact A/B (SCALE.md lesson 35,
+#: .scratch/r9/skew_join_ab.json): at a 1/3-hot key salted_join LOST
+#: 2x (16x dim replication costs more than the hot task saves); at a
+#: 2/3-hot key it won 3.4x over the unsplit join. 0.5 splits the two
+#: measured points.
+SALT_HOT_SHARE_THRESHOLD = 0.5
+
+
+def _decide_salting(hot_count: int, total: int, threshold: float) -> tuple[bool, float]:
+    """Pure decision (unit-testable at both measured ends): salt iff the
+    hottest key's row share exceeds the pinned crossover."""
+    share = hot_count / total if total else 0.0
+    return share > threshold, share
+
+
+def auto_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+    threshold: float = SALT_HOT_SHARE_THRESHOLD,
+) -> DataFrame:
+    """Cost-aware skew guard for the equi-join class AQE cannot see
+    (round 9, from SCALE.md lesson 35's measured blind spot): AQE's
+    skew detector reads COMPRESSED map-output bytes, so a hot key whose
+    rows are byte-light — a constant join key after column pruning, a
+    narrow or highly compressible row — can carry most of the ROWS
+    while every partition looks balanced in bytes, leaving one task
+    with the merge work. This helper measures the ROW skew directly and
+    picks the strategy from the measured crossover: one narrow pass
+    computes the hottest key's row share (column-pruned scan + map-side
+    partial aggregation — the same cost class as salted_join's own
+    right/full rebuild branch), salting only above the pinned
+    threshold, where the sf10 A/B showed it wins 3.4x (and below which
+    it measurably LOSES to the plain join). The selection is logged.
+
+    Use where AQE is unavailable OR the skew is byte-invisible; when
+    AQE can see the skew (wide rows), its in-flight split is the better
+    tool — measured 6.3x vs the salted route's 3.4x on the same
+    fixture — and this helper's plain-join branch leaves AQE in charge.
+    """
+    top = (
+        big.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc())
+        .limit(1)
+        .collect()
+    )
+    total = big.count()
+    hot = int(top[0]["_n"]) if top else 0
+    salt, share = _decide_salting(hot, total, threshold)
+    _LOG.info(
+        "auto_skew_join: hottest %r carries %.1f%% of %d rows -> %s "
+        "(threshold %.0f%%)",
+        key, 100 * share, total, "salted" if salt else "plain", 100 * threshold,
+    )
+    if salt:
+        return salted_join(big, small, key, num_salts=num_salts, how=how)
+    return big.join(small, [key], how)

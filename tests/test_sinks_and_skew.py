@@ -144,6 +144,41 @@ def test_skewed_fact_join_strategies_agree(spark):
     assert plain == no_skew_aqe == salted and plain
 
 
+def test_auto_skew_join_decision_and_equality(spark, caplog):
+    """auto_skew_join (lesson 35 operationalized): the pure decision is
+    pinned at both measured ends (1/3-hot stays plain, 2/3-hot salts,
+    boundary exclusive, empty frame plain), the selection is logged,
+    and BOTH branches produce the plain join's exact multiset."""
+    import logging as _logging
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import (
+        SALT_HOT_SHARE_THRESHOLD,
+        _decide_salting,
+        auto_skew_join,
+    )
+
+    assert _decide_salting(20, 60, SALT_HOT_SHARE_THRESHOLD) == (False, 20 / 60)
+    assert _decide_salting(40, 60, SALT_HOT_SHARE_THRESHOLD)[0] is True
+    assert _decide_salting(30, 60, SALT_HOT_SHARE_THRESHOLD)[0] is False  # exclusive
+    assert _decide_salting(0, 0, SALT_HOT_SHARE_THRESHOLD) == (False, 0.0)
+
+    small = spark.createDataFrame([(1, "hot"), (2, "s2"), (5, "s5")], "k int, sv string")
+    logger = "custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew"
+    for hot_rows, expect in ((3, "plain"), (30, "salted")):
+        rows = [(1, f"h{i}") for i in range(hot_rows)] + [(2, "b2"), (3, "b3"), (4, "b4")]
+        big = spark.createDataFrame(rows, "k int, bv string")
+        plain = sorted(map(tuple, big.join(small, ["k"]).select("k", "bv", "sv").collect()))
+        with caplog.at_level(_logging.INFO, logger=logger):
+            caplog.clear()
+            got = sorted(
+                map(tuple, auto_skew_join(big, small, "k", num_salts=4)
+                    .select("k", "bv", "sv").collect())
+            )
+        msgs = [r.getMessage() for r in caplog.records if "auto_skew_join" in r.getMessage()]
+        assert msgs and expect in msgs[0], (hot_rows, msgs)
+        assert got == plain and got
+
+
 def test_salted_join_tpch_inner(spark):
     """Same equality on real tables (lineitem ⋈ orders aggregate)."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_join
