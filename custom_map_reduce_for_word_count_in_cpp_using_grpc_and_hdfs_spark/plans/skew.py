@@ -155,7 +155,7 @@ def salted_join(
 
 #: Hot-key share above which salting the join beats leaving the hot key
 #: in one task, measured on the sf10 fact-fact A/B (SCALE.md lesson 35,
-#: .scratch/r9/skew_join_ab.json): at a 1/3-hot key salted_join LOST
+#: SCALE_R9_SF10_SKEWJOIN.json): at a 1/3-hot key salted_join LOST
 #: 2x (16x dim replication costs more than the hot task saves); at a
 #: 2/3-hot key it won 3.4x over the unsplit join. 0.5 splits the two
 #: measured points.

@@ -17,7 +17,7 @@ across strategies (semantic equality at sf-smoke grain is pinned in
 tests/test_sinks_and_skew.py; here count equality guards the harness).
 
 Usage: python tools/skew_join_ab.py --sf-dir .scratch/sf10 \
-           --out .scratch/r9/skew_join_ab.json
+           --out SCALE_R9_SF10_SKEWJOIN.json
 """
 from __future__ import annotations
 
