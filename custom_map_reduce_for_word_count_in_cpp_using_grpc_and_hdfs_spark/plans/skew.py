@@ -164,9 +164,40 @@ SALT_HOT_SHARE_THRESHOLD = 0.5
 
 def _decide_salting(hot_count: int, total: int, threshold: float) -> tuple[bool, float]:
     """Pure decision (unit-testable at both measured ends): salt iff the
-    hottest key's row share exceeds the pinned crossover."""
+    hottest key's row share exceeds the pinned crossover. Delegates the
+    compare-and-log to the shared plans/cost.py seam (VERDICT r9 item 7)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
+
     share = hot_count / total if total else 0.0
-    return share > threshold, share
+    d = decide_crossover(
+        share,
+        threshold,
+        "salted",
+        "plain",
+        "hot-key row share",
+        logger=_LOG,
+        detail=f"hottest key {hot_count} of {total} rows",
+    )
+    return d.choice == "salted", share
+
+
+def measure_key_skew(big: DataFrame, key: str) -> tuple[int, int]:
+    """ONE narrow Spark job returning (hottest key's row count, total
+    rows) for ``key`` in ``big``: a column-pruned scan with map-side
+    partial aggregation, then a 1-row rollup — max and sum ride the same
+    job (round-10 fix for the ADVICE r9 two-action pre-pass, which also
+    evaluated an uncached derived ``big``'s lineage twice). Callers that
+    join the same table on the same key repeatedly should compute this
+    once and pass it to :func:`auto_skew_join` via ``stats=``."""
+    row = (
+        big.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_hot"), F.sum("_n").alias("_total"))
+        .first()
+    )
+    hot = int(row["_hot"]) if row and row["_hot"] is not None else 0
+    total = int(row["_total"]) if row and row["_total"] is not None else 0
+    return hot, total
 
 
 def auto_skew_join(
@@ -176,6 +207,7 @@ def auto_skew_join(
     num_salts: int = 16,
     how: str = "inner",
     threshold: float = SALT_HOT_SHARE_THRESHOLD,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Cost-aware skew guard for the equi-join class AQE cannot see
     (round 9, from SCALE.md lesson 35's measured blind spot): AQE's
@@ -184,33 +216,27 @@ def auto_skew_join(
     narrow or highly compressible row — can carry most of the ROWS
     while every partition looks balanced in bytes, leaving one task
     with the merge work. This helper measures the ROW skew directly and
-    picks the strategy from the measured crossover: one narrow pass
-    computes the hottest key's row share (column-pruned scan + map-side
-    partial aggregation — the same cost class as salted_join's own
-    right/full rebuild branch), salting only above the pinned
-    threshold, where the sf10 A/B showed it wins 3.4x (and below which
-    it measurably LOSES to the plain join). The selection is logged.
+    picks the strategy from the measured crossover: ONE narrow Spark job
+    computes both the hottest key's count and the total (column-pruned
+    scan + map-side partial aggregation, max and sum riding the same
+    rollup — :func:`measure_key_skew`; the round-9 shape paid two jobs
+    and evaluated an uncached derived ``big``'s lineage twice), salting
+    only above the pinned threshold, where the sf10 A/B showed it wins
+    3.4x (and below which it measurably LOSES to the plain join). The
+    selection is logged via the shared plans/cost.py seam.
+
+    ``stats`` accepts a precomputed ``(hot_count, total)`` — pass it
+    when joining the same table on the same key repeatedly so the
+    pre-pass runs once per (table, key), not once per join; at 100 TB
+    the pre-pass is this helper's dominant cost when it decides "plain".
 
     Use where AQE is unavailable OR the skew is byte-invisible; when
     AQE can see the skew (wide rows), its in-flight split is the better
     tool — measured 6.3x vs the salted route's 3.4x on the same
     fixture — and this helper's plain-join branch leaves AQE in charge.
     """
-    top = (
-        big.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .orderBy(F.col("_n").desc())
-        .limit(1)
-        .collect()
-    )
-    total = big.count()
-    hot = int(top[0]["_n"]) if top else 0
-    salt, share = _decide_salting(hot, total, threshold)
-    _LOG.info(
-        "auto_skew_join: hottest %r carries %.1f%% of %d rows -> %s "
-        "(threshold %.0f%%)",
-        key, 100 * share, total, "salted" if salt else "plain", 100 * threshold,
-    )
+    hot, total = stats if stats is not None else measure_key_skew(big, key)
+    salt, _share = _decide_salting(hot, total, threshold)
     if salt:
         return salted_join(big, small, key, num_salts=num_salts, how=how)
     return big.join(small, [key], how)

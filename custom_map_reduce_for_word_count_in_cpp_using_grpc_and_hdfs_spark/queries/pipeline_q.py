@@ -158,9 +158,22 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _decide_edge_method(n_docs: int, avg_shingles: float) -> tuple[str, float]:
     """Pure crossover decision (unit-testable at both ends): returns the
-    chosen route and the estimated posting count it was based on."""
+    chosen route and the estimated posting count it was based on.
+    Delegates the compare-and-log to the shared plans/cost.py seam
+    (VERDICT r9 item 7) — same pattern as plans/skew._decide_salting."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
+
     est = n_docs * avg_shingles
-    return ("minhash" if est > EDGE_AUTO_CROSSOVER_POSTINGS else "jaccard"), est
+    d = decide_crossover(
+        est,
+        EDGE_AUTO_CROSSOVER_POSTINGS,
+        "minhash",
+        "jaccard",
+        "estimated shingle postings",
+        logger=_LOG,
+        detail=f"{n_docs} docs x {avg_shingles:.1f} shingles/doc",
+    )
+    return d.choice, est
 
 
 def choose_edge_method(docs: DataFrame, text_col: str = "text", n: int = 3) -> str:

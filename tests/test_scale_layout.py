@@ -224,15 +224,36 @@ def test_session_hygiene_reclaims_between_queries(spark):
     on query 7 because ContextCleaner had no GC to ride between heavy
     queries (SCALE.md lesson 27). The assertable part locally: the
     helper executes against a live session, drops Python-side cycles,
-    and the JVM storage status shows no retained cached RDDs afterward."""
+    and the JVM storage status shows THIS test's cached RDD reclaimed.
+
+    Scoped to the ids this test persists: under full-suite ordering the
+    shared session can still hold localCheckpoint debris from EARLIER
+    tests whose reclaim rides the asynchronous ContextCleaner thread, so
+    a global ``size() == 0`` assert is order-dependent (the round-9
+    suite-order flake). We snapshot the persistent-RDD id set before
+    persisting, then require only that every id we ADDED drains — polling
+    with a bounded timeout because the cleaner is async."""
     import sys
+    import time as _time
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tools.scale_run import session_hygiene
 
+    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001 — storage introspection
+
+    def persistent_ids():
+        it = jsc.getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    baseline = persistent_ids()
     docs = load_table(spark, SF_SMOKE, "documents")
     cached = docs.persist()
     cached.count()
+    added = persistent_ids() - baseline
+    assert added, "persist() should have registered at least one new RDD id"
     # a Python reference cycle holding a DataFrame — the shape gc.collect()
     # exists to break (refcounting alone never frees it)
     a: dict = {"df": cached}
@@ -241,5 +262,12 @@ def test_session_hygiene_reclaims_between_queries(spark):
     del a, b, cached
     spark.catalog.clearCache()
     session_hygiene(spark)
-    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001 — storage introspection
-    assert jsc.getPersistentRDDs().size() == 0
+    deadline = _time.monotonic() + 30.0
+    leftover = persistent_ids() & added
+    while leftover and _time.monotonic() < deadline:
+        _time.sleep(0.25)
+        session_hygiene(spark)
+        leftover = persistent_ids() & added
+    assert not leftover, (
+        f"RDD ids persisted by this test not reclaimed after hygiene: {leftover}"
+    )

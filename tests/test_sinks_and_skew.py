@@ -147,14 +147,18 @@ def test_skewed_fact_join_strategies_agree(spark):
 def test_auto_skew_join_decision_and_equality(spark, caplog):
     """auto_skew_join (lesson 35 operationalized): the pure decision is
     pinned at both measured ends (1/3-hot stays plain, 2/3-hot salts,
-    boundary exclusive, empty frame plain), the selection is logged,
-    and BOTH branches produce the plain join's exact multiset."""
+    boundary exclusive, empty frame plain), the selection is logged via
+    the shared plans/cost seam, BOTH branches produce the plain join's
+    exact multiset, the pre-pass is ONE Spark action (round-10: max and
+    sum ride the same rollup — the r9 shape paid a collect + a count),
+    and precomputed ``stats=`` skips it entirely."""
     import logging as _logging
 
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import (
         SALT_HOT_SHARE_THRESHOLD,
         _decide_salting,
         auto_skew_join,
+        measure_key_skew,
     )
 
     assert _decide_salting(20, 60, SALT_HOT_SHARE_THRESHOLD) == (False, 20 / 60)
@@ -164,19 +168,54 @@ def test_auto_skew_join_decision_and_equality(spark, caplog):
 
     small = spark.createDataFrame([(1, "hot"), (2, "s2"), (5, "s5")], "k int, sv string")
     logger = "custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew"
+
+    # Count driver-side ACTIONS fired by the decision path (the returned
+    # join is lazy, so everything counted here is pre-pass). AQE splits
+    # one query into several Spark jobs, so job counts can't pin this;
+    # action counts can: the r9 shape fired collect+count = 2, the
+    # single-rollup shape fires exactly 1 (first -> one inner collect).
+    from unittest import mock
+
+    try:  # pyspark>=4: the live class is classic.DataFrame, which
+        # OVERRIDES collect/count — patching the abstract base is a no-op
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover — pyspark 3.x
+        from pyspark.sql import DataFrame as _DF
+
+    actions = {"n": 0}
+    real_collect, real_count = _DF.collect, _DF.count
+
+    def counting_collect(self_df):
+        actions["n"] += 1
+        return real_collect(self_df)
+
+    def counting_count(self_df):
+        actions["n"] += 1
+        return real_count(self_df)
+
     for hot_rows, expect in ((3, "plain"), (30, "salted")):
         rows = [(1, f"h{i}") for i in range(hot_rows)] + [(2, "b2"), (3, "b3"), (4, "b4")]
         big = spark.createDataFrame(rows, "k int, bv string")
         plain = sorted(map(tuple, big.join(small, ["k"]).select("k", "bv", "sv").collect()))
         with caplog.at_level(_logging.INFO, logger=logger):
             caplog.clear()
-            got = sorted(
-                map(tuple, auto_skew_join(big, small, "k", num_salts=4)
-                    .select("k", "bv", "sv").collect())
-            )
-        msgs = [r.getMessage() for r in caplog.records if "auto_skew_join" in r.getMessage()]
-        assert msgs and expect in msgs[0], (hot_rows, msgs)
+            actions["n"] = 0
+            with mock.patch.object(_DF, "collect", counting_collect), \
+                    mock.patch.object(_DF, "count", counting_count):
+                joined = auto_skew_join(big, small, "k", num_salts=4)
+                assert actions["n"] == 1, f"pre-pass fired {actions['n']} actions"
+            got = sorted(map(tuple, joined.select("k", "bv", "sv").collect()))
+        msgs = [r.getMessage() for r in caplog.records if "hot-key row share" in r.getMessage()]
+        assert msgs and f"'{expect}'" in msgs[0], (hot_rows, msgs)
         assert got == plain and got
+        # precomputed stats: same result, ZERO pre-pass actions
+        stats = measure_key_skew(big, "k")
+        actions["n"] = 0
+        with mock.patch.object(_DF, "collect", counting_collect), \
+                mock.patch.object(_DF, "count", counting_count):
+            joined2 = auto_skew_join(big, small, "k", num_salts=4, stats=stats)
+            assert actions["n"] == 0
+        assert sorted(map(tuple, joined2.select("k", "bv", "sv").collect())) == plain
 
 
 def test_salted_join_tpch_inner(spark):

@@ -31,7 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-HOT_KEY = 1
+# Outside the l_orderkey domain (orderkeys are >= 1), so no genuine key
+# silently merges into the hot one — orderkey 1 used to (1 % 3 != 0 maps
+# its rows to jk=1), slightly distorting the hot share and dim
+# cardinality (ADVICE r9).
+HOT_KEY = -1
 
 
 def skewed_frames(spark, sf_dir: str, hot_share: str = "third"):
