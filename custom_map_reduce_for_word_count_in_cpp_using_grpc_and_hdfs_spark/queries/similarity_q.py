@@ -346,6 +346,21 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.pixel_sum, s.r_sum, s.g_sum, s.b_sum,
            CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM rsize r JOIN rsums s USING (doc_id)
+  UNION ALL
+    -- video_mjpeg (round 10): COMPRESSED video container — MJPEG-in-AVI
+    -- (RIFF walk + per-frame JPEG decode). JPEG is lossy, so the exact
+    -- driver values are the avih geometry, frame count and sampled
+    -- indices; the pixel check is the in-plan decode_ok bound over the
+    -- sampled frames (decode_jpeg_check pattern across the container).
+    SELECT 'video_mjpeg', d.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), d.width, d.height,
+           CAST(2 + d.doc_id % 5 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           array_to_string(generate_series(0, CAST(2 + d.doc_id % 5 AS INTEGER) - 1, {MM.FRAME_STRIDE}), ','),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), true,
+           CAST(NULL AS VARCHAR)
+    FROM dims d WHERE d.doc_id % 10 = 0
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +437,16 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       energy) vs the arithmetic oracle. With images and Y4M video, all
       three media modalities now decode REAL containers natively;
       compressed audio (MP3/AAC) remains at the libsndfile/ffmpeg seam.
+    - op='video_mjpeg' (round 10): COMPRESSED video-container decode —
+      MJPEG-in-AVI (the webcam/capture interchange format): RIFF chunk
+      walk (LIST hdrl → avih geometry + strh/strf codec check, LIST
+      movi → '00dc' frame chunks) composed with the native decode_jpeg
+      per frame, frame-sampled every FRAME_STRIDE-th. Exact driver
+      values are the avih geometry + frame count + sampled indices;
+      pixels ride the in-plan bounded-error invariant (decode_ok, the
+      jpeg_decode pattern — JPEG is lossy by design). Non-MJPEG AVIs
+      raise at the declared seam, shrinking the video gap to
+      INTER-frame codecs (H.264/VP9 → ffmpeg adapter) only.
     - op='image_resize' (round 9): the REAL resize kernel — decode +
       aspect-preserving nearest-neighbor fit (no upscale), the resized
       raster's per-channel sums hash-checked against the oracle's
@@ -545,6 +570,18 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("maxval"), "pixel_sum", "r_sum", "g_sum", "b_sum",
         nflag.alias("decode_ok"), ns.alias("status"),
     )
+    # op='video_mjpeg' (round 10): compressed-container video — RIFF/AVI
+    # walk + per-frame JPEG decode; exact geometry/count/indices, pixel
+    # correctness via the in-plan bounded-error invariant (decode_ok).
+    mjpeg_rows = MM.mjpeg_frame_check(MM.render_avi_payloads(jpeg_docs)).select(
+        F.lit("video_mjpeg").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), nb.alias("byte_len"),
+        "width", "height", "n_frames",
+        nb.alias("resized_w"), nb.alias("resized_h"), "sampled_frames",
+        nb.alias("maxval"), nb.alias("pixel_sum"),
+        nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
+        "decode_ok", ns.alias("status"),
+    )
     summary_rows = MM.quarantine_summary(q_stats).select(
         F.lit("quarantine_summary").alias("op"),
         nb.alias("doc_id"), ns.alias("payload_md5"), ns.alias("modality"),
@@ -587,4 +624,5 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(video_rows)
         .unionAll(audio_rows)
         .unionAll(resize_rows)
+        .unionAll(mjpeg_rows)
     )

@@ -107,6 +107,69 @@ def use_state_store(spark: SparkSession, kind: str = "rocksdb") -> SparkSession:
     return spark
 
 
+#: On-heap state bytes per distinct dedup key, pinned from the sf100
+#: measurement (SCALE_R9_SF100_STREAMING.json): the default HDFS-backed
+#: provider held 26.27 GB after a 100M-event watermark-dedup drain —
+#: ~263 B per key flowing through the horizon (the provider retains
+#: versioned partition maps, so the footprint tracks keys PROCESSED, not
+#: the post-expiry resident rows: only 274k remained live). The sf10
+#: point (1.8 GB at 20M keys, 90 B/key) is lighter; pinning the heavier
+#: large-scale slope makes the estimate conservative exactly where the
+#: OOM lives.
+ONHEAP_STATE_BYTES_PER_KEY = 263
+
+#: Default heap budget the estimated on-heap state must fit inside —
+#: matches the session's default driver heap (SPARK_GRAFT_DRIVER_MEM=8g;
+#: in local mode state lives there). On a real cluster pass the
+#: per-executor heap actually available for state.
+DEFAULT_STATE_HEAP_BUDGET = 8 * 1024**3
+
+
+def auto_state_store(
+    spark: SparkSession,
+    expected_keys: int,
+    heap_budget_bytes: int = DEFAULT_STATE_HEAP_BUDGET,
+) -> str:
+    """Cost-aware state-store provider choice for stateful streaming
+    (VERDICT r9 item 2 — the one measured scale-killer left on a default
+    path): estimate the on-heap provider's state footprint as
+    ``expected_keys × ONHEAP_STATE_BYTES_PER_KEY`` and flip to RocksDB
+    when it would not fit ``heap_budget_bytes``; keep the on-heap
+    provider below, where its zero-serialization reads win.
+
+    Both ends are measured (SCALE_R9_SF100_STREAMING.json / the round-7
+    sf10 record): at 100M dedup keys on-heap held 26.3 GB vs RocksDB's
+    449 MB (58×) — an OOM on a 128 GiB box at the next decade — while at
+    20M keys on-heap was 1.8 GB at ~equal wall time and RocksDB's
+    serialization cost the drain 6.3× at 100M. The decision rides the
+    shared plans/cost.py crossover seam (same philosophy as
+    ``edge_method='auto'`` and ``auto_skew_join``), is logged with its
+    evidence, and is applied via :func:`use_state_store` for queries
+    started after this call. Returns the chosen kind.
+
+    ``expected_keys`` is the number of DISTINCT state keys the query
+    will touch within its watermark horizon (for watermark dedup: the
+    distinct event ids per horizon; for session windows: active users) —
+    a cheap batch-side count or a domain bound both work; overestimating
+    errs toward RocksDB, which degrades throughput, never correctness.
+    """
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
+
+    est_bytes = int(expected_keys) * ONHEAP_STATE_BYTES_PER_KEY
+    d = decide_crossover(
+        est_bytes,
+        heap_budget_bytes,
+        "rocksdb",
+        "hdfs",
+        "estimated on-heap state bytes",
+        logger=_LOG,
+        detail=f"{expected_keys} expected keys x {ONHEAP_STATE_BYTES_PER_KEY} B/key "
+        f"vs heap budget {heap_budget_bytes}",
+    )
+    use_state_store(spark, d.choice)
+    return d.choice
+
+
 class job_checkpoint_dir:
     """Context manager giving iterative operators (connected_components,
     IVF training) a RELIABLE per-job checkpoint directory that is removed

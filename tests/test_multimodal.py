@@ -699,3 +699,203 @@ def test_jpeg_misnumbered_restart_marker_rejected():
     bad = data.replace(b"\xff\xd0", b"\xff\xd4", 1)  # RST0 -> RST4
     with pytest.raises(ValueError, match="RST"):
         MM.decode_jpeg(bad)
+
+
+def test_avi_mjpeg_roundtrip_and_seams():
+    """Round 10 (VERDICT r9 item 5): the MJPEG-in-AVI compressed-video
+    container. Encode real AVIs (RIFF hdrl/movi/idx1, per-frame baseline
+    JPEG), decode by composing the RIFF walk with decode_jpeg, and pin:
+    geometry + frame count exact, every frame within JPEG_TOLERANCE of
+    its arithmetic reference, word-alignment padding actually exercised
+    (odd-size JPEG chunks), and the declared seams — non-MJPG fourcc
+    raises NotImplementedError (the inter-frame-codec boundary),
+    truncation and frame/header dim mismatch raise ValueError."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
+
+    saw_odd_chunk = False
+    for d in (0, 3, 7, 12, 40, 100):
+        w, h, n = MM._mjpeg_fixture_geom(d)
+        jpegs = [MM.encode_jpeg(w, h, MM._mjpeg_fixture_frame(d, f, w, h)) for f in range(n)]
+        saw_odd_chunk = saw_odd_chunk or any(len(j) % 2 for j in jpegs)
+        avi = MM.encode_avi_mjpeg(w, h, jpegs)
+        W, H, frames = MM.decode_avi_mjpeg(avi)
+        assert (W, H, len(frames)) == (w, h, n)
+        for f in range(n):
+            ref = MM._mjpeg_fixture_frame(d, f, w, h).astype("int64")
+            err = int(abs(frames[f].astype("int64") - ref).max())
+            assert err <= MM.JPEG_TOLERANCE, (d, f, err)
+    assert saw_odd_chunk, "fixture never produced an odd-size frame chunk — pad path untested"
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="MJPEG-in-AVI"):
+        MM.decode_avi_mjpeg(avi.replace(b"MJPG", b"H264"))
+    with _pytest.raises(ValueError):
+        MM.decode_avi_mjpeg(avi[:40])
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        MM.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_mjpeg_frame_check_and_safe_quarantine(spark):
+    """The Spark stage over the AVI codec: strict mode emits exact
+    geometry + decode_ok=true for every sampled doc; safe mode
+    quarantines a planted H.264-fourcc AVI as NotImplementedError while
+    its MJPEG neighbors stay identical to strict mode."""
+    from pyspark.sql import functions as F
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame([(i * 10,) for i in range(6)], "doc_id long")
+    rendered = MM.render_avi_payloads(ids)
+    strict = {r.doc_id: r for r in MM.mjpeg_frame_check(rendered).collect()}
+    assert len(strict) == 6
+    for d, r in strict.items():
+        w, h, n = MM._mjpeg_fixture_geom(d)
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert r.decode_ok is True
+        assert r.sampled_frames == ",".join(str(i) for i in range(0, n, MM.FRAME_STRIDE))
+
+    # plant one non-MJPEG stream (doc 0): fourcc swapped to H264
+    planted = rendered.withColumn(
+        "video",
+        F.when(F.col("doc_id") == 0,
+               F.udf(lambda b: bytes(b).replace(b"MJPG", b"H264"), "binary")("video")
+        ).otherwise(F.col("video")),
+    )
+    rows = {r.doc_id: r for r in MM.mjpeg_frame_check(planted, safe=True).collect()}
+    assert rows[0].status == "quarantined:NotImplementedError" and rows[0].decode_ok is None
+    for d in (10, 20, 30, 40, 50):
+        assert rows[d].status == "ok"
+        assert (rows[d].width, rows[d].n_frames) == (strict[d].width, strict[d].n_frames)
+
+
+def test_safe_decode_importerror_escapes_quarantine(spark):
+    """ADVICE r9: an executor-side missing decode library is an
+    ENVIRONMENT defect, not a payload defect — safe=True must not
+    swallow it as a sea of 'quarantined:ImportError' rows. Patch the
+    backend resolver to a function that raises ImportError (simulating
+    Pillow present on the driver, absent on executors) and assert the
+    stage FAILS with the ImportError surfaced, instead of completing
+    with quarantine rows."""
+    from unittest import mock
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
+
+    def missing_backend(payload):
+        raise ImportError("No module named 'PIL' (executor)")
+
+    ids = spark.createDataFrame([(0,)], "doc_id long")
+    rendered = MM.render_ppm_payloads(ids)
+    with mock.patch.object(MM, "_resolve_decode_backend", return_value=missing_backend):
+        df = MM.decode_image_stats(rendered, safe=True, decode_backend="pillow")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ImportError|No module named"):
+        df.collect()
+
+
+def _has_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def test_av_compressed_fixtures_quarantine_natively(spark):
+    """Round 10 (VERDICT r9 item 6), the unconditional half of the A/V
+    adapter pattern: two REAL compressed fixtures generatable with zero
+    media libraries — G.711 A-law WAV (format tag 6) and raw-RGB
+    ('DIB '/BI_RGB) AVI — are refused by the native decoders at their
+    declared seams and quarantined cleanly in safe mode, while PCM/MJPEG
+    neighbors in the same batch decode untouched. The A-law encoder
+    itself is pinned bit-exact against CPython's audioop reference, so
+    the fixture is a genuine G.711 stream, not format-shaped bytes."""
+    import warnings
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(-32768, 32768, size=5000).astype(np.int16)
+    try:
+        import audioop  # deprecated in 3.13 — reference check only
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            assert MM._lin2alaw(x).tobytes() == audioop.lin2alaw(x.astype("<i2").tobytes(), 2)
+            assert np.array_equal(
+                MM._alaw2lin(MM._lin2alaw(x)),
+                np.frombuffer(audioop.alaw2lin(audioop.lin2alaw(x.astype("<i2").tobytes(), 2), 2), "<i2"),
+            )
+    except ImportError:
+        pass  # 3.13+: the expander round-trip below still pins the quantizer
+    # expand(compress(x)) is the G.711 quantizer: idempotent on its range
+    q = MM._alaw2lin(MM._lin2alaw(x))
+    assert np.array_equal(MM._alaw2lin(MM._lin2alaw(q)), q)
+
+    alaw_wav = MM.encode_wav_alaw(8000, x.reshape(-1, 2))
+    with _pytest.raises(NotImplementedError, match="16-bit PCM"):
+        MM.decode_wav(alaw_wav)
+    rgb_frames = rng.integers(0, 256, size=(3, 5, 4, 3)).astype(np.uint8)
+    raw_avi = MM.encode_avi_rawrgb(4, 5, rgb_frames)
+    with _pytest.raises(NotImplementedError, match="MJPEG-in-AVI"):
+        MM.decode_avi_mjpeg(raw_avi)
+
+    # safe mode: the compressed fixtures quarantine, PCM/MJPEG neighbors decode
+    good_wav = MM.encode_wav(8000, MM._wav_fixture_samples(3, 1, 40))
+    adf = spark.createDataFrame(
+        [(1, bytearray(alaw_wav)), (2, bytearray(good_wav))], "doc_id long, audio binary"
+    )
+    arows = {r.doc_id: r for r in MM.audio_features(adf, safe=True).collect()}
+    assert arows[1].status == "quarantined:NotImplementedError"
+    assert arows[2].status == "ok" and arows[2].sample_rate == 8000
+    w, h, n = MM._mjpeg_fixture_geom(10)
+    good_avi = MM.encode_avi_mjpeg(
+        w, h, [MM.encode_jpeg(w, h, MM._mjpeg_fixture_frame(10, f, w, h)) for f in range(n)]
+    )
+    vdf = spark.createDataFrame(
+        [(1, bytearray(raw_avi)), (2, bytearray(good_avi))], "doc_id long, video binary"
+    )
+    vrows = {r.doc_id: r for r in MM.mjpeg_frame_check(vdf, safe=True).collect()}
+    assert vrows[1].status == "quarantined:NotImplementedError"
+    assert vrows[2].status == "ok" and vrows[2].n_frames == n
+
+
+@pytest.mark.skipif(not _has_ffmpeg(), reason="ffmpeg not installed (production A/V decode adapter)")
+def test_ffmpeg_adapter_decodes_what_native_quarantines(spark):
+    """Where ffmpeg exists: the adapter decodes both compressed fixtures
+    through the SAME contracts as the native decoders. Raw-RGB AVI is
+    lossless — frames must match the fixture exactly; A-law is a lossy
+    compander — ffmpeg's s16le output must equal OUR G.711 expansion of
+    OUR compression bit-for-bit (both implement g711.c). audio_features
+    runs end to end on decode_backend='ffmpeg' with identical schema."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32768, 32768, size=4000).astype(np.int16).reshape(-1, 2)
+    alaw_wav = MM.encode_wav_alaw(8000, x)
+    rate, decoded = MM.decode_audio_ffmpeg(alaw_wav)
+    assert rate == 8000 and decoded.shape == x.shape
+    assert np.array_equal(decoded, MM._alaw2lin(MM._lin2alaw(x.reshape(-1))).reshape(-1, 2))
+
+    frames = rng.integers(0, 256, size=(4, 6, 5, 3)).astype(np.uint8)
+    raw_avi = MM.encode_avi_rawrgb(5, 6, frames)
+    w, h, out = MM.decode_video_ffmpeg(raw_avi)
+    assert (w, h, len(out)) == (5, 6, 4)
+    assert np.array_equal(out, frames)
+
+    df = spark.createDataFrame([(1, bytearray(alaw_wav))], "doc_id long, audio binary")
+    row = MM.audio_features(df, decode_backend="ffmpeg").collect()[0]
+    assert row.sample_rate == 8000 and row.n_channels == 2 and row.n_samples == 2000
+
+
+@pytest.mark.skipif(_has_ffmpeg(), reason="ffmpeg installed — missing-backend guard not reachable")
+def test_ffmpeg_backend_missing_fails_loudly_at_build_time(spark):
+    """Without ffmpeg, decode_backend='ffmpeg' must fail ON THE DRIVER
+    at operator-build time with a clear ImportError — never as per-row
+    quarantined:ImportError rows executor-side."""
+    df = spark.createDataFrame([(1, bytearray(b"RIFF"))], "doc_id long, audio binary")
+    with pytest.raises(ImportError, match="ffmpeg"):
+        MM.audio_features(df, safe=True, decode_backend="ffmpeg")
+    with pytest.raises(ValueError, match="decode_backend"):
+        MM.audio_features(df, decode_backend="bogus")

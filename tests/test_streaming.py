@@ -566,3 +566,37 @@ def test_transform_with_state_v2_matches_classic_api(spark):
     finally:
         use_state_store(spark, "hdfs")
     assert v2 == classic == {1: (3, 625), 2: (1, 125), 3: (1, 999)}
+
+
+def test_auto_state_store_pinned_at_both_measured_ends(spark, caplog):
+    """VERDICT r9 item 2: the state-store provider choice is cost-aware.
+    Both measured ends of SCALE_R9_SF100_STREAMING.json map correctly —
+    20M dedup keys (on-heap measured 1.8 GB, fine) stays on the default
+    on-heap provider; 100M keys (on-heap measured 26.3 GB — an OOM one
+    decade later) flips to RocksDB. The conf is actually applied and the
+    decision is logged with its evidence through the plans/cost seam."""
+    import logging as _logging
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session import (
+        HDFS_PROVIDER,
+        ROCKSDB_PROVIDER,
+        auto_state_store,
+        use_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    logger = "custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session"
+    try:
+        with caplog.at_level(_logging.INFO, logger=logger):
+            caplog.clear()
+            assert auto_state_store(spark, expected_keys=20_000_000) == "hdfs"
+            assert spark.conf.get(key) == HDFS_PROVIDER
+            assert auto_state_store(spark, expected_keys=100_000_000) == "rocksdb"
+            assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        msgs = [r.getMessage() for r in caplog.records
+                if "estimated on-heap state bytes" in r.getMessage()]
+        assert len(msgs) == 2 and "'hdfs'" in msgs[0] and "'rocksdb'" in msgs[1], msgs
+        # a caller-supplied heap budget moves the crossover
+        assert auto_state_store(spark, 20_000_000, heap_budget_bytes=1024**3) == "rocksdb"
+    finally:
+        use_state_store(spark, "hdfs")

@@ -193,6 +193,29 @@ def main() -> None:
     print("stream_dedup_rocksdb", json.dumps(rec), flush=True)
     session_hygiene(spark)
 
+    # Record what the cost-aware default picks at this scale (round 10):
+    # the dedup stream touches one state key per distinct event_id, so
+    # expected_keys = n_events. The choice maps onto the two drains
+    # measured above — 'hdfs' corresponds to stream_dedup, 'rocksdb' to
+    # stream_dedup_rocksdb — so the record shows both what auto chose
+    # and what each side costs.
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session import (
+        DEFAULT_STATE_HEAP_BUDGET,
+        ONHEAP_STATE_BYTES_PER_KEY,
+        auto_state_store,
+    )
+
+    choice = auto_state_store(spark, expected_keys=n_events)
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    results["state_store_auto"] = {
+        "expected_keys": n_events,
+        "bytes_per_key_pinned": ONHEAP_STATE_BYTES_PER_KEY,
+        "heap_budget_bytes": DEFAULT_STATE_HEAP_BUDGET,
+        "choice": choice,
+        "corresponds_to_drain": "stream_dedup_rocksdb" if choice == "rocksdb" else "stream_dedup",
+    }
+    print("state_store_auto", json.dumps(results["state_store_auto"]), flush=True)
+
     with open(a.out, "w") as f:
         json.dump({"sf_dir": sf_dir, "workloads": results}, f, indent=1)
     print("->", a.out)
