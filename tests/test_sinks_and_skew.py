@@ -120,12 +120,12 @@ def test_skewed_fact_join_strategies_agree(spark):
     documented strategies: plain join with AQE skew-join ON, plain join
     with it OFF, and the salted_join fallback."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.skew import salted_join
-    from tools.skew_join_ab import skewed_frames
+    from tools.skew_join_ab import HOT_KEY, skewed_frames
 
     from .conftest import SF_SMOKE
 
     skewed, dim = skewed_frames(spark, SF_SMOKE)
-    hot_rows = skewed.where(F.col("jk") == 1).count()
+    hot_rows = skewed.where(F.col("jk") == HOT_KEY).count()
     assert hot_rows >= skewed.count() // 4  # the fixture is genuinely skewed
 
     def result(df):
