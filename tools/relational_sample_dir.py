@@ -29,13 +29,17 @@ def make_relational_sampled_dir(sf_dir: str, k: int) -> str:
         "events": f"SELECT * FROM '{sf_dir}/events.parquet' WHERE event_id % {k} = 0",
     }
     for t, q in slices.items():
+        src = os.path.join(sf_dir, f"{t}.parquet")
         target = os.path.join(out, f"{t}.parquet")
-        if not os.path.exists(target):
+        # tolerate partial fixtures (e.g. the relational-only sf100 dir
+        # omits events/documents/embeddings by design — round 10)
+        if os.path.exists(src) and not os.path.exists(target):
             con.execute(f"COPY ({q}) TO '{target}' (FORMAT PARQUET)")
     for t in ("region", "nation", "customer", "supplier", "part", "documents", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
         link = os.path.join(out, f"{t}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), link)
+        if os.path.exists(src) and not os.path.exists(link):
+            os.symlink(src, link)
     return out
 
 
