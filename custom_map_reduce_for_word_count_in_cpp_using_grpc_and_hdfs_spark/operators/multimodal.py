@@ -70,9 +70,11 @@ def decode_image_real(payload_bytes: bytes) -> dict:
         w, h, maxval, px = decode_jpeg(payload_bytes)
     else:
         raise NotImplementedError(
-            "COMPRESSED video codecs need ffmpeg, which this environment "
-            "does not ship (raw Y4M containers decode natively via "
-            "decode_y4m/video_frame_stats); PPM, BMP, zlib-PNG and "
+            "INTER-frame video codecs (H.264/VP9) need ffmpeg "
+            "(decode_video_ffmpeg is the shipped adapter); raw Y4M and "
+            "MJPEG-in-AVI containers decode natively via "
+            "decode_y4m/video_frame_stats and "
+            "decode_avi_mjpeg/mjpeg_frame_check; PPM, BMP, zlib-PNG and "
             "Huffman JPEG (baseline + progressive, 4:4:4 + subsampled) "
             "decode natively here"
         )
