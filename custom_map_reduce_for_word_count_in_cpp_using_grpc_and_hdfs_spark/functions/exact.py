@@ -14,6 +14,20 @@ money/rates with ≤2 decimal digits, so scale 4 casts are value-exact
 At 100 TB this is also the *right* plan shape: decimal sums stay inside
 whole-stage codegen and partial aggregation, costing one widening cast
 per row — no UDF, no extra shuffle.
+
+Measured cost of the exactness (round 10, sf0.1 lineitem, 4 grouped
+sums): decimal aggregation runs ~4.5x a double SUM (1.12-1.16 s vs
+0.25 s) and the tax is precision-independent above the long-backed
+threshold — Spark's SUM over decimal(p,s) widens the buffer to
+decimal(p+10,s), so every money-safe input precision lands on the
+BigDecimal path. The tempting fast path — scaled-integer (cents) sums
+in LONG — is rejected deliberately: a scale-4 money sum overflows
+int64 around 10^12 rows (10^5 value x 10^4 scale x 10^12 rows ≈
+10^21 >> 2^63), i.e. exactly at the 100 TB deployments this engine
+targets, and it would overflow SILENTLY. The decimal tax buys
+order-deterministic, AQE-replan-safe, oracle-exact aggregates at any
+scale; callers that genuinely want approximate speed can always SUM
+doubles directly.
 """
 
 from __future__ import annotations
