@@ -2450,3 +2450,48 @@ def _resolve_audio_backend(decode_backend: str):
         _require_ffmpeg()
         return decode_audio_ffmpeg
     raise ValueError(f"decode_backend must be 'native' or 'ffmpeg', got {decode_backend!r}")
+
+
+_ULAW_BIAS, _ULAW_CLIP = 0x84, 8159
+
+
+def _lin2ulaw(samples: np.ndarray) -> np.ndarray:
+    """Pure-numpy G.711 µ-law compressor (the classic public-domain
+    g711.c algorithm, the North-American telephony twin of
+    :func:`_lin2alaw`): 16-bit linear -> 8-bit µ-law."""
+    x = samples.astype(np.int64) >> 2  # 14-bit magnitude domain
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.where(x < 0, -x, x), _ULAW_CLIP) + (_ULAW_BIAS >> 2)
+    seg_ends = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF])
+    seg = np.searchsorted(seg_ends, mag, side="left")
+    # seg == 8 is reachable: CLIP + biased offset (8159 + 33) exceeds
+    # the top segment end 0x1FFF, and g711.c returns 0x7F there
+    uval = np.where(
+        seg >= 8, 0x7F, (np.minimum(seg, 7) << 4) | ((mag >> (np.minimum(seg, 7) + 1)) & 0xF)
+    )
+    return (uval ^ mask).astype(np.uint8)
+
+
+def _ulaw2lin(ulaw: np.ndarray) -> np.ndarray:
+    """G.711 µ-law expander (g711.c inverse), bit-exact to ffmpeg's
+    pcm_mulaw decoder output."""
+    u = ~ulaw.astype(np.int64) & 0xFF
+    t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def encode_wav_ulaw(sample_rate: int, samples: np.ndarray) -> bytes:
+    """RIFF/WAVE with G.711 µ-law payload (format tag 7, 8 bits/sample,
+    fact chunk) — the second compressed-audio fixture at the ffmpeg
+    adapter seam; the native :func:`decode_wav` refuses it (tag != 1)."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"samples must be int16 (n, channels), got {samples.dtype} {samples.shape}")
+    n, ch = samples.shape
+    data = _lin2ulaw(samples.reshape(-1)).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, ch, sample_rate, sample_rate * ch, ch, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body

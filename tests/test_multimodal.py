@@ -817,25 +817,35 @@ def test_av_compressed_fixtures_quarantine_natively(spark):
 
     rng = np.random.default_rng(7)
     x = rng.integers(-32768, 32768, size=5000).astype(np.int16)
+    full = np.arange(-32768, 32768, dtype=np.int16)  # EVERY 16-bit input
+    codes = np.arange(256, dtype=np.uint8)  # every compressed code
     try:
         import audioop  # deprecated in 3.13 — reference check only
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            assert MM._lin2alaw(x).tobytes() == audioop.lin2alaw(x.astype("<i2").tobytes(), 2)
+            # exhaustive: both companders bit-exact over the whole domain
+            assert MM._lin2alaw(full).tobytes() == audioop.lin2alaw(full.astype("<i2").tobytes(), 2)
             assert np.array_equal(
-                MM._alaw2lin(MM._lin2alaw(x)),
-                np.frombuffer(audioop.alaw2lin(audioop.lin2alaw(x.astype("<i2").tobytes(), 2), 2), "<i2"),
+                MM._alaw2lin(codes), np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), "<i2")
+            )
+            assert MM._lin2ulaw(full).tobytes() == audioop.lin2ulaw(full.astype("<i2").tobytes(), 2)
+            assert np.array_equal(
+                MM._ulaw2lin(codes), np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), "<i2")
             )
     except ImportError:
         pass  # 3.13+: the expander round-trip below still pins the quantizer
     # expand(compress(x)) is the G.711 quantizer: idempotent on its range
-    q = MM._alaw2lin(MM._lin2alaw(x))
-    assert np.array_equal(MM._alaw2lin(MM._lin2alaw(q)), q)
+    for enc, dec in ((MM._lin2alaw, MM._alaw2lin), (MM._lin2ulaw, MM._ulaw2lin)):
+        q = dec(enc(full))
+        assert np.array_equal(dec(enc(q)), q)
 
     alaw_wav = MM.encode_wav_alaw(8000, x.reshape(-1, 2))
     with _pytest.raises(NotImplementedError, match="16-bit PCM"):
         MM.decode_wav(alaw_wav)
+    ulaw_wav = MM.encode_wav_ulaw(8000, x.reshape(-1, 2))
+    with _pytest.raises(NotImplementedError, match="16-bit PCM"):
+        MM.decode_wav(ulaw_wav)
     rgb_frames = rng.integers(0, 256, size=(3, 5, 4, 3)).astype(np.uint8)
     raw_avi = MM.encode_avi_rawrgb(4, 5, rgb_frames)
     with _pytest.raises(NotImplementedError, match="MJPEG-in-AVI"):
@@ -844,10 +854,12 @@ def test_av_compressed_fixtures_quarantine_natively(spark):
     # safe mode: the compressed fixtures quarantine, PCM/MJPEG neighbors decode
     good_wav = MM.encode_wav(8000, MM._wav_fixture_samples(3, 1, 40))
     adf = spark.createDataFrame(
-        [(1, bytearray(alaw_wav)), (2, bytearray(good_wav))], "doc_id long, audio binary"
+        [(1, bytearray(alaw_wav)), (2, bytearray(good_wav)), (3, bytearray(ulaw_wav))],
+        "doc_id long, audio binary",
     )
     arows = {r.doc_id: r for r in MM.audio_features(adf, safe=True).collect()}
     assert arows[1].status == "quarantined:NotImplementedError"
+    assert arows[3].status == "quarantined:NotImplementedError"
     assert arows[2].status == "ok" and arows[2].sample_rate == 8000
     w, h, n = MM._mjpeg_fixture_geom(10)
     good_avi = MM.encode_avi_mjpeg(
@@ -877,6 +889,9 @@ def test_ffmpeg_adapter_decodes_what_native_quarantines(spark):
     rate, decoded = MM.decode_audio_ffmpeg(alaw_wav)
     assert rate == 8000 and decoded.shape == x.shape
     assert np.array_equal(decoded, MM._alaw2lin(MM._lin2alaw(x.reshape(-1))).reshape(-1, 2))
+    rate_u, decoded_u = MM.decode_audio_ffmpeg(MM.encode_wav_ulaw(8000, x))
+    assert rate_u == 8000
+    assert np.array_equal(decoded_u, MM._ulaw2lin(MM._lin2ulaw(x.reshape(-1))).reshape(-1, 2))
 
     frames = rng.integers(0, 256, size=(4, 6, 5, 3)).astype(np.uint8)
     raw_avi = MM.encode_avi_rawrgb(5, 6, frames)
