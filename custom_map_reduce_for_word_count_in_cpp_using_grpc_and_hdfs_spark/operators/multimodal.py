@@ -1711,12 +1711,16 @@ def decode_y4m(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 # --------------------------------------------------------------------------
-# Real AUDIO container: WAV (RIFF) with 16-bit PCM — the raw-audio
-# interchange format. Chunk-walked parse (fmt may be followed by LIST/
-# fact/cue chunks before data), PCM s16le only; float/ADPCM/24-bit raise
+# Real AUDIO container: WAV (RIFF) — the raw-audio interchange format.
+# Chunk-walked parse (fmt may be followed by LIST/fact/cue chunks before
+# data); PCM s16le decodes natively, and since round 10 so does the
+# G.711 companded pair (A-law tag 6 / µ-law tag 7 — expanders pinned
+# exhaustively bit-exact vs CPython's audioop), so genuinely COMPRESSED
+# telephony audio needs zero media libraries. Float/ADPCM/24-bit raise
 # at the declared seam (libsndfile/ffmpeg drop in behind the same batch
 # iterator). With Y4M this makes all three media modalities decode REAL
-# containers natively: image (PPM/BMP/PNG/JPEG), audio (WAV), video (Y4M).
+# containers natively: image (PPM/BMP/PNG/JPEG), audio (WAV incl.
+# G.711), video (Y4M + MJPEG-in-AVI).
 # --------------------------------------------------------------------------
 
 
@@ -1738,8 +1742,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE parser: validate the RIFF/WAVE signature, WALK the
     chunk list (real writers interleave LIST/fact/cue chunks between
     fmt and data; chunks are word-aligned with a pad byte after odd
-    sizes), require PCM s16le, and return (sample_rate, samples) with
-    samples int16 (n_samples, n_channels) de-interleaved."""
+    sizes) and return (sample_rate, samples) with samples int16
+    (n_samples, n_channels) de-interleaved.
+
+    Formats decoded natively: PCM s16le (tag 1) and, since round 10,
+    the G.711 companded pair — A-law (tag 6) and µ-law (tag 7), both
+    expanded by the vectorized g711.c inverses pinned EXHAUSTIVELY
+    bit-exact against CPython's audioop reference — so genuinely
+    compressed telephony audio decodes with zero media libraries.
+    Float/ADPCM/24-bit stay at the declared ffmpeg/libsndfile seam."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -1757,14 +1768,20 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt /data chunk")
     tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if tag != 1 or bits != 16:
+    if tag == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif tag in (6, 7) and bits == 8:
+        expand = _alaw2lin if tag == 6 else _ulaw2lin
+        samples = expand(np.frombuffer(data, dtype=np.uint8))
+    else:
         raise NotImplementedError(
-            f"only 16-bit PCM WAV decodes natively (format tag {tag}, {bits}-bit)"
+            "PCM s16le and G.711 A-law/µ-law WAV decode natively "
+            f"(format tag {tag}, {bits}-bit); float/ADPCM need "
+            "ffmpeg/libsndfile (decode_audio_ffmpeg is the shipped adapter)"
         )
-    samples = np.frombuffer(data, dtype="<i2")
     if ch < 1 or len(samples) % ch:
         raise ValueError("data chunk is not whole interleaved frames")
-    return rate, samples.reshape(-1, ch).astype(np.int16)
+    return rate, samples.reshape(-1, ch)
 
 
 def _wav_fixture_geom(doc_id: int) -> tuple[int, int, int]:
@@ -1821,10 +1838,11 @@ def audio_features(
     ``status='ok'`` and features identical to strict mode. Feed the
     output to :func:`quarantine_summary` for the rate rollup.
 
-    ``decode_backend``: 'native' (the zero-dependency RIFF/PCM parser)
-    or 'ffmpeg' (:func:`decode_audio_ffmpeg` — the production adapter
-    covering the codecs the native parser quarantines: A-law, µ-law,
-    ADPCM, MP3-in-WAV; validated eagerly on the driver, ImportError
+    ``decode_backend``: 'native' (the zero-dependency RIFF parser —
+    PCM s16le plus, since round 10, G.711 A-law/µ-law) or 'ffmpeg'
+    (:func:`decode_audio_ffmpeg` — the production adapter covering the
+    codecs the native parser quarantines: IEEE-float, ADPCM,
+    MP3-in-WAV; validated eagerly on the driver, ImportError
     re-raised through the quarantine boundary executor-side). Both
     share this schema, batching and quarantine semantics (round 10 —
     the Pillow-adapter pattern at the audio seam)."""
@@ -2393,8 +2411,9 @@ def decode_audio_ffmpeg(payload: bytes) -> tuple[int, np.ndarray]:
     (sample_rate, samples int16 (n, ch)) contract, so
     :func:`audio_features` shares every downstream line between
     backends. Geometry (rate, channels) is parsed from the RIFF fmt
-    chunk (this adapter targets WAV-contained codecs — A-law, µ-law,
-    ADPCM; a container-agnostic build would ffprobe instead), the
+    chunk (this adapter targets WAV-contained codecs — IEEE-float,
+    ADPCM, MP3-in-WAV; G.711 decodes natively since round 10; a
+    container-agnostic build would ffprobe instead), the
     decoded stream is ffmpeg's s16le output."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("decode_audio_ffmpeg expects a RIFF/WAVE container")
@@ -2494,4 +2513,22 @@ def encode_wav_ulaw(sample_rate: int, samples: np.ndarray) -> bytes:
     body += b"data" + struct.pack("<I", len(data)) + data
     if len(data) & 1:
         body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_f32(sample_rate: int, samples: np.ndarray) -> bytes:
+    """RIFF/WAVE with IEEE-float payload (format tag 3, 32-bit) — the
+    remaining natively-undecodable WAV fixture for the ffmpeg adapter
+    tests now that G.711 decodes natively. Values are written as
+    sample/32768.0, exactly representable in float32, so ffmpeg's
+    float→s16 conversion (lrintf(v * 2^15)) reproduces the original
+    int16 samples bit-exactly where the adapter test compares them."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"samples must be int16 (n, channels), got {samples.dtype} {samples.shape}")
+    n, ch = samples.shape
+    data = (samples.reshape(-1).astype(np.float32) / np.float32(32768.0)).astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, ch, sample_rate, sample_rate * ch * 4, ch * 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body

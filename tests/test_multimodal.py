@@ -554,10 +554,11 @@ def test_wav_roundtrip_and_seams():
     )
     drate, out = MM.decode_wav(spliced)
     assert drate == rate and np.array_equal(out, samples)
-    # seams: float PCM refuses; truncation and bad magic fail loudly
+    # seams: float PCM refuses (G.711 tags 6/7 decode natively since
+    # round 10); truncation and bad magic fail loudly
     bad_fmt = bytearray(data)
     bad_fmt[20] = 3  # fmt tag 3 = IEEE float
-    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+    with pytest.raises(NotImplementedError, match="float/ADPCM"):
         MM.decode_wav(bytes(bad_fmt))
     with pytest.raises(ValueError, match="truncated"):
         MM.decode_wav(data[:-1])
@@ -802,13 +803,14 @@ def _has_ffmpeg() -> bool:
 
 def test_av_compressed_fixtures_quarantine_natively(spark):
     """Round 10 (VERDICT r9 item 6), the unconditional half of the A/V
-    adapter pattern: two REAL compressed fixtures generatable with zero
-    media libraries — G.711 A-law WAV (format tag 6) and raw-RGB
-    ('DIB '/BI_RGB) AVI — are refused by the native decoders at their
-    declared seams and quarantined cleanly in safe mode, while PCM/MJPEG
-    neighbors in the same batch decode untouched. The A-law encoder
-    itself is pinned bit-exact against CPython's audioop reference, so
-    the fixture is a genuine G.711 stream, not format-shaped bytes."""
+    adapter pattern. G.711 A-law/µ-law WAVs (tags 6/7) now DECODE
+    natively — both companders pinned EXHAUSTIVELY bit-exact against
+    CPython's audioop reference (all 65536 encoder inputs, all 256
+    decoder codes, both laws), so genuinely compressed telephony audio
+    needs zero media libraries. The remaining native refusals — IEEE-
+    float WAV (tag 3) and raw-RGB ('DIB '/BI_RGB) AVI — raise at their
+    declared seams and quarantine cleanly in safe mode, while
+    PCM/G.711/MJPEG neighbors in the same batch decode untouched."""
     import warnings
 
     import numpy as np
@@ -840,27 +842,36 @@ def test_av_compressed_fixtures_quarantine_natively(spark):
         q = dec(enc(full))
         assert np.array_equal(dec(enc(q)), q)
 
-    alaw_wav = MM.encode_wav_alaw(8000, x.reshape(-1, 2))
-    with _pytest.raises(NotImplementedError, match="16-bit PCM"):
-        MM.decode_wav(alaw_wav)
-    ulaw_wav = MM.encode_wav_ulaw(8000, x.reshape(-1, 2))
-    with _pytest.raises(NotImplementedError, match="16-bit PCM"):
-        MM.decode_wav(ulaw_wav)
+    # G.711 WAVs decode NATIVELY to exactly the reference expansion
+    xs = x.reshape(-1, 2)
+    for enc_wav, law_enc, law_dec in (
+        (MM.encode_wav_alaw, MM._lin2alaw, MM._alaw2lin),
+        (MM.encode_wav_ulaw, MM._lin2ulaw, MM._ulaw2lin),
+    ):
+        rate, out = MM.decode_wav(enc_wav(8000, xs))
+        assert rate == 8000 and np.array_equal(out, law_dec(law_enc(xs.reshape(-1))).reshape(-1, 2))
+
+    f32_wav = MM.encode_wav_f32(8000, xs)
+    with _pytest.raises(NotImplementedError, match="float/ADPCM"):
+        MM.decode_wav(f32_wav)
     rgb_frames = rng.integers(0, 256, size=(3, 5, 4, 3)).astype(np.uint8)
     raw_avi = MM.encode_avi_rawrgb(4, 5, rgb_frames)
     with _pytest.raises(NotImplementedError, match="MJPEG-in-AVI"):
         MM.decode_avi_mjpeg(raw_avi)
 
-    # safe mode: the compressed fixtures quarantine, PCM/MJPEG neighbors decode
+    # safe mode: float32 quarantines; PCM and BOTH G.711 laws decode
     good_wav = MM.encode_wav(8000, MM._wav_fixture_samples(3, 1, 40))
     adf = spark.createDataFrame(
-        [(1, bytearray(alaw_wav)), (2, bytearray(good_wav)), (3, bytearray(ulaw_wav))],
+        [(1, bytearray(f32_wav)), (2, bytearray(good_wav)),
+         (3, bytearray(MM.encode_wav_alaw(8000, xs))),
+         (4, bytearray(MM.encode_wav_ulaw(8000, xs)))],
         "doc_id long, audio binary",
     )
     arows = {r.doc_id: r for r in MM.audio_features(adf, safe=True).collect()}
     assert arows[1].status == "quarantined:NotImplementedError"
-    assert arows[3].status == "quarantined:NotImplementedError"
     assert arows[2].status == "ok" and arows[2].sample_rate == 8000
+    assert arows[3].status == "ok" and arows[3].n_channels == 2
+    assert arows[4].status == "ok" and arows[4].n_samples == len(xs)
     w, h, n = MM._mjpeg_fixture_geom(10)
     good_avi = MM.encode_avi_mjpeg(
         w, h, [MM.encode_jpeg(w, h, MM._mjpeg_fixture_frame(10, f, w, h)) for f in range(n)]
@@ -892,6 +903,11 @@ def test_ffmpeg_adapter_decodes_what_native_quarantines(spark):
     rate_u, decoded_u = MM.decode_audio_ffmpeg(MM.encode_wav_ulaw(8000, x))
     assert rate_u == 8000
     assert np.array_equal(decoded_u, MM._ulaw2lin(MM._lin2ulaw(x.reshape(-1))).reshape(-1, 2))
+    # float32 WAV: the class only the adapter decodes (native raises);
+    # values k/32768 are float32-exact, so ffmpeg's lrintf(v*2^15)
+    # reconstructs the original samples bit-exactly
+    rate_f, decoded_f = MM.decode_audio_ffmpeg(MM.encode_wav_f32(8000, x))
+    assert rate_f == 8000 and np.array_equal(decoded_f, x)
 
     frames = rng.integers(0, 256, size=(4, 6, 5, 3)).astype(np.uint8)
     raw_avi = MM.encode_avi_rawrgb(5, 6, frames)
