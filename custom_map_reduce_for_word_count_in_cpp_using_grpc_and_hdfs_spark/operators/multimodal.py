@@ -2532,3 +2532,21 @@ def encode_wav_f32(sample_rate: int, samples: np.ndarray) -> bytes:
     body += b"fact" + struct.pack("<II", 4, n)
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def render_g711_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture renderer for the COMPRESSED-audio branch: the same
+    arithmetic samples as :func:`render_wav_payloads`, companded through
+    G.711 A-law into a real tag-6 RIFF/WAVE container (round 10 —
+    decoded natively by :func:`decode_wav` via the exhaustively-pinned
+    expander)."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for doc_id in pdf[id_col].astype("int64"):
+                rate, ch, n = _wav_fixture_geom(int(doc_id))
+                wavs.append(encode_wav_alaw(rate, _wav_fixture_samples(int(doc_id), ch, n)))
+            yield pd.DataFrame({id_col: pdf[id_col], "audio": wavs})
+
+    return df.select(id_col).mapInPandas(render, f"{id_col} long, audio binary")

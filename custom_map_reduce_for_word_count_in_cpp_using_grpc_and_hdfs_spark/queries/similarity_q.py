@@ -194,6 +194,36 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(ABS(((13*a.doc_id + 29*i) % 4096) - 2048)) AS BIGINT) AS abs_sum
         FROM aud a, unnest(generate_series(0, a.ch * a.n - 1)) AS gi(i)
         GROUP BY a.doc_id
+    ), gq AS (
+        -- G.711 A-law quantizer q(v), bit-exact to the engine's
+        -- compress+expand pair (g711.c; exhaustively pinned vs audioop
+        -- in tests): 13-bit magnitude, 8-segment CASE, low-nibble
+        -- reconstruction with the +8 midpoint and the seg>=1 boost
+        SELECT a.doc_id, i % a.ch AS c,
+               (CASE WHEN v >= 0 THEN 1 ELSE -1 END) *
+               (CASE WHEN sg = 0 THEN ((mag // 2) % 16) * 16 + 8
+                     ELSE (((mag // (1 << sg)) % 16) * 16 + 8 + 256) * (1 << (sg - 1)) END) AS qv
+        FROM (
+            SELECT a.doc_id, a.ch, i, v, mag,
+                   CASE WHEN mag <= 31 THEN 0 WHEN mag <= 63 THEN 1
+                        WHEN mag <= 127 THEN 2 WHEN mag <= 255 THEN 3
+                        WHEN mag <= 511 THEN 4 WHEN mag <= 1023 THEN 5
+                        WHEN mag <= 2047 THEN 6 ELSE 7 END AS sg
+            FROM (
+                SELECT a.doc_id, a.ch, i,
+                       ((13*a.doc_id + 29*i) % 4096) - 2048 AS v,
+                       CASE WHEN ((13*a.doc_id + 29*i) % 4096) - 2048 >= 0
+                            THEN (((13*a.doc_id + 29*i) % 4096) - 2048) // 8
+                            ELSE (-(((13*a.doc_id + 29*i) % 4096) - 2048) - 1) // 8 END AS mag
+                FROM aud a, unnest(generate_series(0, a.ch * a.n - 1)) AS gi(i)
+            ) a
+        ) a
+    ), gsums AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c = 0 THEN qv END) AS BIGINT) AS ch0_sum,
+               CAST(SUM(CASE WHEN c = 1 THEN qv END) AS BIGINT) AS ch1_sum,
+               CAST(SUM(ABS(qv)) AS BIGINT) AS abs_sum
+        FROM gq GROUP BY doc_id
     ), vid AS (
         -- Y4M fixture geometry: arithmetic on doc_id (sampled 1-in-10
         -- like the jpeg branch)
@@ -347,6 +377,22 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM rsize r JOIN rsums s USING (doc_id)
   UNION ALL
+    -- audio_g711 (round 10): COMPRESSED audio decoded natively — the
+    -- same fixture samples companded through G.711 A-law (tag 6, with
+    -- the fact chunk and odd-size data padding) and expanded back by
+    -- the native decoder; the oracle recomputes the QUANTIZED channel
+    -- sums through the SQL rendering of the same quantizer (gq above),
+    -- so compander, container walk and de-interleave are all
+    -- value-checked cross-engine
+    SELECT 'audio_g711', a.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(56 + a.ch * a.n + (a.ch * a.n) % 2 AS BIGINT),
+           a.rate, a.ch, a.n,
+           a.n * 1000000 // a.rate, CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           s.abs_sum, s.ch0_sum, s.ch1_sum, CAST(NULL AS BIGINT),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+    FROM aud a JOIN gsums s USING (doc_id)
+  UNION ALL
     -- video_mjpeg (round 10): COMPRESSED video container — MJPEG-in-AVI
     -- (RIFF walk + per-frame JPEG decode). JPEG is lossy, so the exact
     -- driver values are the avih geometry, frame count and sampled
@@ -447,6 +493,16 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       jpeg_decode pattern — JPEG is lossy by design). Non-MJPEG AVIs
       raise at the declared seam, shrinking the video gap to
       INTER-frame codecs (H.264/VP9 → ffmpeg adapter) only.
+    - op='audio_g711' (round 10): COMPRESSED audio decoded NATIVELY —
+      the fixture samples companded through G.711 A-law into real tag-6
+      RIFF/WAVE containers (fact chunk, odd-size data padding) and
+      expanded back by decode_wav's exhaustively-pinned compander; the
+      oracle re-renders the quantizer itself in SQL (13-bit magnitude,
+      8-segment CASE, midpoint + segment boost) and matches the
+      quantized channel/L1 sums exactly — compander, container walk and
+      de-interleave all value-checked cross-engine. µ-law rides the
+      same native path (pytest-pinned); float/ADPCM remain at the
+      ffmpeg adapter seam.
     - op='image_resize' (round 9): the REAL resize kernel — decode +
       aspect-preserving nearest-neighbor fit (no upscale), the resized
       raster's per-channel sums hash-checked against the oracle's
@@ -570,6 +626,24 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("maxval"), "pixel_sum", "r_sum", "g_sum", "b_sum",
         nflag.alias("decode_ok"), ns.alias("status"),
     )
+    # op='audio_g711' (round 10): COMPRESSED audio decoded natively —
+    # A-law (tag 6) containers of the same fixture samples, expanded by
+    # the exhaustively-pinned compander inside decode_wav; the oracle
+    # recomputes the quantized sums via the SQL quantizer, so the
+    # compander itself is value-checked cross-engine. Same union-slot
+    # mapping as audio_wav.
+    g711_rows = MM.audio_features(MM.render_g711_payloads(jpeg_docs)).select(
+        F.lit("audio_g711").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), "byte_len",
+        F.col("sample_rate").alias("width"), F.col("n_channels").alias("height"),
+        F.col("n_samples").alias("n_frames"),
+        F.col("duration_us").alias("resized_w"), nb.alias("resized_h"),
+        ns.alias("sampled_frames"), nb.alias("maxval"),
+        F.col("abs_sum").alias("pixel_sum"),
+        F.col("ch0_sum").alias("r_sum"), F.col("ch1_sum").alias("g_sum"),
+        nb.alias("b_sum"),
+        nflag.alias("decode_ok"), ns.alias("status"),
+    )
     # op='video_mjpeg' (round 10): compressed-container video — RIFF/AVI
     # walk + per-frame JPEG decode; exact geometry/count/indices, pixel
     # correctness via the in-plan bounded-error invariant (decode_ok).
@@ -625,4 +699,5 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audio_rows)
         .unionAll(resize_rows)
         .unionAll(mjpeg_rows)
+        .unionAll(g711_rows)
     )
