@@ -2142,10 +2142,24 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 w_, h_ = struct.unpack_from("<II", payload, body_at + 32)
                 width, height = int(w_), int(h_)
             elif cid == b"LIST" and payload[body_at : body_at + 4] == b"strl":
+                # Each strl describes ONE stream; only the 'vids' stream's
+                # strf (BITMAPINFOHEADER, biCompression at +16) names the
+                # video codec. An 'auds' strl's strf is a WAVEFORMATEX —
+                # reading +16..+20 from it would clobber the video tag, so
+                # gate the strf capture on the strh fccType seen in THIS
+                # strl (a strf always follows its strh per the AVI spec).
+                in_vids = False
                 for c2, b2, s2 in _riff_chunks(payload, body_at + 4, body_at + size):
-                    if c2 == b"strh" and payload[b2 : b2 + 4] == b"vids":
-                        handler = payload[b2 + 4 : b2 + 8]
-                    elif c2 == b"strf":
+                    if c2 == b"strh":
+                        in_vids = payload[b2 : b2 + 4] == b"vids"
+                        if in_vids:
+                            handler = payload[b2 + 4 : b2 + 8]
+                    elif c2 == b"strf" and in_vids:
+                        if s2 < 20:
+                            raise ValueError(
+                                f"vids strf is {s2} bytes; BITMAPINFOHEADER "
+                                "needs >= 20 to carry biCompression"
+                            )
                         compression = payload[b2 + 16 : b2 + 20]
 
     for cid, body_at, size in _riff_chunks(payload, 12, len(payload)):
@@ -2428,9 +2442,15 @@ def decode_audio_ffmpeg(payload: bytes) -> tuple[int, np.ndarray]:
     if fmt is None:
         raise ValueError("WAVE missing fmt chunk")
     _, ch, rate = struct.unpack_from("<HHI", fmt, 0)
-    raw = _run_ffmpeg(["-f", "s16le", "-acodec", "pcm_s16le"], payload)
+    if ch < 1:
+        raise ValueError("WAVE fmt declares zero channels")
+    # Pin the output layout to the header-declared channel count with -ac:
+    # without it, an ffmpeg decoder that emits a different count which
+    # still divides the sample total would silently de-interleave into the
+    # wrong channels instead of failing the whole-frames check below.
+    raw = _run_ffmpeg(["-f", "s16le", "-acodec", "pcm_s16le", "-ac", str(int(ch))], payload)
     samples = np.frombuffer(raw, dtype="<i2")
-    if ch < 1 or len(samples) % ch:
+    if len(samples) % ch:
         raise ValueError("ffmpeg output is not whole interleaved frames")
     return int(rate), samples.reshape(-1, ch).astype(np.int16)
 

@@ -85,6 +85,13 @@ EDGE_AUTO_CROSSOVER_POSTINGS = 30_000_000
 #: 10x-wide crossover (measured avg 52 shingles/doc, std well under the
 #: mean; 0.36 s at 256).
 EDGE_AUTO_SAMPLE_DOCS = 256
+#: Safety margin for the count-only early exit in choose_edge_method
+#: (ADVICE r10): the "every doc yields ≥ 1 shingle" floor is false for
+#: docs shorter than n tokens, so n_docs alone decides only when it
+#: clears the crossover by this factor — a corpus where merely 1/4 of
+#: docs shingle at all still lands on the MinHash side. Between 1× and
+#: 4× the crossover, the sampled estimate runs and decides.
+EDGE_AUTO_COUNT_ONLY_MARGIN = 4
 
 _TOKS = T.tokens_sql("text")
 
@@ -186,13 +193,17 @@ def choose_edge_method(docs: DataFrame, text_col: str = "text", n: int = 3) -> s
     EDGE_AUTO_CROSSOVER_POSTINGS for the measured crossover). Cost of
     the measurement itself: one count (metadata-only on a parquet scan)
     plus one limit-bounded sample aggregate — and the sample is skipped
-    entirely when the count alone decides (round 10): every non-empty
-    doc yields ≥ 1 shingle, so n_docs > crossover ⇒ est > crossover
-    under any sample, and at that scale the corpus is exactly where the
-    sample's interpreted shingle transform is least welcome."""
+    entirely when the count alone decides (round 10, margin-guarded in
+    round 11): docs with fewer than n tokens yield 0 shingles, so the
+    avg ≥ 1 floor only holds corpus-wide when short docs don't dominate.
+    The early exit therefore requires n_docs to clear the crossover by
+    EDGE_AUTO_COUNT_ONLY_MARGIN× — past that, even a corpus where only
+    1/margin of docs shingle at all still crosses, and at that scale the
+    sample's interpreted shingle transform is least welcome. Near the
+    threshold we fall through to the measured sample (ADVICE r10)."""
     n_docs = docs.count()
-    if n_docs > EDGE_AUTO_CROSSOVER_POSTINGS:
-        method, _ = _decide_edge_method(n_docs, 1.0)  # avg ≥ 1, floor suffices
+    if n_docs > EDGE_AUTO_CROSSOVER_POSTINGS * EDGE_AUTO_COUNT_ONLY_MARGIN:
+        method, _ = _decide_edge_method(n_docs, 1.0)  # count alone decides
         return method
     avg = (
         docs.limit(EDGE_AUTO_SAMPLE_DOCS)

@@ -737,6 +737,80 @@ def test_avi_mjpeg_roundtrip_and_seams():
         MM.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
 
 
+def _avi_with_audio_stream(w, h, jpegs, audio_first=False, vids_strf_size=None):
+    """Rebuild an MJPEG AVI with a SECOND strl describing a PCM audio
+    stream (strh fccType 'auds', strf = 16-byte WAVEFORMAT) — the common
+    webcam/capture layout. Reuses encode_avi_mjpeg's movi/idx1 tail and
+    vids headers verbatim; only hdrl gains the audio strl (and
+    dwStreams=2)."""
+    import struct
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
+
+    base = MM.encode_avi_mjpeg(w, h, jpegs)
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    # pull avih / vids strh / vids strf back out of the encoder's output
+    pieces = {}
+    for cid, at, sz in MM._riff_chunks(base, 12, len(base)):
+        if cid == b"LIST" and base[at : at + 4] == b"hdrl":
+            for c2, b2, s2 in MM._riff_chunks(base, at + 4, at + sz):
+                if c2 == b"avih":
+                    pieces["avih"] = base[b2 : b2 + s2]
+                elif c2 == b"LIST":
+                    for c3, b3, s3 in MM._riff_chunks(base, b2 + 4, b2 + s2):
+                        pieces[c3] = base[b3 : b3 + s3]
+            tail = base[at + sz + (sz & 1) :]  # movi + idx1, byte-identical
+    avih = bytearray(pieces["avih"])
+    struct.pack_into("<I", avih, 24, 2)  # dwStreams = 2
+    aud_strh = b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, 8000, 0, 8000, 16000, 0xFFFFFFFF, 2,
+        0, 0, 0, 0,
+    )
+    # 16-byte WAVEFORMAT: PCM, 2ch, 8 kHz — bytes +16..+20 don't exist,
+    # and +16 of a padded read would be the next chunk's fourcc
+    aud_strf = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    vids_strf = pieces[b"strf"][: vids_strf_size] if vids_strf_size else pieces[b"strf"]
+    vids_strl = lst(b"strl", chunk(b"strh", pieces[b"strh"]) + chunk(b"strf", vids_strf))
+    auds_strl = lst(b"strl", chunk(b"strh", aud_strh) + chunk(b"strf", aud_strf))
+    strls = auds_strl + vids_strl if audio_first else vids_strl + auds_strl
+    hdrl = lst(b"hdrl", chunk(b"avih", bytes(avih)) + strls)
+    body = b"AVI " + hdrl + tail
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_with_audio_stream():
+    """ADVICE r10 (medium): a valid MJPEG AVI that ALSO carries an audio
+    stream must decode — the audio strl's strf is a WAVEFORMAT whose
+    bytes at +16 are NOT a biCompression field, so capturing compression
+    from every strf wrongly rejected the file as an inter-frame codec.
+    Pinned in both strl orders (video-first is the common layout; the
+    audio-first order is legal too), plus the new bounds check: a vids
+    strf too short to carry biCompression raises ValueError instead of
+    slicing garbage."""
+    import pytest as _pytest
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
+
+    d = 7
+    w, h, n = MM._mjpeg_fixture_geom(d)
+    jpegs = [MM.encode_jpeg(w, h, MM._mjpeg_fixture_frame(d, f, w, h)) for f in range(n)]
+    for audio_first in (False, True):
+        avi = _avi_with_audio_stream(w, h, jpegs, audio_first=audio_first)
+        W, H, frames = MM.decode_avi_mjpeg(avi)
+        assert (W, H, len(frames)) == (w, h, n)
+        ref = MM._mjpeg_fixture_frame(d, 0, w, h).astype("int64")
+        assert int(abs(frames[0].astype("int64") - ref).max()) <= MM.JPEG_TOLERANCE
+
+    with _pytest.raises(ValueError, match="BITMAPINFOHEADER"):
+        MM.decode_avi_mjpeg(_avi_with_audio_stream(w, h, jpegs, vids_strf_size=12))
+
+
 def test_mjpeg_frame_check_and_safe_quarantine(spark):
     """The Spark stage over the AVI codec: strict mode emits exact
     geometry + decode_ok=true for every sampled doc; safe mode

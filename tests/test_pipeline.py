@@ -413,3 +413,51 @@ def test_curate_auto_minhash_side_integration(spark, monkeypatch, caplog):
     assert msgs and "'minhash'" in msgs[0]
     exact = {tuple(r) for r in PQ.curate(docs, edge_method="jaccard").collect()}
     assert auto == exact and auto
+
+
+def test_choose_edge_method_count_only_margin(spark, monkeypatch, caplog):
+    """The count-only early exit (round 10) is margin-guarded (ADVICE
+    r10): docs shorter than n tokens yield ZERO shingles, so n_docs
+    alone may only decide when it clears the crossover by
+    EDGE_AUTO_COUNT_ONLY_MARGIN x. Three regimes on the 500-doc fixture
+    corpus, crossover monkeypatched around it:
+
+    - far above (crossover 100, margin x4 => exit needs > 400): the
+      count alone picks minhash WITHOUT running the sample aggregate —
+      the logged evidence shows the avg = 1.0 floor, not a measurement;
+    - near the threshold (crossover 200 => exit needs > 800, but
+      est 500 x 52 >> 200): falls through to the SAMPLE, whose measured
+      avg (~52, not 1.0) appears in the evidence and picks minhash —
+      this is exactly the short-doc-corpus regime where the floor could
+      mis-route;
+    - a short-doc corpus near the threshold routes by its true
+      (near-zero) shingle count: 500 one-token docs, crossover 400 —
+      count-only would have said minhash; the sample measures avg 0.0
+      and correctly keeps the exact route."""
+    import logging as _logging
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import pipeline_q as PQ
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+
+    def route_and_evidence(frame, crossover):
+        monkeypatch.setattr(PQ, "EDGE_AUTO_CROSSOVER_POSTINGS", crossover)
+        caplog.clear()
+        with caplog.at_level(_logging.INFO, logger="custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q"):
+            method = PQ.choose_edge_method(frame)
+        ev = [r.getMessage() for r in caplog.records if "cost crossover" in r.getMessage()]
+        assert ev, "decision must leave an audit line"
+        return method, ev[-1]
+
+    method, ev = route_and_evidence(docs, 100)
+    assert method == "minhash" and "x 1.0 shingles/doc" in ev
+
+    method, ev = route_and_evidence(docs, 200)
+    assert method == "minhash" and "x 1.0 shingles/doc" not in ev
+
+    short = spark.createDataFrame(
+        [(i, "tok", "en") for i in range(500)], "doc_id long, text string, lang string"
+    )
+    method, ev = route_and_evidence(short, 400)
+    assert method == "jaccard" and "x 0.0 shingles/doc" in ev
