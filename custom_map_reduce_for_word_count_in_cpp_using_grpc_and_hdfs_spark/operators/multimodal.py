@@ -1745,15 +1745,19 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     sizes) and return (sample_rate, samples) with samples int16
     (n_samples, n_channels) de-interleaved.
 
-    Formats decoded natively: PCM s16le (tag 1) and, since round 10,
-    the G.711 companded pair — A-law (tag 6) and µ-law (tag 7), both
-    expanded by the vectorized g711.c inverses pinned EXHAUSTIVELY
-    bit-exact against CPython's audioop reference — so genuinely
-    compressed telephony audio decodes with zero media libraries.
-    Float/ADPCM/24-bit stay at the declared ffmpeg/libsndfile seam."""
+    Formats decoded natively: PCM s16le (tag 1); the G.711 companded
+    pair (round 10) — A-law (tag 6) and µ-law (tag 7), expanded by the
+    vectorized g711.c inverses pinned EXHAUSTIVELY bit-exact against
+    CPython's audioop reference; and since round 11 IEEE-float (tag 3,
+    32/64-bit — quantized to int16 by the same round-half-even
+    clamp(rint(v * 2^15)) rule ffmpeg's float→s16 path applies) and
+    IMA-ADPCM (tag 0x11 — the block-structured 4-bit predictive codec,
+    see :func:`_ima_decode_nibbles`; the fact chunk trims the final
+    block's padding). The remaining seam is ENTROPY-coded audio only
+    (MP3/AAC/FLAC — decode_audio_ffmpeg is the shipped adapter)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_n = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -1764,22 +1768,35 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact_n,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt /data chunk")
-    tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    tag, ch, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if ch < 1:
+        raise ValueError("WAVE fmt declares zero channels")
     if tag == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif tag == 3 and bits in (32, 64):
+        f = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+        # ffmpeg's float->s16 conversion: round-half-even at 2^15 gain,
+        # clamped. Fixture floats are k/2^15 (exact dyadics), so the
+        # round-trip is bit-exact; arbitrary floats quantize by this rule.
+        samples = np.clip(np.rint(f * 32768.0), -32768, 32767).astype(np.int16)
     elif tag in (6, 7) and bits == 8:
         expand = _alaw2lin if tag == 6 else _ulaw2lin
         samples = expand(np.frombuffer(data, dtype=np.uint8))
+    elif tag == 0x11 and bits == 4:
+        return rate, _decode_ima_adpcm_data(data, ch, block_align, fmt, fact_n)
     else:
         raise NotImplementedError(
-            "PCM s16le and G.711 A-law/µ-law WAV decode natively "
-            f"(format tag {tag}, {bits}-bit); float/ADPCM need "
-            "ffmpeg/libsndfile (decode_audio_ffmpeg is the shipped adapter)"
+            "PCM s16le, IEEE-float, G.711 A-law/µ-law and IMA-ADPCM WAV "
+            f"decode natively (format tag {tag}, {bits}-bit); "
+            "entropy-coded audio (MP3/AAC/FLAC) needs ffmpeg/libsndfile "
+            "(decode_audio_ffmpeg is the shipped adapter)"
         )
-    if ch < 1 or len(samples) % ch:
+    if len(samples) % ch:
         raise ValueError("data chunk is not whole interleaved frames")
     return rate, samples.reshape(-1, ch)
 
@@ -2119,24 +2136,32 @@ def encode_avi_mjpeg(width: int, height: int, jpeg_frames: list[bytes], fps: int
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+
+
 def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """AVI parser composing the RIFF chunk walk with :func:`decode_jpeg`:
-    validate RIFF/'AVI ', read the declared geometry from avih, require
-    an MJPG video stream (any other fccHandler/biCompression raises
-    NotImplementedError at the declared inter-frame-codec seam — the
-    quarantine route catches it exactly like arithmetic-coded JPEG),
-    then decode every '00dc'/'00db' chunk in LIST'movi' as a complete
-    JPEG. Returns (width, height, frames) with frames uint8
-    (n, height, width, 3) RGB — each frame verified against the avih
-    geometry."""
+    """AVI parser over the RIFF chunk walk: validate RIFF/'AVI ', read
+    the declared geometry from avih, dispatch on the vids stream's
+    biCompression —
+
+    - 'MJPG': every '00dc'/'00db' chunk in LIST'movi' is a complete
+      JPEG, decoded by :func:`decode_jpeg`;
+    - BI_RGB (0, 24-bit — round 11): uncompressed DIB frames in the BMP
+      raster layout (bottom-up rows, BGR, 4-byte row padding), read by
+      the same row logic as :func:`decode_bmp`;
+    - anything else raises NotImplementedError at the declared
+      INTER-frame-codec seam (H.264/VP9 → ffmpeg adapter; the
+      quarantine route catches it exactly like arithmetic-coded JPEG).
+
+    Returns (width, height, frames) with frames uint8 (n, height,
+    width, 3) RGB — each frame verified against the avih geometry."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     width = height = None
-    handler = compression = None
+    handler = compression = bpp = None
     frames: list[np.ndarray] = []
 
     def walk_hdrl(start: int, end: int) -> None:
-        nonlocal width, height, handler, compression
+        nonlocal width, height, handler, compression, bpp
         for cid, body_at, size in _riff_chunks(payload, start, end):
             if cid == b"avih":
                 w_, h_ = struct.unpack_from("<II", payload, body_at + 32)
@@ -2160,7 +2185,19 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                                 f"vids strf is {s2} bytes; BITMAPINFOHEADER "
                                 "needs >= 20 to carry biCompression"
                             )
+                        (bpp,) = struct.unpack_from("<H", payload, b2 + 14)
                         compression = payload[b2 + 16 : b2 + 20]
+
+    def decode_dib_frame(raw: bytes) -> np.ndarray:
+        # BMP raster rules on a bare frame: bottom-up, BGR, rows padded
+        # to 4 bytes (same layout decode_bmp undoes past its headers)
+        row_bytes = (width * 3 + 3) & ~3
+        if len(raw) != height * row_bytes:
+            raise ValueError(
+                f"DIB frame is {len(raw)} bytes, geometry needs {height * row_bytes}"
+            )
+        rows = np.frombuffer(raw, np.uint8).reshape(height, row_bytes)[:, : width * 3]
+        return rows.reshape(height, width, 3)[::-1, :, ::-1]
 
     for cid, body_at, size in _riff_chunks(payload, 12, len(payload)):
         if cid != b"LIST":
@@ -2169,15 +2206,24 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         if kind == b"hdrl":
             walk_hdrl(body_at + 4, body_at + size)
         elif kind == b"movi":
-            if handler != b"MJPG" or compression != b"MJPG":
+            if compression == b"MJPG" and handler == b"MJPG":
+                raw_dib = False
+            elif compression == b"\x00\x00\x00\x00" and bpp == 24:
+                raw_dib = True
+            else:
                 raise NotImplementedError(
-                    f"only MJPEG-in-AVI decodes natively (stream is "
-                    f"{(handler or b'?')!r}/{(compression or b'?')!r}); "
-                    "inter-frame codecs (H.264/VP9) need ffmpeg"
+                    f"only MJPEG-in-AVI and 24-bit BI_RGB DIB decode natively "
+                    f"(stream is {(handler or b'?')!r}/{(compression or b'?')!r}, "
+                    f"{bpp}-bit); inter-frame codecs (H.264/VP9) need ffmpeg"
                 )
             for c2, b2, s2 in _riff_chunks(payload, body_at + 4, body_at + size):
                 if c2 in (b"00dc", b"00db"):
-                    w, h, _, px = decode_jpeg(payload[b2 : b2 + s2])
+                    chunk = payload[b2 : b2 + s2]
+                    if raw_dib:
+                        px = decode_dib_frame(chunk)
+                        w, h = width, height
+                    else:
+                        w, h, _, px = decode_jpeg(chunk)
                     if (w, h) != (width, height):
                         raise ValueError(
                             f"frame {len(frames)} is {w}x{h}, avih declares {width}x{height}"
@@ -2188,6 +2234,12 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     if not frames:
         raise ValueError("AVI movi list carries no video frames")
     return width, height, np.stack(frames)
+
+
+#: The AVI decoder handles every layout the container can carry without
+#: an inter-frame entropy codec; alias the dispatching name for callers
+#: reading it as the general container entry point.
+decode_avi = decode_avi_mjpeg
 
 
 def _mjpeg_fixture_geom(doc_id: int) -> tuple[int, int, int]:
@@ -2291,17 +2343,99 @@ def mjpeg_frame_check(
     return df.select(id_col, vid_col).mapInPandas(check, schema)
 
 
+def render_dib_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture-video renderer for the UNCOMPRESSED-AVI branch (round
+    11): one raw-RGB DIB AVI per row, frames the same arithmetic pixels
+    as the MJPEG fixture — but the container is LOSSLESS, so the decode
+    is value-exact, not bounded-error."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h, n = _mjpeg_fixture_geom(int(doc_id))
+                frames = np.stack(
+                    [_mjpeg_fixture_frame(int(doc_id), f, w, h) for f in range(n)]
+                )
+                vids.append(encode_avi_rawrgb(w, h, frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "video": vids})
+
+    return df.select(id_col).mapInPandas(render, f"{id_col} long, video binary")
+
+
+def dib_frame_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vid_col: str = "video",
+    stride: int = FRAME_STRIDE,
+    safe: bool = False,
+) -> DataFrame:
+    """UNCOMPRESSED video decode + frame-sample stage (round 11): parse
+    each raw-RGB DIB AVI via :func:`decode_avi_mjpeg`'s BI_RGB route
+    (the BMP row reader through the AVI chunk walk — bottom-up rows,
+    BGR, 4-byte padding all undone), keep every ``stride``-th frame,
+    and emit exact container byte length, avih geometry, frame count,
+    sampled indices and per-channel (R/G/B) pixel sums over the SAMPLED
+    frames. The container is lossless, so every output is an exact
+    integer the arithmetic oracle recomputes — a row-padding slip,
+    BGR/bottom-up mix-up, or chunk mis-walk is a value mismatch, the
+    stronger check the lossy MJPEG branch cannot make."""
+    schema = (
+        f"{id_col} long, byte_len long, width long, height long, n_frames long, "
+        "sampled_frames string, r_sum long, g_sum long, b_sum long"
+    )
+    if safe:
+        schema += ", status string, error string"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "byte_len", "width", "height", "n_frames",
+                "sampled_frames", "r_sum", "g_sum", "b_sum"]
+        if safe:
+            cols += ["status", "error"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[vid_col]):
+                data = bytes(payload)
+                try:
+                    w, h, frames = decode_avi_mjpeg(data)
+                except Exception as exc:  # noqa: BLE001 — quarantine boundary
+                    if not safe:
+                        raise
+                    rows.append(
+                        (doc_id,) + (None,) * 8
+                        + (f"quarantined:{type(exc).__name__}", str(exc)[:_QUARANTINE_ERR_LEN])
+                    )
+                    continue
+                kept = frames[::stride].astype(np.int64)
+                row = (
+                    doc_id,
+                    len(data),
+                    w,
+                    h,
+                    len(frames),
+                    ",".join(str(i) for i in range(0, len(frames), stride)),
+                    int(kept[..., 0].sum()),
+                    int(kept[..., 1].sum()),
+                    int(kept[..., 2].sum()),
+                )
+                rows.append(row + ("ok", None) if safe else row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, vid_col).mapInPandas(decode, schema)
+
+
 # --------------------------------------------------------------------------
 # A/V production-decode adapter (round 10 — VERDICT r9 item 6): the
 # ffmpeg drop-in at the audio/video seam, mirroring the round-9 Pillow
 # image adapter. Used only when the ffmpeg binary exists (validated
 # eagerly — see the ImportError-escapes-quarantine rule above); the
-# skip-clean tests exercise it wherever the tool is installed, and the
-# quarantine route is asserted unconditionally on two REAL compressed
-# fixtures generatable without any media library: G.711 A-law WAV
-# (format tag 6 — the telephony companding codec) and raw-RGB
-# ('DIB '/BI_RGB) AVI. Both raise NotImplementedError in the native
-# decoders, both decode under ffmpeg.
+# skip-clean tests exercise it wherever the tool is installed. Since
+# round 11 the native decoders also cover IEEE-float WAV, IMA-ADPCM WAV
+# and raw-RGB DIB AVI, so the adapter's exclusive territory is
+# ENTROPY-coded A/V only (MP3/AAC/FLAC audio, H.264/VP9 video) — and
+# wherever ffmpeg exists, the overlapping formats cross-check the two
+# engines bit-for-bit. The unconditional quarantine fixtures are
+# real-but-refused headers (MP3-in-WAV tag 0x55, H264-fourcc AVI).
 # --------------------------------------------------------------------------
 
 
@@ -2332,9 +2466,9 @@ def _alaw2lin(alaw: np.ndarray) -> np.ndarray:
 def encode_wav_alaw(sample_rate: int, samples: np.ndarray) -> bytes:
     """RIFF/WAVE with G.711 A-law payload (format tag 6, 8 bits/sample,
     plus the tag-6-required fact chunk) — a REAL compressed-audio
-    container generatable with zero media libraries. The native
-    :func:`decode_wav` refuses it at the declared seam (tag != 1);
-    ffmpeg/libsndfile decode it."""
+    container generatable with zero media libraries. Decoded natively
+    by :func:`decode_wav` since round 10 (exhaustively-pinned
+    expander); ffmpeg agrees bit-for-bit where installed."""
     if samples.ndim != 2 or samples.dtype != np.int16:
         raise ValueError(f"samples must be int16 (n, channels), got {samples.dtype} {samples.shape}")
     n, ch = samples.shape
@@ -2351,9 +2485,10 @@ def encode_wav_alaw(sample_rate: int, samples: np.ndarray) -> bytes:
 def encode_avi_rawrgb(width: int, height: int, frames: np.ndarray, fps: int = 25) -> bytes:
     """AVI with UNCOMPRESSED 24-bit DIB video (biCompression=BI_RGB,
     fccHandler 'DIB '): bottom-up BGR rows padded to 4-byte boundaries —
-    the Video-for-Windows raw layout every player decodes. The native
-    :func:`decode_avi_mjpeg` refuses the fourcc at the declared seam;
-    ffmpeg decodes it losslessly. ``frames``: uint8 (n, height, width, 3)
+    the Video-for-Windows raw layout every player decodes. Since round
+    11 the native :func:`decode_avi_mjpeg` decodes it losslessly (the
+    BMP row reader through the AVI chunk walk); ffmpeg agrees
+    bit-for-bit where installed. ``frames``: uint8 (n, height, width, 3)
     RGB."""
     if frames.ndim != 4 or frames.shape[1:] != (height, width, 3):
         raise ValueError(f"frames {frames.shape} != (n, {height}, {width}, 3)")
@@ -2570,3 +2705,281 @@ def render_g711_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({id_col: pdf[id_col], "audio": wavs})
 
     return df.select(id_col).mapInPandas(render, f"{id_col} long, audio binary")
+
+
+def render_f32_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture renderer for the IEEE-float branch: the same arithmetic
+    samples as :func:`render_wav_payloads` written as tag-3 float32
+    containers (round 11 — decoded natively by :func:`decode_wav`; the
+    fixture values k/2^15 are exact dyadics, so the float round-trip is
+    bit-exact and the audio_wav arithmetic oracle applies unchanged)."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for doc_id in pdf[id_col].astype("int64"):
+                rate, ch, n = _wav_fixture_geom(int(doc_id))
+                wavs.append(encode_wav_f32(rate, _wav_fixture_samples(int(doc_id), ch, n)))
+            yield pd.DataFrame({id_col: pdf[id_col], "audio": wavs})
+
+    return df.select(id_col).mapInPandas(render, f"{id_col} long, audio binary")
+
+
+# --------------------------------------------------------------------------
+# IMA-ADPCM (WAV format tag 0x11) — round 11. The block-structured 4-bit
+# adaptive-differential codec (IMA "DVI4" algorithm; CPython's audioop
+# implements the same step machine, which the tests cross-check against).
+# Each block carries a per-channel 4-byte state header (the first sample
+# verbatim as the int16 predictor + the step-table index), then the
+# remaining samples as 4-bit nibbles packed low-first into 4-byte words,
+# words interleaved across channels. Decoding is sequential IN TIME but
+# embarrassingly parallel ACROSS (block, channel) streams — the numpy
+# kernels below vectorize exactly that way, so cost is O(samples) with
+# a short Python loop over the within-block position only.
+# --------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64
+)
+
+#: Samples per block the fixture writer uses: 8k+1 so the nibble body is
+#: whole 4-byte words; 17 keeps several blocks per fixture doc (n 40..62)
+#: so block-boundary state handoff is exercised at every doc_id.
+ADPCM_SAMPLES_PER_BLOCK = 17
+#: In-plan bounded-error invariant for the lossy ADPCM round-trip (the
+#: JPEG_TOLERANCE pattern). ADPCM is a DIFFERENTIAL codec specified for
+#: smooth audio, so its fixture is a triangle wave (slope ±29/flat-index
+#: — still pure doc_id arithmetic; the pseudo-random hop signal the PCM
+#: branches use measures |err| up to 4056, which would make the bound
+#: vacuous). On the triangle family the measured max is 77 over doc_id
+#: 0..20000 (tests pin the sweep); 128 adds headroom while staying under
+#: 7% of the 2048 swing — a wrong step table, nibble order, or
+#: block-state handoff diverges by the full swing and cannot sneak under.
+ADPCM_TOLERANCE = 128
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, pred: np.ndarray, index: np.ndarray) -> np.ndarray:
+    """Core IMA expander, vectorized across streams: ``nibbles`` (S, T)
+    uint8 in [0,16), ``pred``/``index`` (S,) initial state per stream ->
+    int16 (S, T). Sequential in T (the codec's data dependency),
+    vectorized in S — each (block, channel) pair is one stream."""
+    S, T = nibbles.shape
+    out = np.empty((S, T), dtype=np.int64)
+    pred = pred.astype(np.int64).copy()
+    index = np.clip(index.astype(np.int64), 0, 88)
+    for t in range(T):
+        nib = nibbles[:, t].astype(np.int64)
+        step = _IMA_STEP_TABLE[index]
+        diff = (step >> 3) + np.where(nib & 1, step >> 2, 0) \
+            + np.where(nib & 2, step >> 1, 0) + np.where(nib & 4, step, 0)
+        pred = np.clip(np.where(nib & 8, pred - diff, pred + diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_TABLE[nib], 0, 88)
+        out[:, t] = pred
+    return out.astype(np.int16)
+
+
+def _ima_encode_nibbles(samples: np.ndarray, pred: np.ndarray, index: np.ndarray):
+    """Core IMA compressor, vectorized across streams: ``samples``
+    (S, T) int16 targets, ``pred``/``index`` (S,) initial state ->
+    (nibbles (S, T) uint8, final pred, final index). The nibble search
+    is the standard 3-step threshold cascade; state updates replay the
+    DECODER arithmetic so encoder and decoder stay in lockstep."""
+    S, T = samples.shape
+    nibbles = np.empty((S, T), dtype=np.uint8)
+    pred = pred.astype(np.int64).copy()
+    index = np.clip(index.astype(np.int64), 0, 88)
+    for t in range(T):
+        step = _IMA_STEP_TABLE[index]
+        delta = samples[:, t].astype(np.int64) - pred
+        nib = np.where(delta < 0, 8, 0)
+        mag = np.abs(delta)
+        for bit in (4, 2, 1):
+            take = mag >= step
+            nib = nib | np.where(take, bit, 0)
+            mag = np.where(take, mag - step, mag)
+            step = step >> 1
+        # decoder-replay state update (identical arithmetic to above)
+        step = _IMA_STEP_TABLE[index]
+        diff = (step >> 3) + np.where(nib & 1, step >> 2, 0) \
+            + np.where(nib & 2, step >> 1, 0) + np.where(nib & 4, step, 0)
+        pred = np.clip(np.where(nib & 8, pred - diff, pred + diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_TABLE[nib], 0, 88)
+        nibbles[:, t] = nib.astype(np.uint8)
+    return nibbles, pred, index
+
+
+def _decode_ima_adpcm_data(
+    data: bytes, ch: int, block_align: int, fmt: bytes, fact_n: int | None
+) -> np.ndarray:
+    """Decode the data chunk of a tag-0x11 WAV: split into blocks of
+    ``block_align`` bytes, read the per-channel state headers, unpack
+    the low-nibble-first 4-byte words (word-interleaved across
+    channels), run the vectorized expander over all (block, channel)
+    streams at once, and trim the final block's padding to the fact
+    count. Returns int16 (n_samples, ch)."""
+    if len(fmt) >= 22:
+        (spb,) = struct.unpack_from("<H", fmt, 20)  # wSamplesPerBlock
+    else:
+        spb = (block_align - 4 * ch) * 2 // ch + 1
+    body_bytes = block_align - 4 * ch
+    if block_align <= 4 * ch or body_bytes % (4 * ch) or (spb - 1) * ch != body_bytes * 2:
+        raise ValueError(
+            f"inconsistent IMA-ADPCM geometry: block_align={block_align}, "
+            f"channels={ch}, samples/block={spb}"
+        )
+    if not data or len(data) % block_align:
+        raise ValueError("data chunk is not whole ADPCM blocks")
+    nblocks = len(data) // block_align
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(nblocks, block_align)
+    heads = arr[:, : 4 * ch].reshape(nblocks, ch, 4)
+    pred0 = (heads[:, :, 0].astype(np.int64) | (heads[:, :, 1].astype(np.int64) << 8))
+    pred0 = np.where(pred0 >= 32768, pred0 - 65536, pred0)  # int16 from LE bytes
+    index0 = heads[:, :, 2].astype(np.int64)
+    if (index0 > 88).any():
+        raise ValueError("ADPCM block header step index out of range")
+    words = arr[:, 4 * ch :].reshape(nblocks, body_bytes // (4 * ch), ch, 4)
+    by = words.transpose(0, 2, 1, 3)  # (block, ch, word, 4 bytes)
+    nib = np.stack([by & 0xF, by >> 4], axis=-1).reshape(nblocks * ch, spb - 1)
+    decoded = _ima_decode_nibbles(nib, pred0.reshape(-1), index0.reshape(-1))
+    full = np.concatenate(
+        [pred0.reshape(nblocks, ch, 1), decoded.reshape(nblocks, ch, spb - 1).astype(np.int64)],
+        axis=2,
+    )  # (block, ch, spb): header sample 0 + expanded 1..spb-1
+    samples = full.transpose(0, 2, 1).reshape(nblocks * spb, ch).astype(np.int16)
+    n = fact_n if fact_n is not None else nblocks * spb
+    if not 0 < n <= nblocks * spb:
+        raise ValueError(f"fact count {n} outside decoded range {nblocks * spb}")
+    return samples[:n]
+
+
+def encode_wav_adpcm(
+    sample_rate: int, samples: np.ndarray, spb: int = ADPCM_SAMPLES_PER_BLOCK
+) -> bytes:
+    """RIFF/WAVE writer for IMA-ADPCM (format tag 0x11): WAVEFORMATEX
+    with the wSamplesPerBlock extension, a fact chunk carrying the TRUE
+    sample count, and block-structured data — per block and channel a
+    4-byte state header (first sample verbatim + carried step index)
+    then the remaining spb-1 samples as nibbles. The final partial
+    block is padded by repeating the last sample (decoders trim via
+    fact). Step index carries ACROSS blocks per channel — the layout
+    ffmpeg's adpcm_ima_wav encoder emits."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"samples must be int16 (n, channels), got {samples.dtype} {samples.shape}")
+    if (spb - 1) % 8:
+        raise ValueError("samples/block must be 8k+1 for whole 4-byte nibble words")
+    n, ch = samples.shape
+    if n == 0:
+        raise ValueError("cannot encode an empty sample stream")
+    nblocks = (n + spb - 1) // spb
+    padded = np.concatenate([samples, np.repeat(samples[-1:], nblocks * spb - n, axis=0)])
+    blocks = padded.reshape(nblocks, spb, ch).transpose(0, 2, 1)  # (block, ch, spb)
+    index = np.zeros(ch, dtype=np.int64)
+    out = bytearray()
+    for b in range(nblocks):
+        pred0 = blocks[b, :, 0].astype(np.int64)
+        head = bytearray()
+        for c in range(ch):
+            head += struct.pack("<hBB", int(pred0[c]), int(index[c]), 0)
+        nib, _, index = _ima_encode_nibbles(blocks[b, :, 1:], pred0, index)
+        lo, hi = nib[:, 0::2].astype(np.uint8), nib[:, 1::2].astype(np.uint8)
+        packed = (lo | (hi << 4)).reshape(ch, -1, 4)  # (ch, words, 4)
+        out += bytes(head) + packed.transpose(1, 0, 2).tobytes()
+    block_align = 4 * ch + (spb - 1) // 2 * ch
+    avg = sample_rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, ch, sample_rate, avg, block_align, 4, 2, spb)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(out)) + bytes(out)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _adpcm_fixture_samples(doc_id: int, ch: int, n: int) -> np.ndarray:
+    """Triangle wave at interleaved flat index i:
+    s(i) = |((17*doc_id + 29*i) mod 4096) - 2048| - 1024 — smooth
+    (per-sample slope ±29, the signal class ADPCM is specified for) yet
+    pure doc_id arithmetic, ±1024 swing inside int16. Geometry shares
+    :func:`_wav_fixture_geom` with the PCM branches."""
+    i = np.arange(n * ch, dtype=np.int64)
+    return (np.abs(((17 * doc_id + 29 * i) % 4096) - 2048) - 1024).astype(np.int16).reshape(n, ch)
+
+
+def render_adpcm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture renderer for the IMA-ADPCM branch: the triangle-wave
+    fixture compressed 4:1 into real tag-0x11 containers (multi-block,
+    carried step index, fact-trimmed final block)."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for doc_id in pdf[id_col].astype("int64"):
+                rate, ch, n = _wav_fixture_geom(int(doc_id))
+                wavs.append(encode_wav_adpcm(rate, _adpcm_fixture_samples(int(doc_id), ch, n)))
+            yield pd.DataFrame({id_col: pdf[id_col], "audio": wavs})
+
+    return df.select(id_col).mapInPandas(render, f"{id_col} long, audio binary")
+
+
+def adpcm_roundtrip_check(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    audio_col: str = "audio",
+    safe: bool = False,
+) -> DataFrame:
+    """LOSSY-audio decode stage (the decode_jpeg_check pattern at the
+    audio seam): parse each IMA-ADPCM WAV with the native decoder and
+    emit exact geometry (container bytes, rate, channels, samples,
+    duration) plus ``decode_ok`` = max per-sample |decoded − reference|
+    ≤ ADPCM_TOLERANCE, the reference regenerated arithmetically from
+    doc_id inside the executor batch. ADPCM is differential — a wrong
+    step table, nibble order, or block-state handoff diverges by the
+    full signal swing, far past the pinned tolerance."""
+    schema = (
+        f"{id_col} long, byte_len long, sample_rate long, n_channels long, "
+        "n_samples long, duration_us long, decode_ok boolean"
+    )
+    if safe:
+        schema += ", status string, error string"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "byte_len", "sample_rate", "n_channels", "n_samples",
+                "duration_us", "decode_ok"]
+        if safe:
+            cols += ["status", "error"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[audio_col]):
+                data = bytes(payload)
+                try:
+                    rate, samples = decode_wav(data)
+                except ImportError:
+                    raise  # environment defect, not a payload defect
+                except Exception as exc:  # noqa: BLE001 — quarantine boundary
+                    if not safe:
+                        raise
+                    rows.append(
+                        (doc_id,) + (None,) * 6
+                        + (f"quarantined:{type(exc).__name__}", str(exc)[:_QUARANTINE_ERR_LEN])
+                    )
+                    continue
+                _, ch, n = _wav_fixture_geom(int(doc_id))
+                ref = _adpcm_fixture_samples(int(doc_id), ch, n)
+                ok = (
+                    samples.shape == ref.shape
+                    and int(np.abs(samples.astype(np.int64) - ref.astype(np.int64)).max())
+                    <= ADPCM_TOLERANCE
+                )
+                row = (doc_id, len(data), rate, samples.shape[1], samples.shape[0],
+                       samples.shape[0] * 1_000_000 // rate, bool(ok))
+                rows.append(row + ("ok", None) if safe else row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, audio_col).mapInPandas(decode, schema)

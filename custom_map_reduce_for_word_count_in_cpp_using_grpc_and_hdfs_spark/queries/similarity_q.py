@@ -251,6 +251,26 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN i % 3 = 1 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS g_sum,
                CAST(SUM(CASE WHEN i % 3 = 2 THEN (7*doc_id + 31*i) % 256 ELSE 0 END) AS BIGINT) AS b_sum
         FROM px GROUP BY doc_id, width, height
+    ), mdims AS (
+        -- MJPEG/DIB video fixture geometry: the still-image dims plus
+        -- the 2..6 frame count (same 1-in-10 sample as jpeg_decode)
+        SELECT doc_id, width, height, CAST(2 + doc_id % 5 AS BIGINT) AS n
+        FROM dims WHERE doc_id % 10 = 0
+    ), dibsums AS (
+        -- lossless DIB decode: frame pixel at (f, flat j) =
+        -- (7*d + 17*f + 31*j) mod 256, channel j mod 3, summed over the
+        -- SAMPLED frames (every {MM.FRAME_STRIDE}-th)
+        SELECT m.doc_id,
+               CAST(SUM(CASE WHEN j % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+               CAST(SUM(CASE WHEN j % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+               CAST(SUM(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+        FROM (
+            SELECT m.doc_id, j, (7*m.doc_id + 17*f + 31*j) % 256 AS v
+            FROM mdims m,
+                 unnest(generate_series(0, m.n - 1, {MM.FRAME_STRIDE})) AS gf(f),
+                 unnest(generate_series(0, m.width * m.height * 3 - 1)) AS gj(j)
+        ) m
+        GROUP BY m.doc_id
     )
     SELECT 'meta_decode' AS op, doc_id, payload_md5, modality, byte_len, width, height,
            n_frames,
@@ -407,6 +427,51 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), true,
            CAST(NULL AS VARCHAR)
     FROM dims d WHERE d.doc_id % 10 = 0
+  UNION ALL
+    -- audio_f32 (round 11): IEEE-float WAV decoded natively. Fixture
+    -- floats are k/2^15 (exact dyadics) so the round-trip is bit-exact
+    -- and the PCM sums apply verbatim; byte_len counts 4-byte samples
+    -- plus the fact chunk (12 RIFF + 24 fmt + 12 fact + 8 data hdr)
+    SELECT 'audio_f32', a.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(56 + 4 * a.ch * a.n AS BIGINT),
+           a.rate, a.ch, a.n,
+           a.n * 1000000 // a.rate, CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           s.abs_sum, s.ch0_sum, s.ch1_sum, CAST(NULL AS BIGINT),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+    FROM aud a JOIN asums s USING (doc_id)
+  UNION ALL
+    -- audio_adpcm (round 11): IMA-ADPCM (tag 0x11) decoded natively.
+    -- Lossy differential codec, so the exact values are the container
+    -- geometry — byte_len = 60 header bytes + ceil(n/17) blocks of
+    -- 12*ch bytes (4-byte per-channel state header + 8 nibble bytes
+    -- per channel at 17 samples/block) — and sample correctness is the
+    -- in-plan decode_ok bound vs the triangle-wave reference
+    SELECT 'audio_adpcm', a.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(60 + ((a.n + 16) // 17) * 12 * a.ch AS BIGINT),
+           a.rate, a.ch, a.n,
+           a.n * 1000000 // a.rate, CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), true, CAST(NULL AS VARCHAR)
+    FROM aud a
+  UNION ALL
+    -- video_dib (round 11): UNCOMPRESSED raw-RGB AVI — lossless, so
+    -- per-channel sums over the sampled frames are exact: pixel v at
+    -- (frame f, flat j) = (7*d + 17*f + 31*j) mod 256, channel j mod 3
+    -- (the MJPEG fixture pixels through a lossless container).
+    -- byte_len = 12 RIFF + 200 hdrl + 12 movi list hdr + per frame
+    -- (8 + h * 4-byte-padded row bytes)
+    SELECT 'video_dib', m.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(224 + m.n * (8 + m.height * ((m.width * 3 + 3) // 4 * 4)) AS BIGINT),
+           m.width, m.height, m.n,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           array_to_string(generate_series(0, CAST(m.n AS INTEGER) - 1, {MM.FRAME_STRIDE}), ','),
+           CAST(NULL AS BIGINT),
+           s.r_sum + s.g_sum + s.b_sum,
+           s.r_sum, s.g_sum, s.b_sum,
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+    FROM mdims m JOIN dibsums s USING (doc_id)
     """,
 )
 def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,6 +573,25 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       raster's per-channel sums hash-checked against the oracle's
       re-derivation of every output pixel (NN resampling is pure index
       arithmetic, so the KERNEL is verified, not just the geometry).
+    - op='audio_f32' (round 11): IEEE-float WAV (tag 3) decoded
+      natively — fixture values k/2^15 are exact dyadics, so the
+      float32 container round-trips bit-exactly into the same PCM
+      arithmetic oracle (byte_len switches to 4-byte samples + fact).
+    - op='audio_adpcm' (round 11): IMA-ADPCM WAV (tag 0x11) decoded
+      natively — the block-structured 4-bit DIFFERENTIAL codec (decoder
+      pinned bit-exact vs audioop's IMA state machine in tests;
+      multi-block, carried step index, fact-trimmed final block at
+      every fixture doc). Lossy, so exact driver values are the
+      container geometry (block-arithmetic byte_len, rate/ch/n/
+      duration) and samples ride decode_ok ≤ ADPCM_TOLERANCE vs the
+      triangle-wave reference — the jpeg_decode pattern at the audio
+      seam.
+    - op='video_dib' (round 11): UNCOMPRESSED AVI — raw-RGB DIB frames
+      (bottom-up BGR rows, 4-byte padding: the BMP raster through the
+      AVI chunk walk). Lossless, so unlike video_mjpeg the per-channel
+      pixel sums are exact oracle values, not a bounded invariant.
+      With these three the native A/V seam shrinks to ENTROPY-coded
+      formats only (MP3/AAC/FLAC, H.264/VP9 — the ffmpeg adapter).
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = MM.attach_payload(docs)
@@ -656,6 +740,56 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
         "decode_ok", ns.alias("status"),
     )
+    # op='audio_f32' (round 11): IEEE-float WAV (tag 3) decoded natively
+    # — fixture values k/2^15 are exact dyadics, so the float round-trip
+    # is bit-exact and the PCM arithmetic oracle applies verbatim; only
+    # byte_len changes (4-byte samples + the fact chunk). Same
+    # union-slot mapping as audio_wav.
+    f32_rows = MM.audio_features(MM.render_f32_payloads(jpeg_docs)).select(
+        F.lit("audio_f32").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), "byte_len",
+        F.col("sample_rate").alias("width"), F.col("n_channels").alias("height"),
+        F.col("n_samples").alias("n_frames"),
+        F.col("duration_us").alias("resized_w"), nb.alias("resized_h"),
+        ns.alias("sampled_frames"), nb.alias("maxval"),
+        F.col("abs_sum").alias("pixel_sum"),
+        F.col("ch0_sum").alias("r_sum"), F.col("ch1_sum").alias("g_sum"),
+        nb.alias("b_sum"),
+        nflag.alias("decode_ok"), ns.alias("status"),
+    )
+    # op='audio_adpcm' (round 11): IMA-ADPCM WAV (tag 0x11) decoded
+    # natively — block-structured 4-bit differential codec, multi-block
+    # with carried step index and fact-trimmed padding at every fixture
+    # doc. ADPCM is LOSSY, so exact driver values are the container
+    # geometry (byte_len from the block arithmetic, rate/ch/n/duration)
+    # and sample correctness is the in-plan bounded-error invariant
+    # (decode_ok ≤ ADPCM_TOLERANCE vs the triangle-wave reference — the
+    # jpeg_decode pattern at the audio seam).
+    adpcm_rows = MM.adpcm_roundtrip_check(MM.render_adpcm_payloads(jpeg_docs)).select(
+        F.lit("audio_adpcm").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), "byte_len",
+        F.col("sample_rate").alias("width"), F.col("n_channels").alias("height"),
+        F.col("n_samples").alias("n_frames"),
+        F.col("duration_us").alias("resized_w"), nb.alias("resized_h"),
+        ns.alias("sampled_frames"), nb.alias("maxval"),
+        nb.alias("pixel_sum"), nb.alias("r_sum"), nb.alias("g_sum"), nb.alias("b_sum"),
+        "decode_ok", ns.alias("status"),
+    )
+    # op='video_dib' (round 11): UNCOMPRESSED AVI — raw-RGB DIB frames
+    # through the same RIFF walk (BMP row layout: bottom-up, BGR, 4-byte
+    # padding). Lossless, so unlike video_mjpeg every output is an exact
+    # integer: container bytes, geometry, and per-channel sums over the
+    # sampled frames, all re-derived arithmetically by the oracle.
+    dib_rows = MM.dib_frame_stats(MM.render_dib_payloads(jpeg_docs)).select(
+        F.lit("video_dib").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), "byte_len",
+        "width", "height", "n_frames",
+        nb.alias("resized_w"), nb.alias("resized_h"), "sampled_frames",
+        nb.alias("maxval"),
+        (F.col("r_sum") + F.col("g_sum") + F.col("b_sum")).alias("pixel_sum"),
+        "r_sum", "g_sum", "b_sum",
+        nflag.alias("decode_ok"), ns.alias("status"),
+    )
     summary_rows = MM.quarantine_summary(q_stats).select(
         F.lit("quarantine_summary").alias("op"),
         nb.alias("doc_id"), ns.alias("payload_md5"), ns.alias("modality"),
@@ -700,4 +834,7 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(resize_rows)
         .unionAll(mjpeg_rows)
         .unionAll(g711_rows)
+        .unionAll(f32_rows)
+        .unionAll(adpcm_rows)
+        .unionAll(dib_rows)
     )

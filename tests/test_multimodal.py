@@ -4,6 +4,8 @@ byte dispatch seam, and the Spark render→decode pipeline end to end."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -554,11 +556,12 @@ def test_wav_roundtrip_and_seams():
     )
     drate, out = MM.decode_wav(spliced)
     assert drate == rate and np.array_equal(out, samples)
-    # seams: float PCM refuses (G.711 tags 6/7 decode natively since
-    # round 10); truncation and bad magic fail loudly
+    # seams: entropy-coded audio refuses (G.711 decodes natively since
+    # round 10; float/ADPCM since round 11); truncation and bad magic
+    # fail loudly
     bad_fmt = bytearray(data)
-    bad_fmt[20] = 3  # fmt tag 3 = IEEE float
-    with pytest.raises(NotImplementedError, match="float/ADPCM"):
+    bad_fmt[20] = 0x55  # fmt tag 0x55 = MPEG Layer 3 in WAV
+    with pytest.raises(NotImplementedError, match="entropy-coded"):
         MM.decode_wav(bytes(bad_fmt))
     with pytest.raises(ValueError, match="truncated"):
         MM.decode_wav(data[:-1])
@@ -588,16 +591,16 @@ def test_audio_features_exact(spark):
 def test_av_safe_mode_quarantines_bad_containers(spark):
     """audio_features/video_frame_stats(safe=True) carry the same
     quarantine contract as the image path: planted bad containers
-    (float-PCM WAV, truncated WAV, chroma-subsampled Y4M, alien magic)
+    (MP3-in-WAV, truncated WAV, chroma-subsampled Y4M, alien magic)
     become status rows with the exception class while good neighbors
     keep strict-mode-identical features; strict mode still raises; and
     quarantine_summary rolls both outputs up unchanged."""
     rate, ch, n = MM._wav_fixture_geom(4)
     good_wav = MM.encode_wav(rate, MM._wav_fixture_samples(4, ch, n))
-    float_pcm = bytearray(good_wav)
-    float_pcm[20] = 3
+    mp3_wav = bytearray(good_wav)
+    mp3_wav[20] = 0x55  # format tag 0x55 = MPEG Layer 3: entropy-coded
     wavs = spark.createDataFrame(
-        [(1, bytearray(good_wav)), (2, bytearray(bytes(float_pcm))),
+        [(1, bytearray(good_wav)), (2, bytearray(bytes(mp3_wav))),
          (3, bytearray(good_wav[:-3])), (4, bytearray(b"OggS" + b"\0" * 40))],
         "doc_id long, audio binary",
     )
@@ -811,6 +814,156 @@ def test_avi_mjpeg_with_audio_stream():
         MM.decode_avi_mjpeg(_avi_with_audio_stream(w, h, jpegs, vids_strf_size=12))
 
 
+def test_ima_adpcm_codec():
+    """Round 11: the IMA-ADPCM WAV codec (tag 0x11). The core expander
+    is pinned bit-exact against CPython's audioop IMA state machine on
+    random nibble streams; the container layer is pinned structurally —
+    every block-header sample decodes VERBATIM (so a block-boundary or
+    state-handoff bug is an exact mismatch, not a tolerance miss), a
+    constant channel in a stereo stream decodes exactly constant (so a
+    channel/word interleave slip is an exact mismatch), the fact chunk
+    trims final-block padding to the true count, and the fixture-family
+    round-trip error stays within ADPCM_TOLERANCE. Malformed geometry
+    fails loudly."""
+    import warnings
+
+    rng = np.random.default_rng(13)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+
+            for _ in range(30):
+                T = 2 * int(rng.integers(1, 200))
+                nib = rng.integers(0, 16, size=T).astype(np.uint8)
+                mine = MM._ima_decode_nibbles(nib[None, :], np.array([0]), np.array([0]))[0]
+                packed = bytes(
+                    (int(nib[i]) << 4) | int(nib[i + 1]) for i in range(0, T, 2)
+                )  # audioop packs the FIRST sample in the HIGH nibble
+                ref = np.frombuffer(audioop.adpcm2lin(packed, 2, None)[0], dtype="<i2")
+                assert np.array_equal(mine, ref)
+    except ImportError:
+        pass  # 3.13+: the structural pins below still hold
+
+    spb = MM.ADPCM_SAMPLES_PER_BLOCK
+    for d in (0, 1, 3, 7, 12, 40, 100, 229):
+        rate, ch, n = MM._wav_fixture_geom(d)
+        ref = MM._adpcm_fixture_samples(d, ch, n)
+        wav = MM.encode_wav_adpcm(rate, ref)
+        blocks = (n + spb - 1) // spb
+        assert len(wav) == 60 + blocks * 12 * ch, d  # container arithmetic
+        r2, dec = MM.decode_wav(wav)
+        assert r2 == rate and dec.shape == ref.shape, d  # fact trims padding
+        err = int(np.abs(dec.astype(np.int64) - ref.astype(np.int64)).max())
+        assert err <= MM.ADPCM_TOLERANCE, (d, err)
+        # block-header samples are stored verbatim: exact at every
+        # block start, for every channel
+        starts = np.arange(0, n, spb)
+        assert np.array_equal(dec[starts], ref[starts]), d
+
+    # stereo interleave: a constant ch0 decodes EXACTLY constant (zero
+    # diffs keep step 7 whose >>3 increment is 0) while ch1 sweeps
+    n = 3 * spb
+    stereo = np.stack(
+        [np.full(n, -513, np.int16),
+         MM._adpcm_fixture_samples(9, 1, n).reshape(-1)], axis=1,
+    )
+    _, dec = MM.decode_wav(MM.encode_wav_adpcm(8000, stereo))
+    assert np.array_equal(dec[:, 0], stereo[:, 0])
+    assert int(np.abs(dec[:, 1].astype(np.int64) - stereo[:, 1].astype(np.int64)).max()) \
+        <= MM.ADPCM_TOLERANCE
+
+    # trailing sub-block bytes: shrink the data-chunk size by one block
+    # minus 4 so the chunk parses but no longer splits into whole blocks
+    wav = bytearray(MM.encode_wav_adpcm(8000, stereo))
+    data_at = bytes(wav).index(b"data")
+    (dsz,) = struct.unpack_from("<I", wav, data_at + 4)
+    struct.pack_into("<I", wav, data_at + 4, dsz - 4)
+    with pytest.raises(ValueError, match="whole ADPCM blocks"):
+        MM.decode_wav(bytes(wav[:-4]))
+    bad = bytearray(MM.encode_wav_adpcm(8000, stereo))
+    bad[32] = 200  # block_align low byte -> inconsistent geometry
+    with pytest.raises(ValueError):
+        MM.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="8k\\+1"):
+        MM.encode_wav_adpcm(8000, stereo, spb=10)
+
+
+def test_float_wav_native_decode():
+    """Round 11: IEEE-float WAV (tag 3) decodes natively — float32
+    bit-exact on dyadic fixture values (every int16 is k/2^15), float64
+    through the same dtype switch, and the quantizer rule for arbitrary
+    floats is clamp(rint(v*2^15)) — round-half-even, ffmpeg's
+    conversion — verified on exact half-way and out-of-range values."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32768, 32768, size=3001 * 2).astype(np.int16).reshape(-1, 2)
+    rate, out = MM.decode_wav(MM.encode_wav_f32(8000, x))
+    assert rate == 8000 and np.array_equal(out, x)
+
+    # float64 variant: hand-build the container (the writer emits f32)
+    import struct as _struct
+
+    f64 = (x.reshape(-1).astype(np.float64) / 65536.0).astype("<f8").tobytes()
+    fmt = _struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 16, 16, 64)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(f64)) + f64
+    rate, out64 = MM.decode_wav(b"RIFF" + _struct.pack("<I", len(body)) + body)
+    # v = k/2^16 -> rint(v*2^15) = rint(k/2) = round-half-even
+    expect = np.clip(np.rint(x.reshape(-1).astype(np.float64) / 2.0), -32768, 32767)
+    assert np.array_equal(out64.reshape(-1), expect.astype(np.int16))
+
+    # quantizer edges: half-way values round to even; out-of-range clamps
+    edge = np.array([0.5 / 32768, 1.5 / 32768, -0.5 / 32768, 2.0, -2.0], dtype=np.float32)
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", edge.nbytes) + edge.astype("<f4").tobytes()
+    _, got = MM.decode_wav(b"RIFF" + _struct.pack("<I", len(body)) + body)
+    assert got.reshape(-1).tolist() == [0, 2, 0, 32767, -32768]
+
+
+def test_dib_avi_native_decode_and_stage(spark):
+    """Round 11: raw-RGB DIB AVI decodes natively and LOSSLESSLY —
+    round-trip exact across geometries with zero and nonzero row
+    padding — and the Spark stage (dib_frame_stats) emits exact
+    container bytes, geometry and per-channel sums recomputed
+    independently in numpy, with the safe-mode quarantine contract on a
+    planted entropy-coded neighbor."""
+    rng = np.random.default_rng(5)
+    for w, h, n in ((4, 4, 1), (5, 3, 4), (7, 2, 2), (1, 1, 3)):  # pads 0,1,3,1
+        frames = rng.integers(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        W, H, out = MM.decode_avi_mjpeg(MM.encode_avi_rawrgb(w, h, frames))
+        assert (W, H) == (w, h) and np.array_equal(out, frames), (w, h, n)
+
+    ids = [0, 3, 10, 37]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r.doc_id: r for r in MM.dib_frame_stats(MM.render_dib_payloads(docs)).collect()}
+    assert set(rows) == set(ids)
+    for i in ids:
+        w, h, n = MM._mjpeg_fixture_geom(i)
+        frames = np.stack([MM._mjpeg_fixture_frame(i, f, w, h) for f in range(n)])
+        kept = frames[:: MM.FRAME_STRIDE].astype("int64")
+        r = rows[i]
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert r.byte_len == len(MM.encode_avi_rawrgb(w, h, frames))
+        assert r.byte_len == 224 + n * (8 + h * ((w * 3 + 3) // 4 * 4))
+        assert (r.r_sum, r.g_sum, r.b_sum) == tuple(
+            int(kept[..., c].sum()) for c in range(3)
+        )
+
+    w, h, n = MM._mjpeg_fixture_geom(3)
+    frames = np.stack([MM._mjpeg_fixture_frame(3, f, w, h) for f in range(n)])
+    good = MM.encode_avi_rawrgb(w, h, frames)
+    h264 = MM.encode_avi_mjpeg(
+        w, h, [MM.encode_jpeg(w, h, frames[f]) for f in range(n)]
+    ).replace(b"MJPG", b"H264")
+    vdf = spark.createDataFrame(
+        [(3, bytearray(good)), (4, bytearray(h264))], "doc_id long, video binary"
+    )
+    vrows = {r.doc_id: r for r in MM.dib_frame_stats(vdf, safe=True).collect()}
+    assert vrows[3].status == "ok" and vrows[3].r_sum is not None
+    assert vrows[4].status == "quarantined:NotImplementedError"
+
+
 def test_mjpeg_frame_check_and_safe_quarantine(spark):
     """The Spark stage over the AVI codec: strict mode emits exact
     geometry + decode_ok=true for every sampled doc; safe mode
@@ -876,20 +1029,20 @@ def _has_ffmpeg() -> bool:
 
 
 def test_av_compressed_fixtures_quarantine_natively(spark):
-    """Round 10 (VERDICT r9 item 6), the unconditional half of the A/V
-    adapter pattern. G.711 A-law/µ-law WAVs (tags 6/7) now DECODE
-    natively — both companders pinned EXHAUSTIVELY bit-exact against
-    CPython's audioop reference (all 65536 encoder inputs, all 256
-    decoder codes, both laws), so genuinely compressed telephony audio
-    needs zero media libraries. The remaining native refusals — IEEE-
-    float WAV (tag 3) and raw-RGB ('DIB '/BI_RGB) AVI — raise at their
-    declared seams and quarantine cleanly in safe mode, while
-    PCM/G.711/MJPEG neighbors in the same batch decode untouched."""
+    """Rounds 10-11, the unconditional half of the A/V adapter pattern.
+    G.711 A-law/µ-law WAVs (tags 6/7) decode natively — both companders
+    pinned EXHAUSTIVELY bit-exact against CPython's audioop reference
+    (all 65536 encoder inputs, all 256 decoder codes, both laws). Round
+    11 moves IEEE-float WAV (bit-exact: fixture dyadics), IMA-ADPCM WAV
+    and raw-RGB DIB AVI (lossless: exact frames) native too, so the
+    remaining refusals are ENTROPY-coded only — MP3-in-WAV (tag 0x55)
+    and H.264-fourcc AVI raise at their declared seams and quarantine
+    cleanly in safe mode while every other format in the same batch
+    decodes untouched."""
     import warnings
 
     import numpy as np
     import pytest as _pytest
-    from pyspark.sql import functions as F
 
     rng = np.random.default_rng(7)
     x = rng.integers(-32768, 32768, size=5000).astype(np.int16)
@@ -925,20 +1078,40 @@ def test_av_compressed_fixtures_quarantine_natively(spark):
         rate, out = MM.decode_wav(enc_wav(8000, xs))
         assert rate == 8000 and np.array_equal(out, law_dec(law_enc(xs.reshape(-1))).reshape(-1, 2))
 
+    # round 11: IEEE-float WAV decodes natively BIT-EXACTLY (int16
+    # values are dyadics k/2^15, exactly representable in float32)
     f32_wav = MM.encode_wav_f32(8000, xs)
-    with _pytest.raises(NotImplementedError, match="float/ADPCM"):
-        MM.decode_wav(f32_wav)
+    rate_f, out_f = MM.decode_wav(f32_wav)
+    assert rate_f == 8000 and np.array_equal(out_f, xs)
+    # round 11: raw-RGB DIB AVI decodes natively LOSSLESSLY
     rgb_frames = rng.integers(0, 256, size=(3, 5, 4, 3)).astype(np.uint8)
     raw_avi = MM.encode_avi_rawrgb(4, 5, rgb_frames)
-    with _pytest.raises(NotImplementedError, match="MJPEG-in-AVI"):
-        MM.decode_avi_mjpeg(raw_avi)
+    W, H, out_v = MM.decode_avi_mjpeg(raw_avi)
+    assert (W, H) == (4, 5) and np.array_equal(out_v, rgb_frames)
 
-    # safe mode: float32 quarantines; PCM and BOTH G.711 laws decode
+    # the remaining refusals are entropy-coded formats: real headers,
+    # declared seams
+    mp3_wav = bytearray(MM.encode_wav(8000, xs))
+    mp3_wav[20] = 0x55  # format tag 0x55 = MPEG Layer 3
+    with _pytest.raises(NotImplementedError, match="entropy-coded"):
+        MM.decode_wav(bytes(mp3_wav))
+    w, h, n = MM._mjpeg_fixture_geom(10)
+    good_avi = MM.encode_avi_mjpeg(
+        w, h, [MM.encode_jpeg(w, h, MM._mjpeg_fixture_frame(10, f, w, h)) for f in range(n)]
+    )
+    h264_avi = good_avi.replace(b"MJPG", b"H264")
+    with _pytest.raises(NotImplementedError, match="inter-frame"):
+        MM.decode_avi_mjpeg(h264_avi)
+
+    # safe mode: only the entropy-coded plant quarantines; PCM, BOTH
+    # G.711 laws, float and ADPCM neighbors all decode in one batch
     good_wav = MM.encode_wav(8000, MM._wav_fixture_samples(3, 1, 40))
+    adpcm_wav = MM.encode_wav_adpcm(8000, MM._adpcm_fixture_samples(3, 2, 40))
     adf = spark.createDataFrame(
-        [(1, bytearray(f32_wav)), (2, bytearray(good_wav)),
+        [(1, bytearray(bytes(mp3_wav))), (2, bytearray(good_wav)),
          (3, bytearray(MM.encode_wav_alaw(8000, xs))),
-         (4, bytearray(MM.encode_wav_ulaw(8000, xs)))],
+         (4, bytearray(MM.encode_wav_ulaw(8000, xs))),
+         (5, bytearray(f32_wav)), (6, bytearray(adpcm_wav))],
         "doc_id long, audio binary",
     )
     arows = {r.doc_id: r for r in MM.audio_features(adf, safe=True).collect()}
@@ -946,50 +1119,75 @@ def test_av_compressed_fixtures_quarantine_natively(spark):
     assert arows[2].status == "ok" and arows[2].sample_rate == 8000
     assert arows[3].status == "ok" and arows[3].n_channels == 2
     assert arows[4].status == "ok" and arows[4].n_samples == len(xs)
-    w, h, n = MM._mjpeg_fixture_geom(10)
-    good_avi = MM.encode_avi_mjpeg(
-        w, h, [MM.encode_jpeg(w, h, MM._mjpeg_fixture_frame(10, f, w, h)) for f in range(n)]
-    )
+    assert arows[5].status == "ok" and arows[5].n_samples == len(xs)
+    assert arows[6].status == "ok" and arows[6].n_samples == 40
     vdf = spark.createDataFrame(
-        [(1, bytearray(raw_avi)), (2, bytearray(good_avi))], "doc_id long, video binary"
+        [(1, bytearray(h264_avi)), (2, bytearray(good_avi)), (3, bytearray(raw_avi))],
+        "doc_id long, video binary",
     )
     vrows = {r.doc_id: r for r in MM.mjpeg_frame_check(vdf, safe=True).collect()}
     assert vrows[1].status == "quarantined:NotImplementedError"
     assert vrows[2].status == "ok" and vrows[2].n_frames == n
+    # the DIB AVI decodes through the same stage (round 11) — and its
+    # random pixels rightly FAIL the doc-3 fixture invariant, proving
+    # decode_ok is a real check, not a constant
+    assert vrows[3].status == "ok" and vrows[3].decode_ok is False
 
 
 @pytest.mark.skipif(not _has_ffmpeg(), reason="ffmpeg not installed (production A/V decode adapter)")
-def test_ffmpeg_adapter_decodes_what_native_quarantines(spark):
-    """Where ffmpeg exists: the adapter decodes both compressed fixtures
-    through the SAME contracts as the native decoders. Raw-RGB AVI is
-    lossless — frames must match the fixture exactly; A-law is a lossy
-    compander — ffmpeg's s16le output must equal OUR G.711 expansion of
-    OUR compression bit-for-bit (both implement g711.c). audio_features
-    runs end to end on decode_backend='ffmpeg' with identical schema."""
+def test_ffmpeg_adapter_cross_checks_native_decoders(spark):
+    """Where ffmpeg exists: every format BOTH engines decode must agree
+    — G.711 (both laws), IEEE-float and IMA-ADPCM WAV bit-for-bit on
+    the s16 output, raw-RGB AVI frame-for-frame — the strongest
+    correctness evidence two independent implementations can give. Then
+    the adapter's exclusive territory: an MP3-in-WAV encoded BY ffmpeg
+    (genuinely entropy-coded — the native decoder refuses the tag)
+    decodes through the same audio_features contract."""
+    import subprocess
+
     import numpy as np
 
     rng = np.random.default_rng(11)
     x = rng.integers(-32768, 32768, size=4000).astype(np.int16).reshape(-1, 2)
-    alaw_wav = MM.encode_wav_alaw(8000, x)
-    rate, decoded = MM.decode_audio_ffmpeg(alaw_wav)
-    assert rate == 8000 and decoded.shape == x.shape
-    assert np.array_equal(decoded, MM._alaw2lin(MM._lin2alaw(x.reshape(-1))).reshape(-1, 2))
-    rate_u, decoded_u = MM.decode_audio_ffmpeg(MM.encode_wav_ulaw(8000, x))
-    assert rate_u == 8000
-    assert np.array_equal(decoded_u, MM._ulaw2lin(MM._lin2ulaw(x.reshape(-1))).reshape(-1, 2))
-    # float32 WAV: the class only the adapter decodes (native raises);
-    # values k/32768 are float32-exact, so ffmpeg's lrintf(v*2^15)
-    # reconstructs the original samples bit-exactly
-    rate_f, decoded_f = MM.decode_audio_ffmpeg(MM.encode_wav_f32(8000, x))
-    assert rate_f == 8000 and np.array_equal(decoded_f, x)
+    for enc in (MM.encode_wav_alaw, MM.encode_wav_ulaw, MM.encode_wav_f32):
+        wav = enc(8000, x)
+        rate_n, out_n = MM.decode_wav(wav)
+        rate_a, out_a = MM.decode_audio_ffmpeg(wav)
+        assert rate_n == rate_a == 8000 and np.array_equal(out_n, out_a), enc.__name__
+    # ADPCM: ffmpeg's adpcm_ima_wav decoder against the native one on
+    # the native encoder's output
+    tri = MM._adpcm_fixture_samples(5, 2, 500)
+    adpcm_wav = MM.encode_wav_adpcm(8000, tri)
+    rate_n, out_n = MM.decode_wav(adpcm_wav)
+    rate_a, out_a = MM.decode_audio_ffmpeg(adpcm_wav)
+    assert rate_n == rate_a == 8000 and np.array_equal(out_n, out_a)
 
     frames = rng.integers(0, 256, size=(4, 6, 5, 3)).astype(np.uint8)
     raw_avi = MM.encode_avi_rawrgb(5, 6, frames)
     w, h, out = MM.decode_video_ffmpeg(raw_avi)
     assert (w, h, len(out)) == (5, 6, 4)
     assert np.array_equal(out, frames)
+    wn, hn, out_native = MM.decode_avi_mjpeg(raw_avi)
+    assert (wn, hn) == (w, h) and np.array_equal(out_native, out)
 
-    df = spark.createDataFrame([(1, bytearray(alaw_wav))], "doc_id long, audio binary")
+    # entropy-coded: MP3-in-WAV rendered by ffmpeg itself; native
+    # refuses the tag, the adapter decodes with sane geometry (MP3 is
+    # lossy + padded, so assert rate/channels and approximate length)
+    pcm_wav = MM.encode_wav(8000, x)
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", "-acodec", "mp3", "-f", "wav", "pipe:1"],
+        input=pcm_wav, capture_output=True, check=False,
+    )
+    if proc.returncode == 0 and proc.stdout[:4] == b"RIFF":  # libmp3lame present
+        mp3_wav = proc.stdout
+        with pytest.raises(NotImplementedError, match="entropy-coded"):
+            MM.decode_wav(mp3_wav)
+        rate_m, out_m = MM.decode_audio_ffmpeg(mp3_wav)
+        assert rate_m == 8000 and out_m.shape[1] == 2
+        assert abs(out_m.shape[0] - x.shape[0]) < 3000  # codec delay padding
+
+    df = spark.createDataFrame([(1, bytearray(MM.encode_wav_alaw(8000, x)))],
+                               "doc_id long, audio binary")
     row = MM.audio_features(df, decode_backend="ffmpeg").collect()[0]
     assert row.sample_rate == 8000 and row.n_channels == 2 and row.n_samples == 2000
 
