@@ -125,10 +125,38 @@ ONHEAP_STATE_BYTES_PER_KEY = 263
 DEFAULT_STATE_HEAP_BUDGET = 8 * 1024**3
 
 
+def measure_state_keys(source, key_cols) -> int:
+    """Measure the distinct-state-key statistic :func:`auto_state_store`
+    decides on: ONE ``approx_count_distinct`` aggregate over a
+    batch-readable view of the stream's source (file-backed streams and
+    Kafka topics both have one: read the same path/offsets in batch).
+
+    This is the statistic the pinned slope was measured against — the
+    on-heap provider's footprint tracks keys PROCESSED through the
+    drain (versioned partition maps), not post-expiry resident rows
+    (sf100: 26.3 GB after 100M keys with only 274k live), so the right
+    measurement is distinct keys over the WHOLE source, not within one
+    watermark horizon. ``approx_count_distinct`` is HLL-based (~2% rel.
+    error) against a crossover two decades wide, single narrow
+    aggregate over the key columns only — the same
+    measure-cheaply-then-decide shape as the skew scan and the postings
+    estimate (plans/cost.py)."""
+    from pyspark.sql import functions as F
+
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not cols:
+        raise ValueError("key_cols must name at least one state-key column")
+    key = F.struct(*cols) if len(cols) > 1 else F.col(cols[0])
+    return int(source.agg(F.approx_count_distinct(key)).first()[0])
+
+
 def auto_state_store(
     spark: SparkSession,
-    expected_keys: int,
+    expected_keys: int | None = None,
     heap_budget_bytes: int = DEFAULT_STATE_HEAP_BUDGET,
+    *,
+    source=None,
+    key_cols=None,
 ) -> str:
     """Cost-aware state-store provider choice for stateful streaming
     (VERDICT r9 item 2 — the one measured scale-killer left on a default
@@ -147,14 +175,29 @@ def auto_state_store(
     evidence, and is applied via :func:`use_state_store` for queries
     started after this call. Returns the chosen kind.
 
-    ``expected_keys`` is the number of DISTINCT state keys the query
-    will touch within its watermark horizon (for watermark dedup: the
-    distinct event ids per horizon; for session windows: active users) —
-    a cheap batch-side count or a domain bound both work; overestimating
-    errs toward RocksDB, which degrades throughput, never correctness.
+    The key-cardinality statistic is MEASURED by default (round 11 —
+    the other two cost seams measure their own statistic; this one now
+    does too): pass ``source`` (a batch-readable view of the stream's
+    input — for file streams, ``spark.read`` over the same path) and
+    ``key_cols`` (the state key: dedup id columns, session user column)
+    and :func:`measure_state_keys` runs one approx_count_distinct over
+    it. ``expected_keys`` remains as an explicit override for callers
+    holding a domain bound (and takes precedence when both are given —
+    a deliberate hint beats a re-measurement); overestimating errs
+    toward RocksDB, which degrades throughput, never correctness.
     """
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
 
+    if expected_keys is None:
+        if source is None or key_cols is None:
+            raise ValueError(
+                "auto_state_store needs either expected_keys (explicit bound) "
+                "or source + key_cols (measured batch-side)"
+            )
+        expected_keys = measure_state_keys(source, key_cols)
+        how = "measured"
+    else:
+        how = "hinted"
     est_bytes = int(expected_keys) * ONHEAP_STATE_BYTES_PER_KEY
     d = decide_crossover(
         est_bytes,
@@ -163,7 +206,7 @@ def auto_state_store(
         "hdfs",
         "estimated on-heap state bytes",
         logger=_LOG,
-        detail=f"{expected_keys} expected keys x {ONHEAP_STATE_BYTES_PER_KEY} B/key "
+        detail=f"{expected_keys} {how} keys x {ONHEAP_STATE_BYTES_PER_KEY} B/key "
         f"vs heap budget {heap_budget_bytes}",
     )
     use_state_store(spark, d.choice)
