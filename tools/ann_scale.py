@@ -1,0 +1,156 @@
+"""ANN top-k decade evidence (VERDICT r10 item 4): run the IVF and LSH
+approximate top-k routes against the exact brute-force reference at
+sf10 (200k vectors) and sf100 (2M vectors), recording measured RECALL
+(not just the registry's boolean floor), per-stage wall time, and the
+centroid-training cost separately — the cost curve a 100 TB vector
+corpus cares about.
+
+Query set: vec_id % query-mod == 0 (same shape as the registry's
+QUERY_PRED, widened so the brute-force reference stays tractable as the
+corpus grows — the exact reference is O(queries x corpus); recall is a
+per-query statistic, so ~400 queries estimate it within ~2 points at
+the 0.7/0.8 floors).
+
+sf100 fixture: embeddings replicated 10x from sf10 with the seeded
+random ORTHOGONAL transform of tools/sf100_dedup.py (within-replica
+geometry preserved exactly; cross-replica cosines concentrate at
+~N(0, 1/64), so true neighbors stay within replicas and the decade is
+"10x more vectors of the same kind").
+
+Usage:
+  python tools/ann_scale.py --sf10 .scratch/sf10 \
+      --sf100-out .scratch/sf100_emb --out SCALE_R11_ANN.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: Recall floors pinned by tests/test_dedup_similarity.py at registry
+#: scale — the decade evidence must clear the SAME bars.
+LSH_FLOOR, IVF_FLOOR = 0.7, 0.8
+TOP_K = 10
+
+
+def build_sf100_embeddings(spark, src: str, out: str) -> None:
+    """Embeddings-only sf100 fixture (the documents side of
+    tools/sf100_dedup.make_sf100 is an expensive regexp pass these
+    workloads never read)."""
+    from tools.make_scale import _write_single_file
+    from tools.sf100_dedup import K, _emb_replica
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    marker = os.path.join(out, "_EMB_OK")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out, exist_ok=True)
+    emb = load_table(spark, src, "embeddings")
+    stride = emb.count()
+    full = _emb_replica(emb, 0, stride)
+    for i in range(1, K):
+        full = full.unionByName(_emb_replica(emb, i, stride))
+    _write_single_file(full, out, "embeddings")
+    open(marker, "w").close()
+    print(f"embeddings x {K} -> {out}", flush=True)
+
+
+def run_ann(spark, sf_dir: str, query_mod: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import similarity as S
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+    from tools.scale_run import session_hygiene
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vectors = emb.count()
+    queries = emb.where(F.expr(f"vec_id % {query_mod} = 0"))
+    n_queries = queries.count()
+    rec = {"sf_dir": sf_dir, "n_vectors": n_vectors, "query_mod": query_mod,
+           "n_queries": n_queries, "k": TOP_K}
+
+    t0 = time.perf_counter()
+    exact = S.brute_force_topk(queries, emb, TOP_K).select("query_id", "neighbor_id")
+    exact.cache()
+    n_exact = exact.count()
+    rec["brute_force_sec"] = round(time.perf_counter() - t0, 3)
+    rec["n_exact_pairs"] = n_exact
+
+    t0 = time.perf_counter()
+    centroids = S.ivf_centroids(emb)
+    rec["ivf_centroid_train_sec"] = round(time.perf_counter() - t0, 3)
+    rec["ivf_n_centroids"] = int(len(centroids))
+
+    def recall(approx_df) -> float:
+        hits = approx_df.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+        return hits / n_exact
+
+    t0 = time.perf_counter()
+    ivf = S.ivf_topk(queries, emb, centroids, TOP_K, nprobe=10).select("query_id", "neighbor_id")
+    rec["ivf_recall"] = round(recall(ivf), 4)
+    rec["ivf_sec"] = round(time.perf_counter() - t0, 3)
+    session_hygiene(spark)
+
+    t0 = time.perf_counter()
+    lsh = S.lsh_topk(queries, emb, TOP_K).select("query_id", "neighbor_id")
+    rec["lsh_recall"] = round(recall(lsh), 4)
+    rec["lsh_sec"] = round(time.perf_counter() - t0, 3)
+
+    exact.unpersist()
+    session_hygiene(spark)
+    rec["ivf_floor"], rec["lsh_floor"] = IVF_FLOOR, LSH_FLOOR
+    rec["ivf_ok"] = rec["ivf_recall"] >= IVF_FLOOR
+    rec["lsh_ok"] = rec["lsh_recall"] >= LSH_FLOOR
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf10", default=".scratch/sf10")
+    ap.add_argument("--sf100-out", default=".scratch/sf100_emb")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sf10-query-mod", type=int, default=500)   # 400 queries
+    ap.add_argument("--sf100-query-mod", type=int, default=5000)  # 400 queries
+    a = ap.parse_args()
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark import get_session
+
+    spark = get_session("ann-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+
+    sf10 = os.path.abspath(a.sf10)
+    sf100 = os.path.abspath(a.sf100_out)
+    build_sf100_embeddings(spark, sf10, sf100)
+
+    results = {}
+    for name, (sf_dir, mod) in {
+        "sf10": (sf10, a.sf10_query_mod),
+        "sf100": (sf100, a.sf100_query_mod),
+    }.items():
+        results[name] = run_ann(spark, sf_dir, mod)
+        print(name, json.dumps(results[name]), flush=True)
+
+    r10, r100 = results["sf10"], results["sf100"]
+    results["decade"] = {
+        "n_vectors_ratio": r100["n_vectors"] / r10["n_vectors"],
+        "ivf_sec_ratio": round(r100["ivf_sec"] / r10["ivf_sec"], 2),
+        "lsh_sec_ratio": round(r100["lsh_sec"] / r10["lsh_sec"], 2),
+        "brute_force_sec_ratio": round(r100["brute_force_sec"] / r10["brute_force_sec"], 2),
+        "centroid_train_sec_ratio": round(
+            r100["ivf_centroid_train_sec"] / r10["ivf_centroid_train_sec"], 2
+        ),
+        "all_floors_met": all(r[f] for r in (r10, r100) for f in ("ivf_ok", "lsh_ok")),
+    }
+    with open(a.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("->", a.out, json.dumps(results["decade"]))
+
+
+if __name__ == "__main__":
+    main()
