@@ -59,12 +59,36 @@ def get_session(app_name: str = "spark-engine", *, extra_conf: dict[str, str] | 
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    builder = builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        _initial_shuffle_partitions(shuffle),
+    )
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     for key, value in ENGINE_CONF.items():
         builder = builder.config(key, value)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def _initial_shuffle_partitions(shuffle: str) -> str:
+    """Pre-coalesce shuffle width for AQE (round 11, measured at sf100):
+    ``spark.sql.shuffle.partitions`` = cores is right AFTER coalescing,
+    but as the pre-AQE width it caps every shuffle at #cores partitions
+    regardless of data volume — at 600M fact rows that is ~19M rows per
+    sort-merge-join task, and the external-sort SPILL it forces made
+    rel_q3/rel_q5 run 13.4×/6.2× slower than the same plan at 256
+    partitions (243.4 s → 18.2 s, 276.9 s → 45.0 s; same box, same
+    session posture, plans identical — the decade ratio vs sf10 drops
+    from 20.6×/29.5× to 1.5×/4.8× on 10× rows). So the engine sets the
+    INITIAL width high — 8× the target width, floor 256 — and lets AQE
+    coalesce down to the 64 MB advisory size per stage: small stages
+    still end up at a handful of partitions (the sf0.1 bench is
+    unchanged), big stages get the width the data needs. Override with
+    ``SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS``."""
+    return os.environ.get(
+        "SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS", str(max(256, 8 * int(shuffle)))
+    )
 
 
 #: Bundled RocksDB state-store provider — the documented posture for
@@ -308,6 +332,10 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            _initial_shuffle_partitions(shuffle),
+        )
     except Exception:
         pass
     return spark

@@ -388,3 +388,30 @@ def test_cost_decision_seam_pure():
     finally:
         log.removeHandler(h)
     assert records and "estimated shingle postings" in records[0] and "'minhash'" in records[0]
+
+
+def test_initial_shuffle_width_scales_past_core_count(spark):
+    """Round 11 (sf100 join-shape root cause): shuffle.partitions=cores
+    is the right POST-coalesce width, but as the pre-AQE width it caps
+    every shuffle at #cores partitions regardless of data volume — at
+    600M fact rows that forced ~19M-row sort-merge tasks whose external
+    sort spill made rel_q3/rel_q5 run 13.4x/6.2x slower than the same
+    plan at 256 partitions. The engine therefore pins AQE's
+    initialPartitionNum to max(256, 8x target width) in BOTH session
+    paths (get_session + apply_engine_conf); AQE coalesces small stages
+    back down, so sf0.1 bench totals are unchanged (measured 22.0 s vs
+    the 22.6 s record)."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.session import _initial_shuffle_partitions, apply_engine_conf
+
+    assert _initial_shuffle_partitions("32") == "256"
+    assert _initial_shuffle_partitions("16") == "256"   # floor
+    assert _initial_shuffle_partitions("2000") == "16000"  # 8x past the floor
+
+    # both session paths carry the conf (conftest's session came through
+    # get_session; apply_engine_conf must agree for driver-built sessions)
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert int(spark.conf.get(key)) == max(256, 8 * shuffle)
+    spark.conf.unset(key)
+    apply_engine_conf(spark)
+    assert int(spark.conf.get(key)) == max(256, 8 * shuffle)
