@@ -406,6 +406,102 @@ def cosine_near_dup_pairs(
 IVF_SEED = 7_2024
 
 
+def ivf_k_for(n_vectors: int) -> int:
+    """Centroid count for a corpus of ``n_vectors``: √N rounded to the
+    nearest power of two, clamped to [16, 4096].
+
+    A FIXED k is the quiet scale bug the round-11 decade run measured:
+    at 16 centroids, nprobe=10 probes 62% of the corpus, so query cost
+    tracks the corpus linearly (sf10→sf100 IVF ratio 10.8× on 10×
+    vectors). √N keeps the per-bucket size AND the probe fan-out both
+    growing as √N — the classic IVF balance point: probed fraction
+    nprobe/k falls as the corpus grows while each probed bucket stays
+    √N-sized. 4096 caps the (broadcast) centroid payload and the
+    write-time assignment cost; past that, a real deployment shards the
+    index (IVF-PQ / multi-level), which is beyond this engine's seam."""
+    import math
+
+    if n_vectors <= 0:
+        raise ValueError("n_vectors must be positive")
+    k = 2 ** round(math.log2(max(math.sqrt(n_vectors), 1)))
+    return max(16, min(4096, int(k)))
+
+
+def ivf_centroids_np(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 6,
+    sample_per_centroid: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Sampled driver-side k-means for LARGE k (the √N regime of
+    :func:`ivf_k_for`): hash-ordered deterministic sample of
+    ``sample_per_centroid × k`` vectors collected once (k-bounded, the
+    same contract as :func:`ivf_centroids`'s seed sample), Lloyd
+    iterations as numpy matmuls on the driver.
+
+    Why not the in-plan Lloyd loop of :func:`ivf_centroids` at large k:
+    its per-row assignment folds over the k-element centroid array —
+    O(k·dim) interpreted work per corpus row per iteration, measured
+    187.7 s at (k=16, 2M vectors); at k=1448 that is ~90× more. k-means
+    quality needs a REPRESENTATIVE sample, not the full corpus (FAISS
+    trains on bounded samples for the same reason), so training cost
+    becomes O(sample · k · dim) driver-side matmul — independent of
+    corpus size. Assignment of the full corpus happens once, at write
+    time (:func:`write_ivf_index` with method='numpy')."""
+    spark = corpus.sparkSession
+    n_sample = sample_per_centroid * k
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_sample)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype="float64")
+    if len(X) == 0:
+        raise ValueError("ivf_centroids_np: corpus is empty — nothing to index")
+    k = min(k, len(X))
+    rng = np.random.default_rng(IVF_SEED)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        # squared L2 via the expansion; argmin ties break at the
+        # smallest bucket (np.argmin picks the first minimum)
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        a = d2.argmin(1)
+        for b in range(k):
+            m = a == b
+            if m.any():
+                C[b] = X[m].mean(0)  # empty bucket keeps its centroid
+    return C
+
+
+def assign_buckets_np(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", out: str = "bucket"
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment for LARGE k: an Arrow
+    mapInPandas matmul argmin over the centroid matrix (shipped in the
+    task closure — k×dim doubles, ≤2 MB at the k cap). Same semantics
+    as :func:`with_bucket` (squared L2, smallest-bucket tie-break), but
+    per-row cost is a BLAS matmul row instead of an interpreted
+    O(k·dim) SQL fold — the difference between write-time assignment
+    being feasible and not at √N-scaled k."""
+    import pandas as pd
+
+    C = np.ascontiguousarray(centroids, dtype="float64")
+    c_sq = (C * C).sum(1)
+    cols = df.columns
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def assign(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+            yield pd.DataFrame({**{c: pdf[c] for c in cols}, out: d2.argmin(1).astype("int32")})
+
+    return df.mapInPandas(assign, f"{fields}, {out} int")
+
+
 def centroid_relation(spark, centroids: np.ndarray) -> DataFrame:
     """Centroids as DATA, not plan literals: a ONE-ROW relation holding
     ``_centroids: array<struct<bucket:int, cvec:array<double>>>`` (sorted
@@ -598,22 +694,41 @@ def ivf_topk(
     return _topk_by_score(scored, k)
 
 
+#: with_bucket's interpreted SQL fold costs O(k·dim) per row; past this
+#: centroid count the Arrow matmul path (assign_buckets_np) wins — a
+#: structural per-row-cost rule, not a measured data statistic, so it
+#: does not ride plans/cost.py.
+IVF_NUMPY_ASSIGN_MIN_K = 64
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: np.ndarray,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> None:
     """Materialize the IVF index: assign each corpus row's bucket ONCE at
     write time and store the corpus hive-partitioned by bucket. At 100 TB
     this is the whole point of IVF — the per-row assignment cost is paid
     once at ingest, and a probe becomes a partition-pruned read of
-    ``nprobe`` directories instead of a full scan + assignment."""
-    crel = centroid_relation(corpus.sparkSession, centroids)
-    with_bucket(corpus, crel, vec_col, "bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
+    ``nprobe`` directories instead of a full scan + assignment.
+
+    ``method``: 'sql' (the broadcast one-row-relation fold of
+    :func:`with_bucket` — plan O(1) in k, fine at small k), 'numpy'
+    (:func:`assign_buckets_np` — Arrow matmul, the √N-scaled-k route),
+    or 'auto' (numpy above IVF_NUMPY_ASSIGN_MIN_K centroids)."""
+    if method == "auto":
+        method = "numpy" if len(centroids) > IVF_NUMPY_ASSIGN_MIN_K else "sql"
+    if method == "numpy":
+        assigned = assign_buckets_np(corpus, centroids, vec_col, "bucket")
+    elif method == "sql":
+        crel = centroid_relation(corpus.sparkSession, centroids)
+        assigned = with_bucket(corpus, crel, vec_col, "bucket")
+    else:
+        raise ValueError(f"method must be 'auto'|'sql'|'numpy', got {method!r}")
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def ivf_topk_stored(

@@ -144,6 +144,52 @@ def test_ivf_stored_index_partition_pruned_probe(spark):
     assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, inflight.collect()))
 
 
+def test_ivf_scaled_k_and_numpy_assignment(spark):
+    """Round 11 (ANN decade root cause): a FIXED centroid count makes
+    IVF query cost track the corpus linearly (nprobe/16 probes 62% of
+    any corpus), so k scales as √N via ivf_k_for, and write-time
+    assignment at √N-scaled k runs through the Arrow matmul path
+    (assign_buckets_np) instead of the O(k·dim)-per-row SQL fold. Pins:
+    ivf_k_for's curve and clamps; numpy assignment ≡ with_bucket bucket
+    for bucket; the sampled driver-side trainer (ivf_centroids_np)
+    feeds a stored index whose probe answers match the SQL-assigned
+    stored index exactly at the same centroids."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import similarity as S
+
+    assert S.ivf_k_for(1) == 16 and S.ivf_k_for(500) == 16  # floor
+    assert S.ivf_k_for(50_000) == 256        # sqrt = 224 -> 2^8
+    assert S.ivf_k_for(200_000) == 512       # sqrt = 447 -> 2^9
+    assert S.ivf_k_for(2_000_000) == 1024    # sqrt = 1414 -> 2^10
+    assert S.ivf_k_for(10**9) == 4096        # clamp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.ivf_k_for(0)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = S.ivf_centroids_np(emb, k=32, iters=3)
+    assert centroids.shape == (32, 64)
+
+    crel = S.centroid_relation(spark, centroids)
+    sql_b = {r.vec_id: r.bucket for r in S.with_bucket(emb, crel).select("vec_id", "bucket").collect()}
+    np_b = {r.vec_id: r.bucket for r in S.assign_buckets_np(emb, centroids).select("vec_id", "bucket").collect()}
+    assert sql_b == np_b
+
+    path_np = os.path.join(SCRATCH, "ivf_index_np")
+    S.write_ivf_index(emb, centroids, path_np, method="numpy")
+    path_sql = os.path.join(SCRATCH, "ivf_index_sql")
+    S.write_ivf_index(emb, centroids, path_sql, method="sql")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    a = sorted(map(tuple, S.ivf_topk_stored(spark, queries, path_np, centroids, k=5, nprobe=6).collect()))
+    b = sorted(map(tuple, S.ivf_topk_stored(spark, queries, path_sql, centroids, k=5, nprobe=6).collect()))
+    assert a == b and a
+
+    # 'auto' routes by centroid count across IVF_NUMPY_ASSIGN_MIN_K
+    assert S.IVF_NUMPY_ASSIGN_MIN_K == 64
+    with _pytest.raises(ValueError, match="method"):
+        S.write_ivf_index(emb, centroids, path_np, method="bogus")
+
+
 def test_minhash_store_candidates_scan_only(spark):
     """write_minhash_store materializes (doc_id, sig, bhs) at write time;
     candidate generation from the store must be scan → posexplode → join
