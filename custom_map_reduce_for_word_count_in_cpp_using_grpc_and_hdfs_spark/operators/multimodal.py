@@ -1713,14 +1713,16 @@ def decode_y4m(payload: bytes) -> tuple[int, int, np.ndarray]:
 # --------------------------------------------------------------------------
 # Real AUDIO container: WAV (RIFF) — the raw-audio interchange format.
 # Chunk-walked parse (fmt may be followed by LIST/fact/cue chunks before
-# data); PCM s16le decodes natively, and since round 10 so does the
-# G.711 companded pair (A-law tag 6 / µ-law tag 7 — expanders pinned
-# exhaustively bit-exact vs CPython's audioop), so genuinely COMPRESSED
-# telephony audio needs zero media libraries. Float/ADPCM/24-bit raise
-# at the declared seam (libsndfile/ffmpeg drop in behind the same batch
-# iterator). With Y4M this makes all three media modalities decode REAL
-# containers natively: image (PPM/BMP/PNG/JPEG), audio (WAV incl.
-# G.711), video (Y4M + MJPEG-in-AVI).
+# data). Native coverage: PCM s16le; the G.711 companded pair since
+# round 10 (A-law tag 6 / µ-law tag 7 — expanders pinned exhaustively
+# bit-exact vs CPython's audioop); IEEE-float (tag 3, 32/64-bit) and
+# IMA-ADPCM (tag 0x11, block-structured 4-bit differential) since round
+# 11 — so only ENTROPY-coded audio (MP3/AAC/FLAC-in-WAV) raises at the
+# declared seam (libsndfile/ffmpeg drop in behind the same batch
+# iterator). With Y4M/MJPEG/DIB video this makes all three media
+# modalities decode REAL containers natively up to the entropy-codec
+# boundary: image (PPM/BMP/PNG/JPEG), audio (WAV incl. G.711, float,
+# ADPCM), video (Y4M, MJPEG-in-AVI, raw-RGB DIB AVI).
 # --------------------------------------------------------------------------
 
 
@@ -1856,13 +1858,15 @@ def audio_features(
     output to :func:`quarantine_summary` for the rate rollup.
 
     ``decode_backend``: 'native' (the zero-dependency RIFF parser —
-    PCM s16le plus, since round 10, G.711 A-law/µ-law) or 'ffmpeg'
-    (:func:`decode_audio_ffmpeg` — the production adapter covering the
-    codecs the native parser quarantines: IEEE-float, ADPCM,
-    MP3-in-WAV; validated eagerly on the driver, ImportError
-    re-raised through the quarantine boundary executor-side). Both
-    share this schema, batching and quarantine semantics (round 10 —
-    the Pillow-adapter pattern at the audio seam)."""
+    PCM s16le, G.711 A-law/µ-law, and since round 11 IEEE-float and
+    IMA-ADPCM) or 'ffmpeg' (:func:`decode_audio_ffmpeg` — the
+    production adapter whose exclusive territory is ENTROPY-coded
+    audio: MP3/AAC/FLAC-in-WAV; on the overlapping formats it
+    cross-checks the native decoder bit-for-bit; validated eagerly on
+    the driver, ImportError re-raised through the quarantine boundary
+    executor-side). Both share this schema, batching and quarantine
+    semantics (round 10 — the Pillow-adapter pattern at the audio
+    seam)."""
     decode_fn = _resolve_audio_backend(decode_backend)
     schema = (
         f"{id_col} long, byte_len long, sample_rate long, n_channels long, "
@@ -2560,10 +2564,12 @@ def decode_audio_ffmpeg(payload: bytes) -> tuple[int, np.ndarray]:
     (sample_rate, samples int16 (n, ch)) contract, so
     :func:`audio_features` shares every downstream line between
     backends. Geometry (rate, channels) is parsed from the RIFF fmt
-    chunk (this adapter targets WAV-contained codecs — IEEE-float,
-    ADPCM, MP3-in-WAV; G.711 decodes natively since round 10; a
-    container-agnostic build would ffprobe instead), the
-    decoded stream is ffmpeg's s16le output."""
+    chunk (this adapter targets WAV-contained codecs; its EXCLUSIVE
+    territory since round 11 is entropy-coded audio — MP3/AAC/FLAC-in-
+    WAV — with PCM/float/G.711/ADPCM decoding natively and serving as
+    bit-for-bit cross-checks where ffmpeg exists; a container-agnostic
+    build would ffprobe instead), the decoded stream is ffmpeg's s16le
+    output."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("decode_audio_ffmpeg expects a RIFF/WAVE container")
     pos, fmt = 12, None

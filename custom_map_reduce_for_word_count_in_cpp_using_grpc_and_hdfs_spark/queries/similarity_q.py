@@ -566,8 +566,8 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       8-segment CASE, midpoint + segment boost) and matches the
       quantized channel/L1 sums exactly — compander, container walk and
       de-interleave all value-checked cross-engine. µ-law rides the
-      same native path (pytest-pinned); float/ADPCM remain at the
-      ffmpeg adapter seam.
+      same native path (pytest-pinned); float/ADPCM went native in
+      round 11 (op='audio_f32' / op='audio_adpcm' below).
     - op='image_resize' (round 9): the REAL resize kernel — decode +
       aspect-preserving nearest-neighbor fit (no upscale), the resized
       raster's per-channel sums hash-checked against the oracle's
