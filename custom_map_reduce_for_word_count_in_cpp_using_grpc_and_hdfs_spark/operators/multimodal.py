@@ -1740,6 +1740,61 @@ def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _wav_container(fmt: bytes, data: bytes) -> bytes:
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_u8(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Unsigned 8-bit PCM WAV (tag 1, bits 8): byte = (s>>8) + 128, so
+    decode's (x−128)<<8 reproduces s & 0xFF00 — fixtures quantized to
+    256-multiples round-trip exactly."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"samples must be int16 (n, channels), got {samples.dtype} {samples.shape}")
+    n, ch = samples.shape
+    data = ((samples.reshape(-1).astype(np.int16) >> 8) + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch, ch, 8)
+    return _wav_container(fmt, data)
+
+
+def encode_wav_s24(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Signed 24-bit PCM WAV (tag 1, bits 24): each int16 sample written
+    as s<<8 in 3 little-endian bytes — the low byte is zero, so decode's
+    top-16-bit rule reproduces the input bit-exactly."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"samples must be int16 (n, channels), got {samples.dtype} {samples.shape}")
+    n, ch = samples.shape
+    v = (samples.reshape(-1).astype(np.int64) << 8) & 0xFFFFFF
+    b = np.empty((len(v), 3), dtype=np.uint8)
+    b[:, 0], b[:, 1], b[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 3, ch * 3, 24)
+    return _wav_container(fmt, b.tobytes())
+
+
+#: KSDATAFORMAT media-type GUID suffix (bytes 2..16 of every SUBTYPE_*
+#: audio GUID) — the EXTENSIBLE SubFormat is <tag:2><this suffix:14>.
+_EXTENSIBLE_GUID_SUFFIX = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def encode_wav_extensible(sample_rate: int, samples: np.ndarray) -> bytes:
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping 16-bit PCM — the
+    40-byte fmt real multichannel/24-bit writers emit: WAVEFORMATEX
+    with cbSize=22, then wValidBitsPerSample, dwChannelMask and the
+    SubFormat GUID whose leading two bytes carry the true tag (1)."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"samples must be int16 (n, channels), got {samples.dtype} {samples.shape}")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16,
+        22, 16, (1 << ch) - 1,
+    ) + struct.pack("<H", 1) + _EXTENSIBLE_GUID_SUFFIX
+    return _wav_container(fmt, data)
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE parser: validate the RIFF/WAVE signature, WALK the
     chunk list (real writers interleave LIST/fact/cue chunks between
@@ -1747,16 +1802,21 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     sizes) and return (sample_rate, samples) with samples int16
     (n_samples, n_channels) de-interleaved.
 
-    Formats decoded natively: PCM s16le (tag 1); the G.711 companded
+    Formats decoded natively: PCM (tag 1) at 16-bit s16le, unsigned
+    8-bit ((x−128)<<8, ffmpeg's pcm_u8 rule) and signed 24-bit
+    (sign-extended, top 16 bits kept — round 11); the G.711 companded
     pair (round 10) — A-law (tag 6) and µ-law (tag 7), expanded by the
     vectorized g711.c inverses pinned EXHAUSTIVELY bit-exact against
     CPython's audioop reference; and since round 11 IEEE-float (tag 3,
     32/64-bit — quantized to int16 by the same round-half-even
-    clamp(rint(v * 2^15)) rule ffmpeg's float→s16 path applies) and
+    clamp(rint(v * 2^15)) rule ffmpeg's float→s16 path applies),
     IMA-ADPCM (tag 0x11 — the block-structured 4-bit predictive codec,
     see :func:`_ima_decode_nibbles`; the fact chunk trims the final
-    block's padding). The remaining seam is ENTROPY-coded audio only
-    (MP3/AAC/FLAC — decode_audio_ffmpeg is the shipped adapter)."""
+    block's padding), and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the
+    wrapper real 24-bit/multichannel writers emit; the SubFormat GUID's
+    leading tag re-dispatches to any of the above). The remaining seam
+    is ENTROPY-coded audio only (MP3/AAC/FLAC — decode_audio_ffmpeg is
+    the shipped adapter)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data, fact_n = 12, None, None, None
@@ -1778,8 +1838,32 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     tag, ch, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if ch < 1:
         raise ValueError("WAVE fmt declares zero channels")
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (round 11): the container real 24-bit/
+        # multichannel writers emit — cbSize >= 22 extension carrying
+        # wValidBitsPerSample, dwChannelMask and a SubFormat GUID whose
+        # first two bytes are the REAL format tag (rest is the fixed
+        # KSDATAFORMAT media-type suffix). Re-dispatch on that tag.
+        if len(fmt) < 40:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk shorter than 40 bytes")
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+        if fmt[26:40] != _EXTENSIBLE_GUID_SUFFIX:
+            raise ValueError("EXTENSIBLE SubFormat GUID suffix is not the media-type GUID")
     if tag == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif tag == 1 and bits == 8:
+        # unsigned 8-bit PCM: ffmpeg's pcm_u8 -> s16 rule, (x-128)<<8
+        samples = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif tag == 1 and bits == 24:
+        # signed 24-bit PCM: sign-extend the 3-byte frames, keep the top
+        # 16 bits (arithmetic >>8 — truncation toward -inf, the documented
+        # native rule; fixtures with a zero low byte round-trip exactly)
+        if len(data) % 3:
+            raise ValueError("24-bit data chunk is not whole 3-byte samples")
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = (v >> 8).astype(np.int16)
     elif tag == 3 and bits in (32, 64):
         f = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
         # ffmpeg's float->s16 conversion: round-half-even at 2^15 gain,
@@ -1826,6 +1910,33 @@ def render_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for doc_id in pdf[id_col].astype("int64"):
                 rate, ch, n = _wav_fixture_geom(int(doc_id))
                 wavs.append(encode_wav(rate, _wav_fixture_samples(int(doc_id), ch, n)))
+            yield pd.DataFrame({id_col: pdf[id_col], "audio": wavs})
+
+    return df.select(id_col).mapInPandas(render, f"{id_col} long, audio binary")
+
+
+def _pcm_variant(doc_id: int) -> int:
+    """PCM container variant for the widened audio_wav fixture (round
+    11): over the 1-in-10 sampled docs, (doc_id // 10) % 4 cycles
+    0=canonical s16, 1=WAVE_FORMAT_EXTENSIBLE s16, 2=24-bit (low byte
+    zero — decodes bit-exact), 3=unsigned 8-bit (decodes to the
+    floor-256 quantization (v>>8)<<8, which the oracle re-renders)."""
+    return (doc_id // 10) % 4
+
+
+def render_pcm_variant_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture renderer cycling all four natively-decoded PCM containers
+    by doc arithmetic — same samples and geometry as
+    :func:`render_wav_payloads`, four real on-disk layouts."""
+    encoders = [encode_wav, encode_wav_extensible, encode_wav_s24, encode_wav_u8]
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for doc_id in pdf[id_col].astype("int64"):
+                rate, ch, n = _wav_fixture_geom(int(doc_id))
+                enc = encoders[_pcm_variant(int(doc_id))]
+                wavs.append(enc(rate, _wav_fixture_samples(int(doc_id), ch, n)))
             yield pd.DataFrame({id_col: pdf[id_col], "audio": wavs})
 
     return df.select(id_col).mapInPandas(render, f"{id_col} long, audio binary")
@@ -2162,10 +2273,11 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("not a RIFF/AVI payload")
     width = height = None
     handler = compression = bpp = None
+    dib_top_down = False
     frames: list[np.ndarray] = []
 
     def walk_hdrl(start: int, end: int) -> None:
-        nonlocal width, height, handler, compression, bpp
+        nonlocal width, height, handler, compression, bpp, dib_top_down
         for cid, body_at, size in _riff_chunks(payload, start, end):
             if cid == b"avih":
                 w_, h_ = struct.unpack_from("<II", payload, body_at + 32)
@@ -2189,19 +2301,25 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                                 f"vids strf is {s2} bytes; BITMAPINFOHEADER "
                                 "needs >= 20 to carry biCompression"
                             )
+                        # biHeight is SIGNED: negative means top-down
+                        # rows (no flip) — the DIB convention real
+                        # capture pipelines use to skip the flip copy
+                        (bi_h,) = struct.unpack_from("<i", payload, b2 + 8)
+                        dib_top_down = bi_h < 0
                         (bpp,) = struct.unpack_from("<H", payload, b2 + 14)
                         compression = payload[b2 + 16 : b2 + 20]
 
     def decode_dib_frame(raw: bytes) -> np.ndarray:
-        # BMP raster rules on a bare frame: bottom-up, BGR, rows padded
-        # to 4 bytes (same layout decode_bmp undoes past its headers)
+        # BMP raster rules on a bare frame: BGR, rows padded to 4 bytes,
+        # bottom-up unless strf declared a negative (top-down) biHeight
         row_bytes = (width * 3 + 3) & ~3
         if len(raw) != height * row_bytes:
             raise ValueError(
                 f"DIB frame is {len(raw)} bytes, geometry needs {height * row_bytes}"
             )
         rows = np.frombuffer(raw, np.uint8).reshape(height, row_bytes)[:, : width * 3]
-        return rows.reshape(height, width, 3)[::-1, :, ::-1]
+        img = rows.reshape(height, width, 3)
+        return (img if dib_top_down else img[::-1])[:, :, ::-1]
 
     for cid, body_at, size in _riff_chunks(payload, 12, len(payload)):
         if cid != b"LIST":
@@ -2486,20 +2604,24 @@ def encode_wav_alaw(sample_rate: int, samples: np.ndarray) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def encode_avi_rawrgb(width: int, height: int, frames: np.ndarray, fps: int = 25) -> bytes:
+def encode_avi_rawrgb(
+    width: int, height: int, frames: np.ndarray, fps: int = 25, top_down: bool = False
+) -> bytes:
     """AVI with UNCOMPRESSED 24-bit DIB video (biCompression=BI_RGB,
-    fccHandler 'DIB '): bottom-up BGR rows padded to 4-byte boundaries —
-    the Video-for-Windows raw layout every player decodes. Since round
-    11 the native :func:`decode_avi_mjpeg` decodes it losslessly (the
-    BMP row reader through the AVI chunk walk); ffmpeg agrees
-    bit-for-bit where installed. ``frames``: uint8 (n, height, width, 3)
-    RGB."""
+    fccHandler 'DIB '): BGR rows padded to 4-byte boundaries — the
+    Video-for-Windows raw layout every player decodes. Since round 11
+    the native :func:`decode_avi_mjpeg` decodes it losslessly (the BMP
+    row reader through the AVI chunk walk); ffmpeg agrees bit-for-bit
+    where installed. ``top_down=True`` writes the other real DIB row
+    order (negative strf biHeight, rows not flipped — capture pipelines
+    emit this to skip the flip copy). ``frames``: uint8
+    (n, height, width, 3) RGB."""
     if frames.ndim != 4 or frames.shape[1:] != (height, width, 3):
         raise ValueError(f"frames {frames.shape} != (n, {height}, {width}, 3)")
     row_pad = (-(width * 3)) % 4
     dibs = []
     for fr in frames.astype(np.uint8):
-        bgr = fr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+        bgr = (fr if top_down else fr[::-1])[:, :, ::-1]  # BGR; bottom-up unless top-down
         raw = b"".join(r.tobytes() + b"\x00" * row_pad for r in bgr)
         dibs.append(raw)
     n = len(dibs)
@@ -2512,8 +2634,8 @@ def encode_avi_rawrgb(width: int, height: int, frames: np.ndarray, fps: int = 25
         "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 10_000, 0,
         0, 0, width, height,
     )
-    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"\x00\x00\x00\x00",
-                       frame_bytes, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, -height if top_down else height,
+                       1, 24, b"\x00\x00\x00\x00", frame_bytes, 0, 0, 0, 0)
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")

@@ -187,12 +187,22 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), asums AS (
         -- interleaved sample at flat i = ((13*d + 29*i) mod 4096) - 2048;
         -- channel of i = i mod ch (SUM over an empty CASE set = NULL, so
-        -- ch1_sum is NULL for mono exactly like the engine emits)
+        -- ch1_sum is NULL for mono exactly like the engine emits).
+        -- q_* are the FLOOR-256 quantized sums (what the unsigned-8-bit
+        -- PCM container preserves: (v>>8)<<8, an arithmetic shift =
+        -- floor). Written as v - positive_remainder because DuckDB's
+        -- integer // truncates toward zero on negatives (round 11)
         SELECT a.doc_id,
-               CAST(SUM(CASE WHEN i % a.ch = 0 THEN ((13*a.doc_id + 29*i) % 4096) - 2048 END) AS BIGINT) AS ch0_sum,
-               CAST(SUM(CASE WHEN i % a.ch = 1 THEN ((13*a.doc_id + 29*i) % 4096) - 2048 END) AS BIGINT) AS ch1_sum,
-               CAST(SUM(ABS(((13*a.doc_id + 29*i) % 4096) - 2048)) AS BIGINT) AS abs_sum
-        FROM aud a, unnest(generate_series(0, a.ch * a.n - 1)) AS gi(i)
+               CAST(SUM(CASE WHEN i % a.ch = 0 THEN v END) AS BIGINT) AS ch0_sum,
+               CAST(SUM(CASE WHEN i % a.ch = 1 THEN v END) AS BIGINT) AS ch1_sum,
+               CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+               CAST(SUM(CASE WHEN i % a.ch = 0 THEN v - ((v % 256 + 256) % 256) END) AS BIGINT) AS q_ch0_sum,
+               CAST(SUM(CASE WHEN i % a.ch = 1 THEN v - ((v % 256 + 256) % 256) END) AS BIGINT) AS q_ch1_sum,
+               CAST(SUM(ABS(v - ((v % 256 + 256) % 256))) AS BIGINT) AS q_abs_sum
+        FROM (
+            SELECT a.doc_id, a.ch, i, ((13*a.doc_id + 29*i) % 4096) - 2048 AS v
+            FROM aud a, unnest(generate_series(0, a.ch * a.n - 1)) AS gi(i)
+        ) a
         GROUP BY a.doc_id
     ), gq AS (
         -- G.711 A-law quantizer q(v), bit-exact to the engine's
@@ -374,15 +384,26 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM vid v JOIN vsums s USING (doc_id)
   UNION ALL
-    -- audio_wav (round 9): native RIFF/PCM decode — exact byte length
-    -- (44-byte canonical header + s16le frames), integer duration, and
-    -- channel/energy sums in the documented union-slot mapping
+    -- audio_wav (round 9; container variants round 11): native RIFF/PCM
+    -- decode over FOUR real layouts cycled by (doc_id//10)%4 —
+    -- 0: canonical 16-byte-fmt s16 (44 + 2chn bytes)
+    -- 1: WAVE_FORMAT_EXTENSIBLE s16 (40-byte fmt: 68 + 2chn)
+    -- 2: 24-bit PCM, low byte zero (44 + 3chn + pad; decodes bit-exact)
+    -- 3: unsigned 8-bit PCM (44 + chn + pad; decodes to the floor-256
+    --    quantization, whose sums the q_* columns re-render)
     SELECT 'audio_wav', a.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           CAST(44 + 2 * a.ch * a.n AS BIGINT),
+           CAST(CASE (a.doc_id // 10) % 4
+                WHEN 0 THEN 44 + 2 * a.ch * a.n
+                WHEN 1 THEN 68 + 2 * a.ch * a.n
+                WHEN 2 THEN 44 + 3 * a.ch * a.n + (3 * a.ch * a.n) % 2
+                ELSE 44 + a.ch * a.n + (a.ch * a.n) % 2 END AS BIGINT),
            a.rate, a.ch, a.n,
            a.n * 1000000 // a.rate, CAST(NULL AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-           s.abs_sum, s.ch0_sum, s.ch1_sum, CAST(NULL AS BIGINT),
+           CASE WHEN (a.doc_id // 10) % 4 = 3 THEN s.q_abs_sum ELSE s.abs_sum END,
+           CASE WHEN (a.doc_id // 10) % 4 = 3 THEN s.q_ch0_sum ELSE s.ch0_sum END,
+           CASE WHEN (a.doc_id // 10) % 4 = 3 THEN s.q_ch1_sum ELSE s.ch1_sum END,
+           CAST(NULL AS BIGINT),
            CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM aud a JOIN asums s USING (doc_id)
   UNION ALL
@@ -684,7 +705,7 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width=sample_rate, height=n_channels, n_frames=n_samples,
     # resized_w=duration_us, pixel_sum=abs_sum (L1 energy),
     # r_sum=ch0_sum, g_sum=ch1_sum (NULL for mono).
-    audio_rows = MM.audio_features(MM.render_wav_payloads(jpeg_docs)).select(
+    audio_rows = MM.audio_features(MM.render_pcm_variant_payloads(jpeg_docs)).select(
         F.lit("audio_wav").alias("op"),
         "doc_id", ns.alias("payload_md5"), ns.alias("modality"), "byte_len",
         F.col("sample_rate").alias("width"), F.col("n_channels").alias("height"),

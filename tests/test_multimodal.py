@@ -921,6 +921,58 @@ def test_float_wav_native_decode():
     assert got.reshape(-1).tolist() == [0, 2, 0, 32767, -32768]
 
 
+def test_pcm_container_variants_native():
+    """Round 11 (second pass): the PCM container variants a real corpus
+    hits — unsigned 8-bit (decodes by ffmpeg's (x−128)<<8 rule: exactly
+    the floor-256 quantization of the source), signed 24-bit (top 16
+    bits kept; low-byte-zero fixtures round-trip bit-exact),
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE re-dispatching on the SubFormat
+    GUID's leading tag, wrong GUID suffix refused), odd-length data
+    chunks word-aligned, and top-down DIB AVI (negative strf biHeight —
+    rows not flipped) decoding frame-exact alongside bottom-up."""
+    rng = np.random.default_rng(1)
+    x = rng.integers(-32768, 32768, size=1000 * 2).astype(np.int16).reshape(-1, 2)
+
+    q = ((x.astype(np.int64) >> 8) << 8).astype(np.int16)  # floor-256
+    r, out = MM.decode_wav(MM.encode_wav_u8(8000, x))
+    assert r == 8000 and np.array_equal(out, q)
+    r, out = MM.decode_wav(MM.encode_wav_s24(8000, x))
+    assert np.array_equal(out, x)
+    r, out = MM.decode_wav(MM.encode_wav_extensible(8000, x))
+    assert np.array_equal(out, x)
+
+    xm = x[:33, :1].copy()  # odd sample counts exercise the pad byte
+    assert MM.decode_wav(MM.encode_wav_u8(8000, xm))[1].shape == (33, 1)
+    assert np.array_equal(MM.decode_wav(MM.encode_wav_s24(8000, xm))[1], xm)
+
+    bad = bytearray(MM.encode_wav_extensible(8000, x))
+    bad[12 + 8 + 30] ^= 0xFF  # corrupt the GUID suffix
+    with pytest.raises(ValueError, match="GUID"):
+        MM.decode_wav(bytes(bad))
+    short = bytearray(MM.encode_wav_extensible(8000, x))
+    struct.pack_into("<I", short, 16, 20)  # claim a 20-byte fmt
+    with pytest.raises(ValueError):
+        MM.decode_wav(bytes(short[: 12 + 8 + 20]) + bytes(short[12 + 8 + 40 :]))
+
+    # 24-bit general rule: arbitrary low bytes floor toward -inf
+    raw = MM.encode_wav_s24(8000, x[:4])
+    noisy = bytearray(raw)
+    data_at = raw.index(b"data") + 8
+    noisy[data_at] = 0xFF  # sample 0 low byte
+    _, out = MM.decode_wav(bytes(noisy))
+    assert out[0, 0] == x[0, 0]  # top 16 bits unchanged by the low byte
+
+    # top-down DIB: both row orders decode to the same RGB frames
+    for w, h, n in ((5, 3, 2), (4, 4, 1)):
+        fr = rng.integers(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        for td in (False, True):
+            W, H, out_v = MM.decode_avi_mjpeg(MM.encode_avi_rawrgb(w, h, fr, top_down=td))
+            assert (W, H) == (w, h) and np.array_equal(out_v, fr), (w, h, td)
+
+    # the widened fixture cycles all four containers deterministically
+    assert [MM._pcm_variant(d) for d in (0, 10, 20, 30, 40)] == [0, 1, 2, 3, 0]
+
+
 def test_dib_avi_native_decode_and_stage(spark):
     """Round 11: raw-RGB DIB AVI decodes natively and LOSSLESSLY —
     round-trip exact across geometries with zero and nonzero row
