@@ -2274,10 +2274,13 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     width = height = None
     handler = compression = bpp = None
     dib_top_down = False
+    vids_idx = None  # stream number of the vids strl (its position in hdrl)
+    strl_seen = 0
     frames: list[np.ndarray] = []
 
     def walk_hdrl(start: int, end: int) -> None:
         nonlocal width, height, handler, compression, bpp, dib_top_down
+        nonlocal vids_idx, strl_seen
         for cid, body_at, size in _riff_chunks(payload, start, end):
             if cid == b"avih":
                 w_, h_ = struct.unpack_from("<II", payload, body_at + 32)
@@ -2289,12 +2292,19 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 # reading +16..+20 from it would clobber the video tag, so
                 # gate the strf capture on the strh fccType seen in THIS
                 # strl (a strf always follows its strh per the AVI spec).
+                # Stream NUMBER = this strl's ordinal among hdrl's strl
+                # lists (AVI spec: movi chunk ids are '<NN>dc' with NN =
+                # that ordinal) — an audio-first AVI carries video as
+                # '01dc', so the movi walk must key on this, not '00'.
+                this_idx = strl_seen
+                strl_seen += 1
                 in_vids = False
                 for c2, b2, s2 in _riff_chunks(payload, body_at + 4, body_at + size):
                     if c2 == b"strh":
                         in_vids = payload[b2 : b2 + 4] == b"vids"
                         if in_vids:
                             handler = payload[b2 + 4 : b2 + 8]
+                            vids_idx = this_idx
                     elif c2 == b"strf" and in_vids:
                         if s2 < 20:
                             raise ValueError(
@@ -2338,8 +2348,9 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     f"(stream is {(handler or b'?')!r}/{(compression or b'?')!r}, "
                     f"{bpp}-bit); inter-frame codecs (H.264/VP9) need ffmpeg"
                 )
+            vtag = b"%02d" % (vids_idx if vids_idx is not None else 0)
             for c2, b2, s2 in _riff_chunks(payload, body_at + 4, body_at + size):
-                if c2 in (b"00dc", b"00db"):
+                if c2 in (vtag + b"dc", vtag + b"db"):
                     chunk = payload[b2 : b2 + s2]
                     if raw_dib:
                         px = decode_dib_frame(chunk)
@@ -2954,8 +2965,9 @@ def _decode_ima_adpcm_data(
     channels), run the vectorized expander over all (block, channel)
     streams at once, and trim the final block's padding to the fact
     count. Returns int16 (n_samples, ch)."""
-    if len(fmt) >= 22:
-        (spb,) = struct.unpack_from("<H", fmt, 20)  # wSamplesPerBlock
+    if len(fmt) >= 20:
+        # WAVEFORMATEX: cbSize@16, extension (wSamplesPerBlock) @18
+        (spb,) = struct.unpack_from("<H", fmt, 18)
     else:
         spb = (block_align - 4 * ch) * 2 // ch + 1
     body_bytes = block_align - 4 * ch

@@ -743,9 +743,11 @@ def test_avi_mjpeg_roundtrip_and_seams():
 def _avi_with_audio_stream(w, h, jpegs, audio_first=False, vids_strf_size=None):
     """Rebuild an MJPEG AVI with a SECOND strl describing a PCM audio
     stream (strh fccType 'auds', strf = 16-byte WAVEFORMAT) — the common
-    webcam/capture layout. Reuses encode_avi_mjpeg's movi/idx1 tail and
-    vids headers verbatim; only hdrl gains the audio strl (and
-    dwStreams=2)."""
+    webcam/capture layout. Reuses encode_avi_mjpeg's vids headers
+    verbatim; hdrl gains the audio strl (and dwStreams=2). When the
+    audio strl comes FIRST, the video stream's number is 1 per the AVI
+    spec, so movi/idx1 are rebuilt with '01dc' chunk ids — the layout a
+    real audio-first capture writes (ADVICE r11)."""
     import struct
 
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import multimodal as MM
@@ -783,6 +785,18 @@ def _avi_with_audio_stream(w, h, jpegs, audio_first=False, vids_strf_size=None):
     auds_strl = lst(b"strl", chunk(b"strh", aud_strh) + chunk(b"strf", aud_strf))
     strls = auds_strl + vids_strl if audio_first else vids_strl + auds_strl
     hdrl = lst(b"hdrl", chunk(b"avih", bytes(avih)) + strls)
+    if audio_first:
+        # video is stream 1 now — rebuild movi/idx1 with '01dc' ids
+        vtag = b"01dc"
+        movi_body = b"movi"
+        idx_entries = []
+        for f in jpegs:
+            idx_entries.append(struct.pack("<4sII I", vtag, 0x10, len(movi_body), len(f)))
+            movi_body += chunk(vtag, f)
+        tail = (
+            b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+            + chunk(b"idx1", b"".join(idx_entries))
+        )
     body = b"AVI " + hdrl + tail
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -887,6 +901,21 @@ def test_ima_adpcm_codec():
         MM.decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="8k\\+1"):
         MM.encode_wav_adpcm(8000, stereo, spb=10)
+
+    # ADVICE r11: spec-legal PADDED fmt (cbSize=4, 22-byte chunk) —
+    # wSamplesPerBlock lives at offset 18 per WAVEFORMATEX (extension
+    # follows cbSize@16); reading it at 20 grabbed the pad bytes and
+    # rejected the file. The encoder writes a 20-byte fmt, so rebuild
+    # with 2 trailing pad bytes and re-declare cbSize=4.
+    wav = MM.encode_wav_adpcm(8000, stereo)
+    fmt20 = bytearray(wav[20:40])
+    struct.pack_into("<H", fmt20, 16, 4)  # cbSize: 2 -> 4
+    padded = (
+        wav[:16] + struct.pack("<I", 22) + bytes(fmt20) + b"\x00\x00" + wav[40:]
+    )
+    padded = b"RIFF" + struct.pack("<I", len(padded) - 8) + padded[8:]
+    r3, dec3 = MM.decode_wav(padded)
+    assert r3 == 8000 and np.array_equal(dec3, MM.decode_wav(wav)[1])
 
 
 def test_float_wav_native_decode():

@@ -190,11 +190,14 @@ def structure_probe(spark) -> dict:
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            r = np.random.default_rng(20260816)
             # per-row deterministic: cluster = id % n_clusters, noise
-            # seeded once per batch from the id block start
+            # seeded per ROW from vec_id so the planted corpus is
+            # identical under any partitioning / batch layout (ADVICE r11)
             c = centers[ids % n_clusters]
-            noise = np.random.default_rng(1 + int(ids[0])).standard_normal((len(ids), dim)) * spread
+            noise = np.stack([
+                np.random.default_rng(1 + int(i)).standard_normal(dim)
+                for i in ids
+            ]) * spread
             v = c + noise
             yield pd.DataFrame({"vec_id": ids, "embedding": list((v).astype("float32"))})
 
