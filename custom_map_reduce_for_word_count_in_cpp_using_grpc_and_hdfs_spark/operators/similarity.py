@@ -851,3 +851,130 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+#: Live-vs-stored IVF crossover, in corpus vectors — pinned from the
+#: round-12 cold A/B (SCALE_R12_ANN_CROSSOVER.json) plus the decade
+#: record (SCALE_R11_ANN.json). Two measured curves, and it's RECALL,
+#: not speed, that binds at small N:
+#:
+#: - speed (cold train+[write]+probe): stored wins at EVERY measured
+#:   size — 5.1 vs 9.2 s at 2k, 12.2 vs 13.6 s at 20k, 45.2 vs 72.8 s
+#:   at 200k, 268 vs 1067 s at 2M — because the live route's 6 in-plan
+#:   Lloyd iterations pay fixed per-job overhead that never amortizes.
+#: - recall at the stored operating point (nprobe = k/4, the
+#:   uniform-fixture fraction): 0.645 at 2k (UNDER the registry's 0.65
+#:   floor), 0.710 at 20k (thin), 0.829 at 200k, 0.896 at 2M — the
+#:   sqrt-N geometry needs enough vectors per bucket for the probed
+#:   quarter to carry the neighbors; the live route's 62% probe
+#:   fraction holds ~0.89 at every size.
+#:
+#: So the crossover sits where the stored route's recall margin is
+#: established (between the thin 20k point and the comfortable 200k
+#: point — geometric middle 60k), keeping small corpora on the
+#: high-recall live route and large ones on the 8.5x/decade index.
+IVF_AUTO_CROSSOVER_VECTORS = 60_000
+
+
+def ensure_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_vectors: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Write-once IVF index with its centroids stored alongside: if
+    ``path`` already holds an index built for exactly ``n_vectors``
+    vectors, load and return the STORED centroids — probes must use the
+    same centroids the rows were assigned with, so centroids are part
+    of the index, not recomputed per query. Otherwise train √N
+    centroids (:func:`ivf_k_for` + :func:`ivf_centroids_np`), write the
+    hive-partitioned index (:func:`write_ivf_index`), and persist the
+    centroid relation as a ``_centroids`` parquet INSIDE the index dir
+    (leading underscore = hidden from the index read's partition
+    discovery, the _SUCCESS convention). Everything goes through Spark
+    writers/readers, so the layout works on any Hadoop filesystem.
+
+    Reuse contract: the check keys on the exact vector count — callers
+    keep distinct corpora in distinct index dirs (the registry keys the
+    dir on the sf_dir's absolute path); a same-count in-place content
+    change requires dropping the dir, exactly like any stored index."""
+    from pyspark.errors import AnalysisException
+
+    spark = corpus.sparkSession
+    cpath = path + "/_centroids"
+    try:
+        rows = spark.read.parquet(cpath).orderBy("bucket").collect()
+        if rows and rows[0].n_vectors == n_vectors:
+            return np.array([r.cvec for r in rows], dtype="float64")
+    except AnalysisException:
+        pass  # no index yet — build below
+    k = ivf_k_for(n_vectors)
+    centroids = ivf_centroids_np(corpus, k=k, id_col=id_col, vec_col=vec_col)
+    write_ivf_index(corpus, centroids, path, id_col=id_col, vec_col=vec_col)
+    crows = [
+        (int(i), [float(x) for x in c], int(n_vectors)) for i, c in enumerate(centroids)
+    ]
+    (
+        spark.createDataFrame(crows, "bucket int, cvec array<double>, n_vectors long")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(cpath)
+    )
+    return centroids
+
+
+def auto_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_root: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    crossover: int = IVF_AUTO_CROSSOVER_VECTORS,
+):
+    """Cost-aware IVF top-k — the fourth measured-crossover default on
+    the shared ``plans/cost.py`` seam (after edge route, skew salting,
+    state store). Measures the corpus size (one metadata-cheap count)
+    and routes:
+
+    - ``live`` (≤ crossover): in-plan Lloyd training at k=16 + in-plan
+      bucket assignment (:func:`ivf_centroids` + :func:`ivf_topk`) —
+      no storage touched; right for one-shot small-corpus queries where
+      the stored route's parquet write+read roundtrip dominates.
+    - ``stored`` (> crossover): √N centroids via sampled driver-side
+      k-means, write-once hive-partitioned index, partition-pruned
+      probes (:func:`ensure_ivf_index` + :func:`ivf_topk_stored`) at
+      nprobe = k/4 — the uniform-fixture floor-clearing operating point
+      (tools/ann_scale.py); measured 8.5×/decade vs the live route's
+      18.5× (SCALE_R11_ANN.json), and already ahead COLD at 200k
+      vectors (45.2 s vs 72.8 s).
+
+    Returns ``(topk_df, CostDecision)`` so callers and tests can audit
+    the route, same as the other cost-aware seams."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
+
+    n = corpus.count()
+    decision = decide_crossover(
+        float(n),
+        float(crossover),
+        "stored",
+        "live",
+        "ivf corpus vectors",
+        detail=f"stored route: sqrt-N={ivf_k_for(n)} centroids at {index_root}",
+    )
+    if decision.choice == "live":
+        centroids = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col)
+        return (
+            ivf_topk(queries, corpus, centroids, k, nprobe=10, id_col=id_col, vec_col=vec_col),
+            decision,
+        )
+    centroids = ensure_ivf_index(corpus, index_root, n, id_col=id_col, vec_col=vec_col)
+    nprobe = max(10, len(centroids) // 4)
+    return (
+        ivf_topk_stored(
+            corpus.sparkSession, queries, index_root, centroids, k,
+            nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        ),
+        decision,
+    )

