@@ -475,6 +475,24 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM aud a JOIN asums s USING (doc_id)
   UNION ALL
+    -- audio_flac (round 12): FLAC decoded NATIVELY — Rice entropy
+    -- coding over fixed-order linear-prediction residuals, stereo docs
+    -- cycling all four channel assignments (independent / left-side /
+    -- right-side / mid-side by (doc_id//10)%4). LOSSLESS, so the PCM
+    -- arithmetic oracle applies VERBATIM to the decoded samples — the
+    -- bitreader, Rice decode, predictor and decorrelation must all be
+    -- exact to reproduce these sums. byte_len is NULL on both sides:
+    -- Rice code lengths aren't SQL-expressible (that's the point of an
+    -- entropy codec); the container self-verifies via CRC-8/16 + MD5.
+    SELECT 'audio_flac', a.doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT),
+           a.rate, a.ch, a.n,
+           a.n * 1000000 // a.rate, CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           s.abs_sum, s.ch0_sum, s.ch1_sum, CAST(NULL AS BIGINT),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+    FROM aud a JOIN asums s USING (doc_id)
+  UNION ALL
     -- audio_adpcm (round 11): IMA-ADPCM (tag 0x11) decoded natively.
     -- Lossy differential codec, so the exact values are the container
     -- geometry — byte_len = 60 header bytes + ceil(n/17) blocks of
@@ -624,8 +642,9 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (bottom-up BGR rows, 4-byte padding: the BMP raster through the
       AVI chunk walk). Lossless, so unlike video_mjpeg the per-channel
       pixel sums are exact oracle values, not a bounded invariant.
-      With these three the native A/V seam shrinks to ENTROPY-coded
-      formats only (MP3/AAC/FLAC, H.264/VP9 — the ffmpeg adapter).
+      With these three the native A/V seam shrank to ENTROPY-coded
+      formats; round 12's audio_flac moves it to PERCEPTUAL formats
+      only (MP3/AAC, H.264/VP9 — the ffmpeg adapter).
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = MM.attach_payload(docs)
@@ -791,6 +810,26 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("b_sum"),
         nflag.alias("decode_ok"), ns.alias("status"),
     )
+    # op='audio_flac' (round 12): FLAC decoded NATIVELY — the entropy
+    # codec milestone: Rice-coded fixed-prediction residuals, all four
+    # stereo channel assignments cycled by doc arithmetic, CRC-8/16 and
+    # STREAMINFO-MD5 self-verified in the decoder. Lossless, so the
+    # exact PCM sums apply verbatim (same union-slot mapping as
+    # audio_wav); byte_len is NULL — Rice lengths aren't
+    # SQL-expressible, which is precisely what distinguishes an entropy
+    # container from the fixed-layout ones.
+    flac_rows = MM.audio_features(MM.render_flac_payloads(jpeg_docs)).select(
+        F.lit("audio_flac").alias("op"),
+        "doc_id", ns.alias("payload_md5"), ns.alias("modality"), nb.alias("byte_len"),
+        F.col("sample_rate").alias("width"), F.col("n_channels").alias("height"),
+        F.col("n_samples").alias("n_frames"),
+        F.col("duration_us").alias("resized_w"), nb.alias("resized_h"),
+        ns.alias("sampled_frames"), nb.alias("maxval"),
+        F.col("abs_sum").alias("pixel_sum"),
+        F.col("ch0_sum").alias("r_sum"), F.col("ch1_sum").alias("g_sum"),
+        nb.alias("b_sum"),
+        nflag.alias("decode_ok"), ns.alias("status"),
+    )
     # op='audio_adpcm' (round 11): IMA-ADPCM WAV (tag 0x11) decoded
     # natively — block-structured 4-bit differential codec, multi-block
     # with carried step index and fact-trimmed padding at every fixture
@@ -869,6 +908,7 @@ def mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(mjpeg_rows)
         .unionAll(g711_rows)
         .unionAll(f32_rows)
+        .unionAll(flac_rows)
         .unionAll(adpcm_rows)
         .unionAll(dib_rows)
     )

@@ -556,12 +556,12 @@ def test_wav_roundtrip_and_seams():
     )
     drate, out = MM.decode_wav(spliced)
     assert drate == rate and np.array_equal(out, samples)
-    # seams: entropy-coded audio refuses (G.711 decodes natively since
-    # round 10; float/ADPCM since round 11); truncation and bad magic
-    # fail loudly
+    # seams: PERCEPTUAL audio refuses (G.711 decodes natively since
+    # round 10; float/ADPCM since round 11, FLAC since round 12);
+    # truncation and bad magic fail loudly
     bad_fmt = bytearray(data)
     bad_fmt[20] = 0x55  # fmt tag 0x55 = MPEG Layer 3 in WAV
-    with pytest.raises(NotImplementedError, match="entropy-coded"):
+    with pytest.raises(NotImplementedError, match="PERCEPTUAL"):
         MM.decode_wav(bytes(bad_fmt))
     with pytest.raises(ValueError, match="truncated"):
         MM.decode_wav(data[:-1])
@@ -1170,11 +1170,11 @@ def test_av_compressed_fixtures_quarantine_natively(spark):
     W, H, out_v = MM.decode_avi_mjpeg(raw_avi)
     assert (W, H) == (4, 5) and np.array_equal(out_v, rgb_frames)
 
-    # the remaining refusals are entropy-coded formats: real headers,
+    # the remaining refusals are perceptual codecs: real headers,
     # declared seams
     mp3_wav = bytearray(MM.encode_wav(8000, xs))
     mp3_wav[20] = 0x55  # format tag 0x55 = MPEG Layer 3
-    with _pytest.raises(NotImplementedError, match="entropy-coded"):
+    with _pytest.raises(NotImplementedError, match="PERCEPTUAL"):
         MM.decode_wav(bytes(mp3_wav))
     w, h, n = MM._mjpeg_fixture_geom(10)
     good_avi = MM.encode_avi_mjpeg(
@@ -1251,7 +1251,24 @@ def test_ffmpeg_adapter_cross_checks_native_decoders(spark):
     wn, hn, out_native = MM.decode_avi_mjpeg(raw_avi)
     assert (wn, hn) == (w, h) and np.array_equal(out_native, out)
 
-    # entropy-coded: MP3-in-WAV rendered by ffmpeg itself; native
+    # FLAC (round 12): bidirectional cross-check of the entropy codec —
+    # ffmpeg decodes the NATIVE encoder's output bit-for-bit, and the
+    # native decoder decodes FFMPEG's own flac encoder output (LPC
+    # subframes, multi-partition Rice — the surface our encoder doesn't
+    # emit) back to the exact source samples
+    for mode in ("independent", "left-side", "mid-side"):
+        flac = MM.encode_flac(8000, x, stereo_mode=mode)
+        rate_a, out_a = MM.decode_audio_ffmpeg(flac)
+        assert rate_a == 8000 and np.array_equal(out_a, x), mode
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", "-acodec", "flac", "-f", "flac", "pipe:1"],
+        input=MM.encode_wav(8000, x), capture_output=True, check=False,
+    )
+    if proc.returncode == 0 and proc.stdout[:4] == b"fLaC":
+        rate_n, out_n = MM.decode_flac(proc.stdout)
+        assert rate_n == 8000 and np.array_equal(out_n, x)
+
+    # perceptual: MP3-in-WAV rendered by ffmpeg itself; native
     # refuses the tag, the adapter decodes with sane geometry (MP3 is
     # lossy + padded, so assert rate/channels and approximate length)
     pcm_wav = MM.encode_wav(8000, x)
@@ -1261,7 +1278,7 @@ def test_ffmpeg_adapter_cross_checks_native_decoders(spark):
     )
     if proc.returncode == 0 and proc.stdout[:4] == b"RIFF":  # libmp3lame present
         mp3_wav = proc.stdout
-        with pytest.raises(NotImplementedError, match="entropy-coded"):
+        with pytest.raises(NotImplementedError, match="PERCEPTUAL"):
             MM.decode_wav(mp3_wav)
         rate_m, out_m = MM.decode_audio_ffmpeg(mp3_wav)
         assert rate_m == 8000 and out_m.shape[1] == 2
@@ -1335,3 +1352,186 @@ def test_avi_and_alaw_roundtrip_fuzz():
 
     avi_case()
     alaw_case()
+
+
+def _build_flac_frame(rate, nch, bps, block, write_subframes, md5_bytes=None):
+    """Hand-assemble a single-frame FLAC stream: real headers and CRCs
+    around caller-supplied subframe bits — the harness for decoder
+    paths our encoder never emits (LPC, Rice2, escapes, wasted bits,
+    multi-partition residuals, odd bit depths)."""
+    w = MM._FlacBitWriter()
+    w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+    w.write(7, 4)        # block size: 16-bit value follows
+    w.write(0, 4)        # rate: from STREAMINFO
+    w.write(nch - 1, 4)  # independent channels
+    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+    w.write(0, 1)
+    w.write(0, 8)        # utf8 frame number 0
+    w.write(block - 1, 16)
+    w.write(MM._crc8_flac(bytes(w.buf)), 8)
+    write_subframes(w)
+    w.align()
+    w.write(MM._crc16_flac(bytes(w.buf)), 16)
+    frame = w.getvalue()
+    si = MM._FlacBitWriter()
+    si.write(block, 16); si.write(block, 16)
+    si.write(len(frame), 24); si.write(len(frame), 24)
+    si.write(rate, 20); si.write(nch - 1, 3); si.write(bps - 1, 5)
+    si.write(block, 36)
+    streaminfo = si.getvalue() + (md5_bytes or b"\x00" * 16)
+    return (
+        MM.FLAC_MAGIC + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo + frame
+    )
+
+
+def test_flac_codec_roundtrip_and_self_checks():
+    """Round 12: the native FLAC codec — the entropy-codec milestone.
+    Encoder->decoder roundtrips are EXACT (lossless) across the fixture
+    family, every stereo decorrelation mode, and multi-frame streams;
+    the container self-checks (CRC-8, CRC-16, STREAMINFO MD5) each fail
+    loudly under single-bit corruption; dispatch routes FLAC magic to
+    decode_flac and RIFF to decode_wav."""
+    # fixture family: all geometries, mono + all four stereo modes
+    for d in (0, 1, 7, 12, 40, 100, 229):
+        rate, ch, n = MM._wav_fixture_geom(d)
+        x = MM._wav_fixture_samples(d, ch, n)
+        mode = ["independent", "left-side", "right-side", "mid-side"][(d // 10) % 4] \
+            if ch == 2 else "independent"
+        flac = MM.encode_flac(rate, x, stereo_mode=mode)
+        r2, out = MM.decode_flac(flac)
+        assert r2 == rate and np.array_equal(out, x), (d, mode)
+        r3, out3 = MM.decode_audio_native(flac)
+        assert r3 == rate and np.array_equal(out3, x)
+
+    # full-swing stereo, multi-frame, every mode
+    rng = np.random.default_rng(7)
+    x = rng.integers(-32768, 32768, size=3000 * 2).astype(np.int16).reshape(-1, 2)
+    for mode in ("independent", "left-side", "right-side", "mid-side"):
+        flac = MM.encode_flac(8000, x, block_size=1024, stereo_mode=mode)
+        r2, out = MM.decode_flac(flac)
+        assert r2 == 8000 and np.array_equal(out, x), mode
+
+    # compression is real: the triangle fixture (smooth, order-2
+    # predictable) must Rice-code well under the raw PCM size
+    tri = MM._adpcm_fixture_samples(9, 1, 4000)
+    flac = MM.encode_flac(8000, tri)
+    assert len(flac) < tri.nbytes // 2
+
+    # self-checks fail loudly on single-byte corruption
+    flac = bytearray(MM.encode_flac(8000, x[:500]))
+    # STREAMINFO md5 byte -> decoded-stream MD5 mismatch
+    bad = flac.copy(); bad[30] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        MM.decode_flac(bytes(bad))
+    # a frame-body byte -> CRC-16 (or earlier Rice geometry) failure
+    bad = flac.copy(); bad[-4] ^= 0x01
+    with pytest.raises(ValueError):
+        MM.decode_flac(bytes(bad))
+    # a header byte just after sync -> CRC-8 failure
+    bad = flac.copy(); bad[42 + 3] ^= 0x02  # inside the first frame header
+    with pytest.raises(ValueError):
+        MM.decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        MM.decode_flac(b"fLaX" + bytes(flac[4:]))
+    with pytest.raises(ValueError):
+        MM.decode_flac(bytes(flac[:50]))  # truncated
+
+    # dispatch: WAV still routes through the RIFF walk
+    r4, out4 = MM.decode_audio_native(MM.encode_wav(8000, x[:100]))
+    assert r4 == 8000 and np.array_equal(out4, x[:100])
+
+
+def test_flac_decoder_full_subframe_surface():
+    """Decoder paths beyond what our encoder emits, each on a
+    hand-built spec-exact stream: LPC subframes, Rice2 (5-bit params),
+    the raw-bits escape, multi-partition residuals, wasted bits,
+    verbatim subframes, and 24-bit depth mapping."""
+    import hashlib
+
+    # LPC order 1, coeff 2, shift 1: s[i] = r[i] + (2*s[i-1] >> 1)
+    warm, res = 100, [3, -2, 5, 0, -7, 1, 4]
+    expect = [warm]
+    for e in res:
+        expect.append(e + ((2 * expect[-1]) >> 1))
+
+    def lpc_sub(w):
+        w.write(0, 1); w.write(32, 6); w.write(0, 1)  # LPC order 1
+        w.write(warm & 0xFFFF, 16)                     # warmup
+        w.write(3, 4)                                  # precision 4
+        w.write(1, 5)                                  # shift 1
+        w.write(2, 4)                                  # coeff = 2 (4-bit signed)
+        w.write(0, 2); w.write(0, 4); w.write(2, 4)    # rice p=2
+        for v in res:
+            u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+            w.write(1, (u >> 2) + 1); w.write(u & 3, 2)
+
+    md5 = hashlib.md5(np.array(expect, "<i2").tobytes()).digest()
+    rate, out = MM.decode_flac(_build_flac_frame(8000, 1, 16, len(expect), lpc_sub, md5))
+    assert rate == 8000 and out.reshape(-1).tolist() == expect
+
+    # Rice2 (method 1, 5-bit params) + partition order 1 on FIXED order 1
+    block, vals = 8, [10, 11, 13, 12, 9, 9, 14, 10]
+    res1 = [vals[i] - vals[i - 1] for i in range(1, block)]
+
+    def fixed_sub(w):
+        w.write(0, 1); w.write(9, 6); w.write(0, 1)  # FIXED order 1
+        w.write(vals[0] & 0xFFFF, 16)
+        w.write(1, 2)   # method 1: Rice2
+        w.write(1, 4)   # partition order 1 -> 2 partitions
+        for p, part in enumerate((res1[: block // 2 - 1], res1[block // 2 - 1 :])):
+            w.write(3, 5)  # 5-bit param 3
+            for v in part:
+                u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+                w.write(1, (u >> 3) + 1); w.write(u & 7, 3)
+
+    md5 = hashlib.md5(np.array(vals, "<i2").tobytes()).digest()
+    rate, out = MM.decode_flac(_build_flac_frame(8000, 1, 16, block, fixed_sub, md5))
+    assert out.reshape(-1).tolist() == vals
+
+    # escape partition (param all-ones -> raw 6-bit residuals) + VERBATIM ch1
+    vals0, vals1 = [7, 7, 9, 6], [-1, 2, -3, 4]
+    res0 = [vals0[i] - vals0[i - 1] for i in range(1, 4)]
+
+    def two_sub(w):
+        w.write(0, 1); w.write(9, 6); w.write(0, 1)   # ch0: FIXED order 1
+        w.write(vals0[0] & 0xFFFF, 16)
+        w.write(0, 2); w.write(0, 4); w.write(15, 4)  # ESCAPE
+        w.write(6, 5)                                 # raw width 6
+        for v in res0:
+            w.write(v & 0x3F, 6)
+        w.write(0, 1); w.write(1, 6); w.write(0, 1)   # ch1: VERBATIM
+        for v in vals1:
+            w.write(v & 0xFFFF, 16)
+
+    inter = np.array([vals0, vals1], "<i2").T.reshape(-1)
+    md5 = hashlib.md5(inter.astype("<i2").tobytes()).digest()
+    rate, out = MM.decode_flac(_build_flac_frame(8000, 2, 16, 4, two_sub, md5))
+    assert out[:, 0].tolist() == vals0 and out[:, 1].tolist() == vals1
+
+    # wasted bits: all-even samples coded at bps-1 with 1 wasted bit
+    vals = [2, 4, -6, 8]
+
+    def wasted_sub(w):
+        w.write(0, 1); w.write(1, 6)   # VERBATIM
+        w.write(1, 1)                  # wasted-bits flag
+        w.write(1, 1)                  # unary 0 -> wasted = 1
+        for v in vals:
+            w.write((v >> 1) & 0x7FFF, 15)
+
+    md5 = hashlib.md5(np.array(vals, "<i2").tobytes()).digest()
+    rate, out = MM.decode_flac(_build_flac_frame(8000, 1, 16, 4, wasted_sub, md5))
+    assert out.reshape(-1).tolist() == vals
+
+    # 24-bit CONSTANT: decoder keeps the top 16 bits (the s24 WAV rule)
+    v24 = 0x123456
+
+    def const24(w):
+        w.write(0, 1); w.write(0, 6); w.write(0, 1)
+        w.write(v24, 24)
+
+    u = np.array([v24] * 4, np.int64)
+    raw24 = (u & 0xFFFFFF).astype("<u4").view(np.uint8).reshape(-1, 4)[:, :3]
+    md5 = hashlib.md5(raw24.tobytes()).digest()
+    rate, out = MM.decode_flac(_build_flac_frame(8000, 1, 24, 4, const24, md5))
+    assert out.reshape(-1).tolist() == [v24 >> 8] * 4
