@@ -3183,37 +3183,122 @@ def _crc8_flac(data: bytes) -> int:
     return r
 
 
+#: numpy view of the CRC-16 table for the lane-vectorized bulk path
+_FLAC_CRC16_NP = None  # built lazily (numpy import order)
+
+
+def _crc16_gf2_matmul(a: list[int], b: list[int]) -> list[int]:
+    """GF(2) 16x16 matrix product; a matrix is 16 column masks (column
+    j's bits = image of basis vector e_j), the crc32_combine idiom."""
+    out = []
+    for col in b:
+        acc = 0
+        for i in range(16):
+            if col & (1 << i):
+                acc ^= a[i]
+        out.append(acc)
+    return out
+
+
 def _crc16_flac(data: bytes) -> int:
-    r = 0
-    for b in data:
-        r = ((r << 8) & 0xFFFF) ^ _FLAC_CRC16[(r >> 8) ^ b]
-    return r
+    """CRC-16 (poly 0x8005, init 0, MSB-first). Small inputs take the
+    per-byte table loop; large inputs (whole FLAC frames — the round-12
+    profile showed this loop at ~30% of decode time) take a vectorized
+    split: the buffer is FRONT-padded with zero bytes (leading zeros
+    are CRC-neutral at init 0) and cut into S equal lanes whose states
+    update in lockstep as numpy uint16 table lookups (len/S python
+    iterations total), then the S per-lane CRCs fold left via the
+    shift-by-lane-length GF(2) matrix, built by log2 squarings of the
+    shift-by-one-byte matrix."""
+    n = len(data)
+    if n < 4096:
+        r = 0
+        for b in data:
+            r = ((r << 8) & 0xFFFF) ^ _FLAC_CRC16[(r >> 8) ^ b]
+        return r
+    global _FLAC_CRC16_NP
+    if _FLAC_CRC16_NP is None:
+        _FLAC_CRC16_NP = np.array(_FLAC_CRC16, dtype=np.uint16)
+    S = 256
+    seg = (n + S - 1) // S
+    padded = b"\x00" * (S * seg - n) + data
+    arr = np.frombuffer(padded, dtype=np.uint8).reshape(S, seg)
+    states = np.zeros(S, dtype=np.uint16)
+    T = _FLAC_CRC16_NP
+    for j in range(seg):
+        states = (states << np.uint16(8)) ^ T[(states >> np.uint16(8)).astype(np.uint8) ^ arr[:, j]]
+    hi, lo = _crc16_shift_tables(seg)
+    crc = 0
+    for s in states.tolist():
+        crc = hi[crc >> 8] ^ lo[crc & 0xFF] ^ s
+    return crc
+
+
+#: seg-bytes -> (hi, lo) 256-entry tables of the shift-by-seg GF(2) map
+_CRC16_SHIFT_CACHE: dict[int, tuple[list[int], list[int]]] = {}
+
+
+def _crc16_shift_tables(seg: int) -> tuple[list[int], list[int]]:
+    """Tables applying the shift-by-``seg``-zero-bytes linear map to a
+    CRC-16 state in two byte lookups: M = (byte-shift matrix)^seg by
+    square-and-multiply over GF(2), then hi/lo images of every byte
+    value. Cached — frames of one stream share a handful of lengths."""
+    cached = _CRC16_SHIFT_CACHE.get(seg)
+    if cached is not None:
+        return cached
+    byte_shift = [((1 << i) << 8) & 0xFFFF ^ _FLAC_CRC16[(1 << i) >> 8] for i in range(16)]
+    M, P, e = None, byte_shift, seg
+    while e:
+        if e & 1:
+            M = P if M is None else _crc16_gf2_matmul(P, M)
+        P = _crc16_gf2_matmul(P, P)
+        e >>= 1
+
+    def image(v: int) -> int:
+        acc = 0
+        i = 0
+        while v:
+            if v & 1:
+                acc ^= M[i]
+            v >>= 1
+            i += 1
+        return acc
+
+    hi = [image(b << 8) for b in range(256)]
+    lo = [image(b) for b in range(256)]
+    _CRC16_SHIFT_CACHE[seg] = (hi, lo)
+    return hi, lo
 
 
 class _FlacBitReader:
     """MSB-first bit reader over the whole payload: one unpackbits up
-    front, multi-bit reads fold via packbits, and unary runs resolve by
-    binary search over the precomputed one-bit positions (O(log n) per
-    Rice quotient instead of a linear scan)."""
+    front (bit array for vectorized Rice/remainder gathers), one-bit
+    positions precomputed for O(log n) unary resolution, and small
+    multi-bit reads served by plain byte arithmetic on the original
+    buffer (int.from_bytes on a 1-9 byte slice — ~20x cheaper than a
+    per-field numpy packbits round-trip, measured in the round-12
+    profile)."""
 
-    __slots__ = ("bits", "ones", "pos")
+    __slots__ = ("data", "bits", "ones", "pos")
 
     def __init__(self, data: bytes):
+        self.data = data
         self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.ones = np.flatnonzero(self.bits)
+        # bool cast first: this numpy build's nonzero is ~12x slower on
+        # uint8 input than on bool (measured)
+        self.ones = np.flatnonzero(self.bits.astype(bool))
         self.pos = 0
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        s = self.bits[self.pos : self.pos + n]
-        if len(s) < n:
+        pos = self.pos
+        end = pos + n
+        if end > len(self.bits):
             raise ValueError("truncated FLAC bitstream")
-        self.pos += n
-        pad = (-n) % 8
-        if pad:
-            s = np.concatenate([np.zeros(pad, dtype=np.uint8), s])
-        return int.from_bytes(np.packbits(s).tobytes(), "big")
+        self.pos = end
+        chunk = self.data[pos >> 3 : (end + 7) >> 3]
+        return (int.from_bytes(chunk, "big") >> ((-end) % 8)) & ((1 << n) - 1)
 
     def signed(self, n: int) -> int:
         v = self.read(n)
@@ -3312,7 +3397,70 @@ _FLAC_RATE_CODES = [
 ]
 
 
-def _flac_read_residual(r: _FlacBitReader, block_size: int, pred_order: int) -> list[int]:
+def _rice_decode_block(r: _FlacBitReader, count: int, param: int) -> np.ndarray:
+    """Fully vectorized Rice decode of ``count`` values at one parameter
+    — the mm-scale record flagged the per-value loop as the slowest
+    audio kernel. The sequential dependency (each quotient's unary run
+    starts after the previous value's remainder, and remainder bits may
+    themselves contain ones) is an ITERATED FUNCTION: stop k+1 sits at
+    f(stop k) where f(s) = first one-bit ≥ s + 1 + param. So:
+
+    1. build f ONCE as a vectorized searchsorted over a window of the
+       precomputed one-positions (window sized to the expected ones
+       density of Rice data, ~1 stop + param/2 remainder ones per
+       value, doubled on escape — unary runs are all-zero, so they add
+       no ones);
+    2. compute the orbit f⁰(j₀)..f^{count-1}(j₀) by PREFIX DOUBLING:
+       the known half of the orbit extends itself with one gather
+       through f^(2^t), and f^(2^(t+1)) = f^(2^t)∘f^(2^t) is one more
+       gather — log₂(count) levels, no per-value Python;
+    3. quotients are consecutive-stop gaps, and ALL remainders gather
+       in one fancy-indexed (count × param) bit matrix dotted with
+       powers of two. Zigzag unmaps vectorized.
+    """
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    ones, bits, pos = r.ones, r.bits, r.pos
+    j0 = int(np.searchsorted(ones, pos))
+    step = 1 + param
+    win = j0 + int(count * (1 + param / 2) * 1.5) + 8
+    while True:
+        W = ones[j0:win]
+        if len(W) == 0:
+            raise ValueError("truncated FLAC bitstream in unary run")
+        sent = len(W)
+        f = np.minimum(np.searchsorted(W, W + step), sent)
+        f = np.append(f, sent)  # sentinel absorbs escapes
+        orbit = np.zeros(1, dtype=np.int64)
+        G = f
+        while len(orbit) < count:
+            orbit = np.concatenate([orbit, G[orbit]])
+            if len(orbit) < count:
+                G = G[G]
+        orbit = orbit[:count]
+        if orbit[-1] < sent:
+            stops = W[orbit]
+            break
+        if win >= len(ones):  # window already covers every one-bit
+            raise ValueError("truncated FLAC bitstream in unary run")
+        win = min(len(ones), win * 2)
+    r.pos = int(stops[-1]) + step
+    if r.pos > len(bits):
+        raise ValueError("truncated FLAC bitstream")
+    q = np.empty(count, dtype=np.int64)
+    q[0] = stops[0] - pos
+    if count > 1:
+        q[1:] = stops[1:] - stops[:-1] - step
+    if param:
+        idx = stops[:, None] + 1 + np.arange(param, dtype=np.int64)[None, :]
+        rem = bits[idx].astype(np.int64) @ (1 << np.arange(param - 1, -1, -1, dtype=np.int64))
+        u = (q << param) | rem
+    else:
+        u = q
+    return (u >> 1) ^ -(u & 1)
+
+
+def _flac_read_residual(r: _FlacBitReader, block_size: int, pred_order: int) -> np.ndarray:
     """Residual section: 2-bit method (0 = 4-bit Rice params, 1 = 5-bit
     Rice2), 4-bit partition order, 2^order partitions each with its own
     parameter; the all-ones parameter escapes to raw n-bit verbatim."""
@@ -3325,23 +3473,20 @@ def _flac_read_residual(r: _FlacBitReader, block_size: int, pred_order: int) -> 
     nparts = 1 << porder
     if block_size % nparts or (block_size >> porder) <= pred_order:
         raise ValueError("invalid FLAC rice partition geometry")
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for p in range(nparts):
         count = (block_size >> porder) - (pred_order if p == 0 else 0)
         param = r.read(pbits)
         if param == escape:
             raw = r.read(5)
-            for _ in range(count):
-                out.append(r.signed(raw) if raw else 0)
+            vals = np.array([r.signed(raw) if raw else 0 for _ in range(count)], dtype=np.int64)
+            parts.append(vals)
         else:
-            for _ in range(count):
-                q = r.unary()
-                u = (q << param) | r.read(param)
-                out.append((u >> 1) ^ -(u & 1))
-    return out
+            parts.append(_rice_decode_block(r, count, param))
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
-def _flac_read_subframe(r: _FlacBitReader, block_size: int, bps: int) -> list[int]:
+def _flac_read_subframe(r: _FlacBitReader, block_size: int, bps: int) -> np.ndarray:
     if r.read(1):
         raise ValueError("FLAC subframe header reserved bit set")
     stype = r.read(6)
@@ -3350,20 +3495,26 @@ def _flac_read_subframe(r: _FlacBitReader, block_size: int, bps: int) -> list[in
         wasted = r.unary() + 1
         bps -= wasted
     if stype == 0:  # CONSTANT
-        s = [r.signed(bps)] * block_size
+        s = np.full(block_size, r.signed(bps), dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        s = [r.signed(bps) for _ in range(block_size)]
+        s = np.array([r.signed(bps) for _ in range(block_size)], dtype=np.int64)
     elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+        # The fixed predictor of order k is exactly the k-th binomial
+        # difference (e[i] = Δᵏs[i]), so reconstruction is k iterated
+        # cumsums: integrating level j down to j-1 seeds with the
+        # warmup's leading (j-1)-th difference Δ^(j-1)s[j-1], and after
+        # k integrations the cumsum covers the FULL signal (the warmup
+        # is absorbed by the seeds) — fully vectorized, no per-sample
+        # Python
         order = stype - 8
-        s = [r.signed(bps) for _ in range(order)]
-        res = _flac_read_residual(r, block_size, order)
-        coeffs = _FLAC_FIXED_COEFFS[order]
-        for i, e in enumerate(res):
-            pred = sum(c * s[order + i - 1 - j] for j, c in enumerate(coeffs))
-            s.append(e + pred)
+        warm = np.array([r.signed(bps) for _ in range(order)], dtype=np.int64)
+        s = _flac_read_residual(r, block_size, order)
+        for j in range(order, 0, -1):
+            seed = np.diff(warm, n=j - 1)[:1] if j > 1 else warm[:1]
+            s = np.cumsum(np.concatenate([seed, s]))
     elif stype >= 32:  # LPC, order = (stype & 31) + 1
         order = (stype & 31) + 1
-        s = [r.signed(bps) for _ in range(order)]
+        warm = [r.signed(bps) for _ in range(order)]
         precision = r.read(4) + 1
         if precision == 16:
             raise ValueError("invalid FLAC qlp precision code 15")
@@ -3372,13 +3523,15 @@ def _flac_read_subframe(r: _FlacBitReader, block_size: int, bps: int) -> list[in
             raise ValueError("negative FLAC qlp shift")
         coeffs = [r.signed(precision) for _ in range(order)]
         res = _flac_read_residual(r, block_size, order)
-        for i, e in enumerate(res):
-            pred = sum(c * s[order + i - 1 - j] for j, c in enumerate(coeffs)) >> shift
-            s.append(e + pred)
+        sl = list(warm)
+        for i, e in enumerate(res.tolist()):
+            pred = sum(c * sl[order + i - 1 - j] for j, c in enumerate(coeffs)) >> shift
+            sl.append(e + pred)
+        s = np.array(sl, dtype=np.int64)
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     if wasted:
-        s = [v << wasted for v in s]
+        s = s << wasted
     return s
 
 
@@ -3489,19 +3642,16 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
             if ch_code == 8:  # left/side
                 left = _flac_read_subframe(r, block_size, bps)
                 side = _flac_read_subframe(r, block_size, bps + 1)
-                chans = [left, [l - s for l, s in zip(left, side)]]
+                chans = [left, left - side]
             elif ch_code == 9:  # side/right
                 side = _flac_read_subframe(r, block_size, bps + 1)
                 right = _flac_read_subframe(r, block_size, bps)
-                chans = [[rr + s for rr, s in zip(right, side)], right]
+                chans = [right + side, right]
             else:  # mid/side
                 mid = _flac_read_subframe(r, block_size, bps)
                 side = _flac_read_subframe(r, block_size, bps + 1)
-                chans = [[], []]
-                for m, s in zip(mid, side):
-                    m = (m << 1) | (s & 1)
-                    chans[0].append((m + s) >> 1)
-                    chans[1].append((m - s) >> 1)
+                m = (mid << 1) | (side & 1)
+                chans = [(m + side) >> 1, (m - side) >> 1]
         else:
             raise ValueError(f"reserved FLAC channel assignment {ch_code}")
         if nch != si_ch:
@@ -3510,7 +3660,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         frame_crc = _crc16_flac(payload[pos + frame_start : pos + r.byte_pos])
         if r.read(16) != frame_crc:
             raise ValueError("FLAC frame CRC-16 mismatch")
-        frames.append(np.array(chans, dtype=np.int64).T)  # (block, ch)
+        frames.append(np.stack(chans, axis=1).astype(np.int64))  # (block, ch)
         decoded += block_size
 
     samples = np.concatenate(frames) if frames else np.empty((0, si_ch), np.int64)

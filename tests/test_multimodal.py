@@ -1535,3 +1535,35 @@ def test_flac_decoder_full_subframe_surface():
     md5 = hashlib.md5(raw24.tobytes()).digest()
     rate, out = MM.decode_flac(_build_flac_frame(8000, 1, 24, 4, const24, md5))
     assert out.reshape(-1).tolist() == [v24 >> 8] * 4
+
+
+def test_flac_roundtrip_fuzz():
+    """Hypothesis round-trip fuzz for the round-12 FLAC codec: arbitrary
+    int16 sample streams (any channel count the fixture uses, any stereo
+    decorrelation mode, block sizes forcing multi-frame streams and
+    final partial blocks) must round-trip EXACTLY — FLAC is lossless,
+    so the property is equality, not a bound. The MD5/CRC self-checks
+    run on every decode, so a single wrong bit anywhere in the writer
+    or reader fails the example."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=600),
+        st.integers(min_value=1, max_value=2),
+        st.sampled_from(["independent", "left-side", "right-side", "mid-side"]),
+        st.sampled_from([64, 192, 4096]),
+    )
+    def flac_case(vals, ch, mode, block):
+        n = len(vals) - len(vals) % ch
+        if not n:
+            return
+        x = np.asarray(vals[:n], np.int16).reshape(-1, ch)
+        if ch == 1:
+            mode = "independent"
+        rate, out = MM.decode_flac(MM.encode_flac(11025, x, block_size=block, stereo_mode=mode))
+        assert rate == 11025 and np.array_equal(out, x)
+
+    flac_case()
