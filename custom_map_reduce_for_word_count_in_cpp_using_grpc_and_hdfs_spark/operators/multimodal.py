@@ -21,6 +21,7 @@ and partitioned so a single batch stays << executor memory.
 
 from __future__ import annotations
 
+import functools
 import struct
 from collections.abc import Iterator
 
@@ -851,72 +852,118 @@ def encode_jpeg(
 
 
 class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
+    """Entropy-segment bit reader, reworked in round 12 after profiling
+    (the bit-by-bit walk was ~80% of JPEG decode): the segment is
+    DESTUFFED once (``FF 00`` → ``FF`` — in entropy data every 0xFF is
+    stuffed, and RST markers survive untouched), then all reads are
+    plain byte arithmetic with a 16-bit PEEK serving the table-driven
+    Huffman decode. ``limit`` excludes the peek padding so truncated
+    streams still fail loudly."""
 
-    def bit(self) -> int:
-        if self.n == 0:
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:  # skip the stuffed 0x00
-                self.pos += 1
-            self.acc, self.n = byte, 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    __slots__ = ("data", "bitpos", "limit")
+
+    def __init__(self, data: bytes) -> None:
+        destuffed = data.replace(b"\xff\x00", b"\xff")
+        self.limit = 8 * len(destuffed)
+        self.data = destuffed + b"\x00\x00\x00"  # peek16 runway only
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        p = self.bitpos
+        chunk = self.data[p >> 3 : (p >> 3) + 3]
+        return (int.from_bytes(chunk, "big") >> (8 - (p & 7))) & 0xFFFF
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        end = self.bitpos + k
+        if end > self.limit:
+            raise ValueError("truncated entropy-coded segment")
+        v = self.peek16() >> (16 - k)
+        self.bitpos = end
         return v
 
+    def bit(self) -> int:
+        return self.bits(1)
+
     def expect_rst(self, n: int) -> None:
-        """Byte-align (dropping pad bits), skip any stuffed pad byte, and
-        consume the RSTn marker — restart markers interleave with entropy
-        data at byte boundaries (T.81 B.2.1.2)."""
-        self.n = 0
-        while self.data[self.pos : self.pos + 2] == b"\xff\x00":  # stuffed 0xFF pad byte
-            self.pos += 2
-        got = self.data[self.pos : self.pos + 2]
+        """Byte-align (dropping pad bits), skip a destuffed 0xFF pad
+        byte if present, and consume the RSTn marker — restart markers
+        interleave with entropy data at byte boundaries (T.81
+        B.2.1.2). In the destuffed stream a stuffed all-ones pad byte
+        (FF 00 originally) is a lone 0xFF directly before the
+        marker's own FF."""
+        self.bitpos = (self.bitpos + 7) & ~7
+        p = self.bitpos >> 3
+        d = self.data
+        if d[p] == 0xFF and d[p + 1] == 0xFF and 0xD0 <= d[p + 2] <= 0xD7:
+            p += 1  # destuffed pad byte
+        got = d[p : p + 2]
         if got != bytes([0xFF, 0xD0 + n]):
             raise ValueError(f"expected RST{n} marker, got {got!r}")
-        self.pos += 2
+        self.bitpos = (p + 2) * 8
 
 
 def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    # strictly-< bound: the longest legal JPEG code is 16 bits, so a
-    # corrupt stream raises without assembling a 17-bit candidate (or
-    # consuming a bit past the last legal position) — keeps quarantine
-    # error positions exact.
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | r.bit()
-        length += 1
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid Huffman code in scan")
+def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[np.ndarray, np.ndarray]:
+    """(length, code) -> symbol dict compiled to a 2^16 lookahead pair
+    (symbol, code length): every 16-bit window whose prefix is a code
+    maps to that code's symbol — one peek + one index per symbol
+    instead of a bit-by-bit tree walk. Unassigned windows keep symbol
+    −1, so corrupt streams still raise exactly where the old strict
+    walk did."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for (l, c), s in table.items():
+        start = c << (16 - l)
+        sym[start : start + (1 << (16 - l))] = s
+        ln[start : start + (1 << (16 - l))] = l
+    return sym, ln
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_lut_cached(bits_b: bytes, syms_b: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """LUT compilation keyed by the DHT segment CONTENT: tiny images
+    (and MJPEG frames) reuse a handful of tables — fixture corpora use
+    the same four standard tables for every payload — so the 65k-entry
+    fills amortize across the whole batch instead of repeating per
+    image (the first LUT cut decoded tiny fixtures SLOWER for exactly
+    this reason). Bounded LRU: per-image optimized tables (libjpeg
+    -optimize) rotate through without pinning executor memory."""
+    codes = _canonical_codes(list(bits_b), list(syms_b))
+    return _huff_lut({(l, c): s for s, (c, l) in codes.items()})
+
+
+def _read_symbol(r: _BitReader, lut: tuple[np.ndarray, np.ndarray]) -> int:
+    sym_t, len_t = lut
+    v = r.peek16()
+    s = int(sym_t[v])
+    if s < 0:
+        raise ValueError("invalid Huffman code in scan")
+    end = r.bitpos + int(len_t[v])
+    if end > r.limit:
+        raise ValueError("truncated entropy-coded segment")
+    r.bitpos = end
+    return s
 
 
 def _entropy_end(payload: bytes, pos: int) -> int:
     """First byte index at/after ``pos`` where a real marker starts —
     entropy data ends at any 0xFF not followed by a stuffed 0x00 or a
-    restart marker (RST0..7 interleave WITH the entropy data)."""
-    i = pos
-    while i < len(payload) - 1:
-        if payload[i] == 0xFF:
-            nxt = payload[i + 1]
-            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                i += 2
-                continue
-            return i
-        i += 1
+    restart marker (RST0..7 interleave WITH the entropy data).
+    Vectorized (round 12): one pass finding every 0xFF, one mask over
+    their successors — same answer as the byte walk (a stuffed pair's
+    0x00 is never itself 0xFF, so pair-skipping needs no state)."""
+    a = np.frombuffer(payload, dtype=np.uint8)
+    ffs = np.where(a[pos : len(a) - 1] == 0xFF)[0]
+    if len(ffs):
+        nxt = a[pos + 1 :][ffs]
+        real = ffs[~((nxt == 0x00) | ((nxt >= 0xD0) & (nxt <= 0xD7)))]
+        if len(real):
+            return pos + int(real[0])
     return len(payload)
 
 
@@ -1030,7 +1077,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[bytes, bytes]] = {}  # DHT content by (cls, tid)
     width = height = None
     progressive = False
     restart = 0  # current DRI interval (0 = none); captured per scan
@@ -1066,8 +1113,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 bits = list(data[off + 1 : off + 17])
                 n = sum(bits)
                 syms = list(data[off + 17 : off + 17 + n])
-                codes = _canonical_codes(bits, syms)
-                huff[(cls, tid)] = {(l, c): s for s, (c, l) in codes.items()}
+                huff[(cls, tid)] = (bytes(bits), bytes(syms))
                 off += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
@@ -1102,10 +1148,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     end,
                     restart,
                     # table state in effect at THIS scan's SOS (like the
-                    # restart interval above): inner huff dicts copied
-                    # because DHT rebuilds them; qt arrays are replaced
-                    # (never mutated) so a shallow copy pins them
-                    {k: dict(v) for k, v in huff.items()},
+                    # restart interval above): huff values are immutable
+                    # DHT-content keys and qt arrays are replaced (never
+                    # mutated), so shallow copies pin both snapshots
+                    dict(huff),
                     dict(qt),
                 )
             )
@@ -1137,6 +1183,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     bufs = [np.zeros((mh * c[3], mw * c[2], 64), dtype=np.int64) for c in comps]
     for scan, ss, se, ah, al, start, end, ri, scan_huff, _ in scans:
         reader = _BitReader(payload[start:end])
+        # compile this scan's table snapshot to 16-bit lookahead LUTs
+        # (content-cached: repeated tables across images/frames share)
+        scan_luts = {k: _huff_lut_cached(*raw) for k, raw in scan_huff.items()}
         prev_dc = [0] * len(scan)
         state = {"eobrun": 0}
         # restart-interval UNITS: MCUs for interleaved scans, data units
@@ -1168,7 +1217,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 state["eobrun"] = 0
             for buf, si, dc_t, ac_t in unit:
                 _decode_scan_block(
-                    reader, buf, scan_huff, dc_t, ac_t, si, prev_dc, state, ss, se, ah, al
+                    reader, buf, scan_luts, dc_t, ac_t, si, prev_dc, state, ss, se, ah, al
                 )
 
     # Dequantize (DQT is zigzag-ordered per T.81 B.2.4.1, matching the
