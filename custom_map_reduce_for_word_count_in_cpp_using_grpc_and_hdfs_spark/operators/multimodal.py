@@ -247,11 +247,12 @@ def encode_png(width: int, height: int, pixels: np.ndarray) -> bytes:
             out = row - prev
         elif f == 3:  # Average
             out = row - (left + prev) // 2
-        else:  # Paeth
-            pred = np.fromiter(
-                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, up_left)),
+        else:  # Paeth (list-based: encoder prediction reads PRIOR
+            # reconstructed bytes, which equal the source row here)
+            la, pa, ua = left.tolist(), prev.tolist(), up_left.tolist()
+            pred = np.asarray(
+                [_paeth(la[i], pa[i], ua[i]) for i in range(width * bpp)],
                 dtype=np.int64,
-                count=width * bpp,
             )
             out = row - pred
         raw += bytes([f]) + (out % 256).astype(np.uint8).tobytes()
@@ -314,19 +315,23 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             cur = row
         elif f == 2:  # Up
             cur = (row + prev) % 256
-        elif f in (1, 3, 4):  # horizontal dependency → left-to-right
-            cur = np.zeros(stride, dtype=np.int64)
+        elif f == 1:  # Sub: cur[i] = row[i] + cur[i-bpp] — an exact
+            # per-channel-lane prefix sum (mod distributes over +)
+            cur = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) % 256
+        elif f in (3, 4):  # horizontal dependency → left-to-right; the
+            # loop runs on plain lists (python list indexing is ~5x
+            # numpy scalar indexing — round-12 profile)
+            rl, pl = row.tolist(), prev.tolist()
+            cl = [0] * stride
             for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                up_left = prev[i - bpp] if i >= bpp else 0
-                if f == 1:
-                    pred = left
-                elif f == 3:
+                left = cl[i - bpp] if i >= bpp else 0
+                up = pl[i]
+                if f == 3:
                     pred = (left + up) // 2
                 else:
-                    pred = _paeth(int(left), int(up), int(up_left))
-                cur[i] = (row[i] + pred) % 256
+                    pred = _paeth(left, up, pl[i - bpp] if i >= bpp else 0)
+                cl[i] = (rl[i] + pred) % 256
+            cur = np.asarray(cl, dtype=np.int64)
         else:
             raise ValueError(f"unknown PNG filter {f}")
         out[r] = cur
