@@ -1567,3 +1567,31 @@ def test_flac_roundtrip_fuzz():
         assert rate == 11025 and np.array_equal(out, x)
 
     flac_case()
+
+
+def test_flac_corruption_never_hangs_or_escapes():
+    """Robustness at the quarantine boundary: random single-byte and
+    truncation corruptions of valid FLAC streams must either still
+    decode (corruption in padding/ignored metadata) or raise a normal
+    ValueError/NotImplementedError-class exception promptly — never an
+    IndexError from unchecked indexing, never a hang (the windowed
+    doubling scan and the frame loop both have explicit termination
+    bounds). 200 corruptions across the whole byte range."""
+    import numpy as np
+
+    x = MM._wav_fixture_samples(7, 2, 60)
+    base = MM.encode_flac(8100, x, stereo_mode="left-side")
+    rng = np.random.default_rng(42)
+    for trial in range(200):
+        bad = bytearray(base)
+        i = int(rng.integers(0, len(bad)))
+        bad[i] ^= int(rng.integers(1, 256))
+        try:
+            MM.decode_flac(bytes(bad))
+        except (ValueError, NotImplementedError):
+            pass  # the expected failure class
+    for cut in range(4, len(base), 37):
+        try:
+            MM.decode_flac(base[:cut])
+        except (ValueError, NotImplementedError):
+            pass
