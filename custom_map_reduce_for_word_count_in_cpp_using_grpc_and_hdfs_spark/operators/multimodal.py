@@ -881,6 +881,12 @@ class _BitReader:
     def bits(self, k: int) -> int:
         if k == 0:
             return 0
+        if k > 16:
+            # the peek16 window bounds reads at 16 bits; a wider request
+            # can only come from a corrupt table (e.g. a DHT emitting a
+            # DC category symbol > 16) — fail with a domain error rather
+            # than a negative-shift ValueError from the arithmetic below
+            raise ValueError(f"invalid bit-read width {k} (max 16)")
         end = self.bitpos + k
         if end > self.limit:
             raise ValueError("truncated entropy-coded segment")
@@ -3686,6 +3692,14 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         hdr_crc = _crc8_flac(payload[pos + frame_start : pos + r.byte_pos])
         if r.read(8) != hdr_crc:
             raise ValueError("FLAC frame header CRC-8 mismatch")
+        if bps != si_bps:
+            # mirror the rate cross-check above: a CRC-valid frame whose
+            # sample-size code disagrees with STREAMINFO would decode
+            # subframes at the frame bps but scale the final int16 at
+            # si_bps — wrongly-scaled output that only an
+            # encoder-recorded MD5 would catch (checked after CRC-8 so
+            # random header corruption still reports as CRC mismatch)
+            raise ValueError("FLAC frame sample size differs from STREAMINFO")
 
         if ch_code < 8:
             nch = ch_code + 1

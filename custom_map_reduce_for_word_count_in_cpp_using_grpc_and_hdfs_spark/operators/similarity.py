@@ -731,13 +731,41 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+#: Minimum expected vectors a stored-route probe should sweep. The
+#: round-12 crossover record (SCALE_R12_ANN_CROSSOVER.json) measured the
+#: quarter-of-centroids operating point UNDER the registry's 0.65 recall
+#: floor at 2k vectors (0.645: 10 of 32 buckets ≈ 625 vectors probed) and
+#: thin at 20k (0.710); from 200k up it clears comfortably (0.829+). At
+#: √N-sized buckets, sweeping ≥1500 vectors forces the probe fraction up
+#: exactly where recall binds (75% of buckets at 2k) and is a no-op from
+#: ~25k vectors on, where the quarter already sweeps more.
+IVF_MIN_PROBED_VECTORS = 1500
+
+
+def ivf_nprobe_for(n_centroids: int, n_vectors: int | None = None) -> int:
+    """Floor-aware stored-route probe count: the quarter-of-centroids
+    operating point (tools/ann_scale.py), raised at small N so the probe
+    sweeps at least :data:`IVF_MIN_PROBED_VECTORS` expected vectors —
+    the regime where the round-12 crossover measured recall under the
+    0.65 floor (see SCALE_R12_ANN_CROSSOVER.json / SCALE_R13_ANN_FLOOR).
+    ``n_vectors`` defaults to ``n_centroids²`` (the :func:`ivf_k_for`
+    √N inverse) when the caller doesn't know the corpus size."""
+    import math
+
+    if n_vectors is None:
+        n_vectors = n_centroids * n_centroids
+    avg_bucket = max(1.0, n_vectors / max(1, n_centroids))
+    floor = math.ceil(IVF_MIN_PROBED_VECTORS / avg_bucket)
+    return max(10, n_centroids // 4, min(n_centroids, floor))
+
+
 def ivf_topk_stored(
     spark,
     queries: DataFrame,
     index_path: str,
     centroids: np.ndarray,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -752,7 +780,14 @@ def ivf_topk_stored(
     never round-trips through the driver (the previous
     ``.collect()``-into-``isin`` was bounded but serialized the bucket
     ids through Python; DPP keeps the whole path on executors and
-    composes with reused broadcast exchanges)."""
+    composes with reused broadcast exchanges).
+
+    ``nprobe=None`` (the default) resolves through
+    :func:`ivf_nprobe_for`, so direct callers cannot silently land
+    under the recall floor at small N; an explicit ``nprobe`` is an
+    audited override (bench probes, fraction sweeps)."""
+    if nprobe is None:
+        nprobe = ivf_nprobe_for(len(centroids))
     crel = centroid_relation(spark, centroids)
     probed = _probe_buckets(queries, crel, nprobe, id_col, vec_col)
     index = spark.read.parquet(index_path)
@@ -876,6 +911,31 @@ def quantized_topk(
 IVF_AUTO_CROSSOVER_VECTORS = 60_000
 
 
+def corpus_fingerprint(
+    corpus: DataFrame, n_vectors: int, id_col: str, vec_col: str
+) -> int:
+    """Cheap, deterministic content fingerprint for index-reuse checks:
+    hash-sample ~64 rows (a fixed ``hash(id) % (N/64)`` predicate — no
+    randomness, no ordering assumptions), CRC-32 each sampled
+    ``(id, vector)`` pair, and sum (order-independent). One
+    column-pruned pass over the corpus — far cheaper than the k-means
+    train + full index rewrite it guards — and any in-place content
+    change at the same row count flips it with probability ~1 unless
+    the change dodges every sampled row AND every CRC."""
+    p = max(1, n_vectors // 64)
+    sampled = corpus.where(F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(p)) == 0)
+    row = sampled.select(
+        F.sum(
+            F.crc32(
+                F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.col(vec_col).cast("string")
+                )
+            )
+        ).alias("fp")
+    ).collect()[0]
+    return int(row.fp or 0)
+
+
 def ensure_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -895,17 +955,25 @@ def ensure_ivf_index(
     discovery, the _SUCCESS convention). Everything goes through Spark
     writers/readers, so the layout works on any Hadoop filesystem.
 
-    Reuse contract: the check keys on the exact vector count — callers
-    keep distinct corpora in distinct index dirs (the registry keys the
-    dir on the sf_dir's absolute path); a same-count in-place content
-    change requires dropping the dir, exactly like any stored index."""
+    Reuse contract: the check keys on the exact vector count AND a
+    sampled content fingerprint (:func:`corpus_fingerprint`, stored in
+    the sidecar) — a corpus regenerated in place at the same sf_dir
+    with the same count but different content no longer silently reuses
+    stale centroids/buckets; the mismatch triggers a rebuild. Sidecars
+    written before the fingerprint existed (no ``fingerprint`` column)
+    are treated as stale and rebuilt once."""
     from pyspark.errors import AnalysisException
 
     spark = corpus.sparkSession
     cpath = path + "/_centroids"
+    fp = corpus_fingerprint(corpus, n_vectors, id_col, vec_col)
     try:
         rows = spark.read.parquet(cpath).orderBy("bucket").collect()
-        if rows and rows[0].n_vectors == n_vectors:
+        if (
+            rows
+            and rows[0].n_vectors == n_vectors
+            and rows[0].asDict().get("fingerprint") == fp
+        ):
             return np.array([r.cvec for r in rows], dtype="float64")
     except AnalysisException:
         pass  # no index yet — build below
@@ -913,10 +981,13 @@ def ensure_ivf_index(
     centroids = ivf_centroids_np(corpus, k=k, id_col=id_col, vec_col=vec_col)
     write_ivf_index(corpus, centroids, path, id_col=id_col, vec_col=vec_col)
     crows = [
-        (int(i), [float(x) for x in c], int(n_vectors)) for i, c in enumerate(centroids)
+        (int(i), [float(x) for x in c], int(n_vectors), int(fp))
+        for i, c in enumerate(centroids)
     ]
     (
-        spark.createDataFrame(crows, "bucket int, cvec array<double>, n_vectors long")
+        spark.createDataFrame(
+            crows, "bucket int, cvec array<double>, n_vectors long, fingerprint long"
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(cpath)
@@ -970,7 +1041,7 @@ def auto_ivf_topk(
             decision,
         )
     centroids = ensure_ivf_index(corpus, index_root, n, id_col=id_col, vec_col=vec_col)
-    nprobe = max(10, len(centroids) // 4)
+    nprobe = ivf_nprobe_for(len(centroids), n)
     return (
         ivf_topk_stored(
             corpus.sparkSession, queries, index_root, centroids, k,

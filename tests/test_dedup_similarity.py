@@ -660,3 +660,85 @@ def test_auto_ivf_topk_routes_on_measured_crossover(spark, tmp_path):
         (q, n) for q, ns in got.items() for n in ns
     }
     assert {b: os.path.getmtime(os.path.join(idx, b)) for b in buckets} == stamp
+
+
+def test_ivf_nprobe_floor_is_recall_aware():
+    """Round 13 (VERDICT r12 item 5): the stored route's default probe
+    count is floor-aware at small N. The quarter-of-centroids operating
+    point measured recall 0.645 < 0.65 at 2k vectors
+    (SCALE_R12_ANN_CROSSOVER.json); ivf_nprobe_for raises the probe
+    count until >= IVF_MIN_PROBED_VECTORS expected vectors are swept,
+    and is a no-op where the quarter already sweeps more."""
+    # 2k vectors -> 32 centroids, avg bucket 62.5: floor binds (24 > 8)
+    assert S.ivf_k_for(2000) == 32
+    assert S.ivf_nprobe_for(32, 2000) == 24
+    # without n_vectors the sqrt-N inverse (k^2=1024) is assumed — even
+    # more conservative: sweep everything rather than under-recall
+    assert S.ivf_nprobe_for(32) == 32
+    # 200k vectors -> 512 centroids: the quarter dominates, floor inert
+    assert S.ivf_k_for(200_000) == 512
+    assert S.ivf_nprobe_for(512, 200_000) == 128
+    # 2M -> 1024 centroids (sqrt clamp path): still the quarter
+    assert S.ivf_nprobe_for(S.ivf_k_for(2_000_000), 2_000_000) == S.ivf_k_for(2_000_000) // 4
+    # never exceeds the centroid count
+    assert S.ivf_nprobe_for(16, 100) == 16
+
+
+def test_stored_ivf_recall_clears_floor_at_2k(spark, tmp_path):
+    """The round-12 failing operating point, re-measured with the
+    floor-aware default: ivf_topk_stored called DIRECTLY (no auto gate)
+    on the 2k-vector sf0.1 embeddings with nprobe=None must clear the
+    registry's 0.65 recall floor — the exact regime
+    SCALE_R12_ANN_CROSSOVER.json measured at 0.645 under the old
+    quarter-point default."""
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = emb.count()
+    assert n == 2000
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {}
+    for r in S.brute_force_topk(queries, emb, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    path = str(tmp_path / "ivf2k")
+    c = S.ivf_centroids_np(emb, k=S.ivf_k_for(n))
+    S.write_ivf_index(emb, c, path)
+    got = {}
+    for r in S.ivf_topk_stored(spark, queries, path, c, 10).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.65, f"floor-aware stored recall {recall:.3f} under floor"
+
+
+def test_ivf_index_rebuilds_on_content_change(spark, tmp_path):
+    """ADVICE r12 item 1: ensure_ivf_index keyed reuse on vector count
+    alone, so a corpus regenerated in place (same count, different
+    content) silently reused stale centroids. The sidecar now carries a
+    sampled content fingerprint: same corpus -> reuse (sidecar mtime
+    unchanged); same-count content change -> fingerprint mismatch ->
+    rebuild."""
+    import os
+    import time
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    idx = str(tmp_path / "fp_idx")
+    c1 = S.ensure_ivf_index(emb, idx, n)
+    sidecar = os.path.join(idx, "_centroids")
+    stamp = os.path.getmtime(sidecar)
+
+    # unchanged corpus: reuse, no rewrite
+    time.sleep(0.05)
+    c2 = S.ensure_ivf_index(emb, idx, n)
+    assert (c1 == c2).all()
+    assert os.path.getmtime(sidecar) == stamp
+
+    # same count, different content: fingerprint flips, index rebuilds
+    mutated = emb.withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x + F.lit(10.0))
+    )
+    assert S.corpus_fingerprint(mutated, n, "vec_id", "embedding") != S.corpus_fingerprint(
+        emb, n, "vec_id", "embedding"
+    )
+    S.ensure_ivf_index(mutated, idx, n)
+    assert os.path.getmtime(sidecar) > stamp, "content change must rebuild the index"

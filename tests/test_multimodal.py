@@ -1595,3 +1595,54 @@ def test_flac_corruption_never_hangs_or_escapes():
             MM.decode_flac(base[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_jpeg_bitreader_rejects_width_over_peek_window():
+    """ADVICE r12 item 2: _BitReader.bits relies on the 16-bit peek
+    window; a corrupt DHT can emit a DC category symbol > 16, which
+    used to surface as a misleading 'negative shift count' ValueError.
+    The contract is now explicit: widths 17+ raise a domain error,
+    width 16 (the window limit) still reads."""
+    br = MM._BitReader(b"\xab\xcd\xef")
+    assert br.bits(16) == 0xABCD
+    br = MM._BitReader(b"\xab\xcd\xef")
+    with pytest.raises(ValueError, match="invalid bit-read width 17"):
+        br.bits(17)
+
+
+def test_flac_frame_bps_must_match_streaminfo():
+    """ADVICE r12 item 3: a CRC-valid frame whose sample-size code
+    disagrees with STREAMINFO used to decode subframes at the frame bps
+    but scale output at the STREAMINFO bps — silently wrong samples
+    unless the encoder recorded an MD5. decode_flac now cross-checks
+    the frame bps against STREAMINFO, mirroring the rate and
+    channel-count checks."""
+    # hand-assemble: STREAMINFO declares 16-bit, frame ss_code says 8-bit
+    block = 4
+    w = MM._FlacBitWriter()
+    w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+    w.write(7, 4)   # block size: 16-bit value follows
+    w.write(0, 4)   # rate: from STREAMINFO
+    w.write(0, 4)   # 1 channel
+    w.write(1, 3)   # ss_code 1 = 8-bit  <-- disagrees with STREAMINFO's 16
+    w.write(0, 1)
+    w.write(0, 8)   # utf8 frame number 0
+    w.write(block - 1, 16)
+    w.write(MM._crc8_flac(bytes(w.buf)), 8)
+    # constant subframe at the frame's own 8 bps
+    w.write(0, 1); w.write(0, 6); w.write(0, 1); w.write(0x55, 8)
+    w.align()
+    w.write(MM._crc16_flac(bytes(w.buf)), 16)
+    frame = w.getvalue()
+    si = MM._FlacBitWriter()
+    si.write(block, 16); si.write(block, 16)
+    si.write(len(frame), 24); si.write(len(frame), 24)
+    si.write(8000, 20); si.write(0, 3); si.write(16 - 1, 5)
+    si.write(block, 36)
+    streaminfo = si.getvalue() + b"\x00" * 16
+    payload = (
+        MM.FLAC_MAGIC + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo + frame
+    )
+    with pytest.raises(ValueError, match="sample size differs from STREAMINFO"):
+        MM.decode_flac(payload)
