@@ -1646,3 +1646,106 @@ def test_flac_frame_bps_must_match_streaminfo():
     )
     with pytest.raises(ValueError, match="sample size differs from STREAMINFO"):
         MM.decode_flac(payload)
+
+
+def test_auto_decode_backend_routes_on_cost_seam(monkeypatch):
+    """Round 13 (VERDICT r12 item 2): decode_backend='auto' is the FIFTH
+    measured-crossover decision on the shared plans/cost.py seam.
+    Payload classes whose pinned NATIVE rate (SCALE_R12_MM_REALISTIC)
+    sits under DECODE_ADAPTER_CROSSOVER_MBPS route to the production
+    adapter where the library imports; adapter absent -> native,
+    explicitly flagged in the decision record. Both ends exercised:
+    this sandbox has no Pillow (absent end is real); the present end is
+    simulated by claiming PIL importable and stubbing the adapter."""
+    import importlib.util
+
+    # pure decision: both sides of the crossover, both availability ends
+    d = MM.decide_decode_backend("jpeg", True)
+    assert d.choice == "adapter" and d.stat == 0.38 and d.crossover == 2.0
+    assert MM.decide_decode_backend("png", True).choice == "adapter"
+    assert MM.decide_decode_backend("flac", True).choice == "adapter"
+    assert MM.decide_decode_backend("ppm", True).choice == "native"
+    assert MM.decide_decode_backend("wav", True).choice == "native"
+    d = MM.decide_decode_backend("jpeg", False)
+    assert d.choice == "native" and "unavailable" in d.stat_name
+    assert MM.decide_decode_backend("gif", True).choice == "native"  # unknown class
+
+    # magic sniffing matches decode_image_real's dispatch
+    px = _px(6, 4, seed=3).astype(np.uint8)
+    ppm = MM.encode_ppm(6, 4, px)
+    assert MM.sniff_image_format(ppm) == "ppm"
+    assert MM.sniff_image_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert MM.sniff_image_format(MM.PNG_SIGNATURE + b"x") == "png"
+    assert MM.sniff_image_format(b"BMxxxx") == "bmp"
+    assert MM.sniff_image_format(b"GIF89a") == "other"
+
+    # absent end (real on this box): every class degrades to native and
+    # the dispatcher decodes identically to decode_image_real
+    if importlib.util.find_spec("PIL") is None:
+        fn = MM._resolve_decode_backend("auto")
+        assert set(fn.route.values()) == {"native"}
+        assert fn(ppm)["pixels"].tolist() == MM.decode_image_real(ppm)["pixels"].tolist()
+
+    # present end, simulated: PIL "importable", adapter stubbed — the
+    # under-crossover classes route to the adapter, memcpy classes stay native
+    sentinel = {"width": 1, "height": 1, "maxval": 255,
+                "pixels": np.zeros((1, 1, 3), np.uint8)}
+    real_find_spec = importlib.util.find_spec
+    monkeypatch.setattr(
+        importlib.util, "find_spec",
+        lambda name, *a, **k: object() if name == "PIL" else real_find_spec(name, *a, **k),
+    )
+    monkeypatch.setattr(MM, "decode_image_pillow", lambda b: sentinel)
+    fn = MM._resolve_decode_backend("auto")
+    assert fn.route == {"jpeg": "adapter", "png": "adapter", "ppm": "native", "bmp": "native"}
+    assert fn(b"\xff\xd8\xff\xe0 not a real jpeg") is sentinel
+    assert fn(ppm)["width"] == 6  # memcpy class stays native
+
+
+def test_auto_audio_backend_routes_flac_to_adapter(monkeypatch):
+    """The audio twin of the 'auto' route: FLAC (native 1.76 MB/s/core,
+    under the crossover) goes to the ffmpeg adapter where the binary
+    exists; the RIFF family stays native; no ffmpeg -> all native."""
+    import shutil
+
+    x = ((np.arange(600) % 200 - 100) * 50).astype(np.int16).reshape(-1, 1)
+    flac = MM.encode_flac(8000, x)
+    wav = MM.encode_wav(8000, x)
+
+    if shutil.which("ffmpeg") is None:  # real absent end on this box
+        fn = MM._resolve_audio_backend("auto")
+        assert fn.route == {"flac": "native", "wav": "native"}
+        r, out = fn(flac)
+        r2, out2 = MM.decode_audio_native(flac)
+        assert r == r2 and np.array_equal(out, out2)
+
+    # present end, simulated
+    monkeypatch.setattr(shutil, "which", lambda n: "/usr/bin/ffmpeg" if n == "ffmpeg" else None)
+    monkeypatch.setattr(MM, "decode_audio_ffmpeg", lambda b: (99, "SENTINEL"))
+    fn = MM._resolve_audio_backend("auto")
+    assert fn.route == {"flac": "adapter", "wav": "native"}
+    assert fn(flac) == (99, "SENTINEL")
+    r, out = fn(wav)
+    assert r == 8000 and np.array_equal(out, x)  # RIFF stays native
+
+
+def test_decode_image_stats_auto_equals_native_without_adapter(spark):
+    """End-to-end through the mapInPandas plumbing: on a box without the
+    adapter library, decode_backend='auto' must produce rows identical
+    to 'native' — the degradation is a route choice, never a value
+    change."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        import pytest as _pytest
+
+        _pytest.skip("adapter present — covered by the bit-for-bit cross-check")
+    docs = load_table(spark, SF_SMOKE, "documents").limit(12)
+    rendered = MM.render_ppm_payloads(docs)
+    native = sorted(map(tuple, MM.decode_image_stats(rendered).collect()))
+    auto = sorted(map(tuple, MM.decode_image_stats(rendered, decode_backend="auto").collect()))
+    assert native == auto
