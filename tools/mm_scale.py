@@ -94,6 +94,9 @@ def throughput_phase(spark, sf_dir: str, cpus: int, stage_root: str) -> list[dic
             "mb_per_sec_per_core": round(mb / sec / cpus, 4),
             "scan_partitions": n_parts,
             "mb_per_partition": round(mb / max(n_parts, 1), 2),
+            # lesson 42: the length-sum aggregate above already read the
+            # payload data pages, so the decode timing is page-cache-warm
+            "touch_state": "warm (length-sum pre-scan)",
         })
         print(json.dumps(out[-1]), flush=True)
         session_hygiene(spark)

@@ -69,13 +69,14 @@ def decision_at(spark, sf_dir: str) -> dict:
 
 def run_pipeline(spark, sf_dir: str) -> dict:
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q import curated_corpus
-    from tools.scale_run import session_hygiene
+    from tools.scale_run import session_hygiene, touch_state
 
+    state = touch_state(sf_dir)  # lesson 42: label cold reps
     t0 = time.perf_counter()
     survivors = curated_corpus(spark, sf_dir).count()
     sec = round(time.perf_counter() - t0, 2)
     session_hygiene(spark)
-    return {"survivors": survivors, "sec": sec}
+    return {"survivors": survivors, "sec": sec, "touch_state": state}
 
 
 def sampled_phase(spark, sf_dir: str, k: int, budget: float) -> dict:

@@ -55,10 +55,13 @@ def timing_phase(spark, sf_dir: str, reps: int) -> dict:
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import QUERIES as REG
     from tools.scale_run import session_hygiene
 
+    from tools.scale_run import touch_state
+
     out = {}
     for name in QUERIES:
-        secs, spills = [], []
+        secs, spills, states = [], [], []
         for _ in range(reps):
+            states.append(touch_state(sf_dir))  # lesson 42: label cold reps
             before = _stage_totals(spark)
             t0 = time.perf_counter()
             REG[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -67,7 +70,7 @@ def timing_phase(spark, sf_dir: str, reps: int) -> dict:
             if before and after:
                 spills.append({k: after[k] - before[k] for k in after})
             session_hygiene(spark)
-        rec = {"secs": secs, "min_sec": min(secs)}
+        rec = {"secs": secs, "rep_touch_state": states, "min_sec": min(secs)}
         if spills:
             # spill/shuffle of the min-time rep (same index)
             rec["per_rep_metrics"] = spills
