@@ -923,7 +923,9 @@ def corpus_fingerprint(
     change at the same row count flips it with probability ~1 unless
     the change dodges every sampled row AND every CRC."""
     p = max(1, n_vectors // 64)
-    sampled = corpus.where(F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(p)) == 0)
+    # cast before abs: abs(hash()) overflows int at Integer.MIN_VALUE,
+    # which ANSI mode (Spark 4 default) turns into a runtime error
+    sampled = corpus.where(F.pmod(F.abs(F.hash(F.col(id_col)).cast("long")), F.lit(p)) == 0)
     row = sampled.select(
         F.sum(
             F.crc32(

@@ -51,14 +51,12 @@ def _stage_totals(spark) -> dict:
     return {k: sum(s.get(k, 0) for s in stages) for k in keys}
 
 
-def timing_phase(spark, sf_dir: str, reps: int) -> dict:
+def timing_phase(spark, sf_dir: str, reps: int, names: list[str] | None = None) -> dict:
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import QUERIES as REG
-    from tools.scale_run import session_hygiene
-
-    from tools.scale_run import touch_state
+    from tools.scale_run import session_hygiene, touch_state
 
     out = {}
-    for name in QUERIES:
+    for name in names or QUERIES:
         secs, spills, states = [], [], []
         for _ in range(reps):
             states.append(touch_state(sf_dir))  # lesson 42: label cold reps
