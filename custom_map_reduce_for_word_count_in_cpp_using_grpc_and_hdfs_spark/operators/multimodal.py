@@ -159,7 +159,14 @@ def decide_decode_backend(fmt: str, adapter_available: bool):
     (this sandbox) degrades the under-crossover classes to native —
     an absent library is an environment fact, not a payload defect.
     Unknown classes route native, whose dispatcher raises the documented
-    seam error into the quarantine boundary."""
+    seam error into the quarantine boundary.
+
+    Video is deliberately NOT auto-routed: MJPEG-in-AVI (0.40 MB/s/core,
+    JPEG-class) decodes per-frame inside the container walk, so a
+    per-payload backend switch would split one container's frames across
+    decoders; a pipeline needing libjpeg/ffmpeg rates for MJPEG swaps
+    the whole stage to :func:`decode_video_ffmpeg` (the shipped,
+    cross-checked adapter), same as the inter-frame codecs."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
 
     stat = NATIVE_DECODE_MBPS_PER_CORE.get(fmt)
