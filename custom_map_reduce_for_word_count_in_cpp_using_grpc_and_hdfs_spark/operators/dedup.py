@@ -54,6 +54,7 @@ SHINGLE_INDEX_BOUND = 8   # hashed (doc_id, n_sh, xxhash64) rows: 3.5-3.7x flat
 # compresses it to ~nothing and the ~2x headroom under the bound stands)
 MINHASH_SIG_BOUND = 5     # (doc_id, 32 longs): 2.3x flat
 SIMHASH_FP_BOUND = 1      # (doc_id, long): 0.08-0.10x
+WINNOW_FP_BOUND = 20      # (doc_id, 16-char fp): 10.55x sf0.1 / 7.64x sf1 (round 13)
 
 
 # --------------------------------------------------------------------------
@@ -830,6 +831,129 @@ def simhash_near_dups(
 # --------------------------------------------------------------------------
 # Benchmark decontamination
 # --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints — exact-substring near-dup detection
+# --------------------------------------------------------------------------
+
+#: Character k-gram width and winnow window (hashes per window). The
+#: detection guarantee is for shared substrings of length >=
+#: WINNOW_K + WINNOW_W - 1 characters (23 with the defaults — sized so
+#: the fixture corpus' ~300-char docs carry ~35 windows each; production
+#: substring dedup uses ~50-token spans, i.e. larger k against larger
+#: documents, same machinery).
+WINNOW_K = 16
+WINNOW_W = 8
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document — the
+    exact-substring dedup route (Schleimer et al. 2003 winnowing; the
+    detection rule behind exact-substring training-data dedup a la Lee
+    et al. 2022): hash every character k-gram, keep the minimum hash of
+    each sliding window of ``w`` consecutive k-gram hashes, distinct
+    the picks per document. Returns (id_col, fp) rows.
+
+    GUARANTEE (combinatorial, not probabilistic): two documents sharing
+    any substring of length >= k + w - 1 share, at some alignment, a
+    full window of identical k-gram hashes — whose minimum is picked on
+    both sides — so they share >= 1 fingerprint. Recall is 1.0 for
+    spans at or above the guarantee length; expected fingerprint
+    density is ~2/(w+1) of positions (Schleimer's bound).
+
+    Scale shape: ENTIRELY per-row array expressions — the k-gram hash
+    array, the sliding-window minima (slice + array_min), and the
+    per-doc distinct all evaluate inside one projection, so there is no
+    (doc, position) explode and no window-function sort shuffle; the
+    only rows leaving the scan are the ~2·len/(w+1) distinct
+    fingerprints per document. The hash is md5 truncated to 16 hex
+    chars: JVM-side AND portable — DuckDB renders the identical hex
+    string, keeping the oracle byte-exact (cf. the xxhash64 trade-off
+    documented on doc_shingles(hashed=True); 64 bits keeps corpus-wide
+    collision odds ~1e-3 even at 10^8+ fingerprints, and a collision
+    only ever adds a candidate, never loses one).
+
+    Documents shorter than the guarantee length have no full window and
+    are excluded: by definition they cannot contain a detectable span.
+    """
+    m = F.length(text_col) - F.lit(k - 1)  # number of k-grams
+    hashes = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda j: F.substring(F.md5(F.col(text_col).substr(j, F.lit(k))), 1, 16),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(w - 1)),
+            lambda i: F.array_min(F.slice(F.col("_winnow_hashes"), i, w)),
+        )
+    )
+    return (
+        df.where(F.length(text_col) >= k + w - 1)
+        .withColumn("_winnow_hashes", hashes)
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
+    )
+
+
+def winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W, table: str = "documents") -> str:
+    """DuckDB derivation of the SAME fingerprint set, deliberately
+    different shape — explode positions, window-function min, full-window
+    filter — so the oracle is an independently-structured implementation
+    of the winnowing definition (the dedup_components recursive-CTE
+    discipline)."""
+    return f"""
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, pos, m,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+            FROM (
+                SELECT doc_id, i AS pos, length(text) - {k - 1} AS m,
+                       substr(md5(substr(text, i, {k})), 1, 16) AS h
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text) - {k - 1})) AS i
+                      FROM {table} WHERE length(text) >= {k + w - 1})
+            )
+        ) WHERE pos <= m - {w - 1}
+    """
+
+
+def winnow_shared_docs(
+    fps: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document shared-span summary over a winnow fingerprint frame:
+    one row per document carrying >= 1 fingerprint that also appears in
+    another document — (id_col, survivor_id, n_copies) where
+    survivor_id = the smallest doc id over every sharing group the doc
+    belongs to (the deterministic earliest witness; equals the doc's own
+    id when it IS the earliest) and n_copies = how many of the doc's
+    fingerprints are shared (the duplicated-span mass, the quantity a
+    curation pipeline thresholds on).
+
+    Scale shape: one groupBy(fp) aggregate (8-byte-ish keys, partial
+    aggregation map-side) and one 1:N equi-join back on fp. A
+    boilerplate fingerprint shared by millions of docs makes that join
+    key hot — the same skew class as the shingle index's stopword
+    shingles, handled by AQE skew splitting rather than a DF cap here
+    because the oracle must see the identical (exact) row set.
+    """
+    stats = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.min(id_col).alias("_first_doc"),
+    )
+    return (
+        fps.join(stats.where(F.col("_n_docs") >= 2), "fp")
+        .groupBy(id_col)
+        .agg(
+            F.min("_first_doc").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
 
 
 def contaminated_docs(

@@ -41,6 +41,13 @@ _EXACT_SUITE_ORACLE = f"""
     SELECT 'fingerprint', CAST({T.fingerprint_sql('text')} AS VARCHAR), min(doc_id), count(*)
     FROM documents GROUP BY 2
   UNION ALL
+    SELECT 'winnow', CAST(f.doc_id AS VARCHAR), min(s.first_doc), count(*)
+    FROM ({D.winnow_sql()}) f
+    JOIN (SELECT fp, count(*) AS cnt, min(doc_id) AS first_doc
+          FROM ({D.winnow_sql()}) GROUP BY fp) s USING (fp)
+    WHERE s.cnt >= 2
+    GROUP BY f.doc_id
+  UNION ALL
     SELECT 'contaminated', lang, min(doc_id), count(*) FROM (
         WITH eval_sh AS (
             SELECT flatten(list({D.shingles_sql('text', 3)})) AS l
@@ -56,12 +63,14 @@ _EXACT_SUITE_ORACLE = f"""
 
 @query("dedup_exact_suite", oracle=_EXACT_SUITE_ORACLE)
 def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, three key disciplines in one labeled union: the raw
+    """Exact dedup, four key disciplines in one labeled union: the raw
     text (hash-groupBy on the full document), whitespace/case-normalized
-    text, and the 30-bit rolling-hash fingerprint — at scale the
+    text, the 30-bit rolling-hash fingerprint — at scale the
     fingerprint key is 8 bytes instead of the document, shrinking the
-    dedup shuffle by the full text width. Deterministic survivor =
-    min(doc_id) in every mode.
+    dedup shuffle by the full text width — and (round 13) winnowing
+    substring fingerprints, which catch long shared SPANS inside
+    otherwise-distinct documents with guaranteed recall for spans >= 23
+    chars. Deterministic survivor = min(doc_id) in every mode.
 
     Plus benchmark decontamination (`contaminated` branch): documents
     sharing a word n-gram with the held-out eval slice (doc_id % 101),
@@ -90,6 +99,25 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = tagged("normalized", docs.withColumn("norm_text", T.normalized_text("text")), "norm_text")
     fp = tagged("fingerprint", docs.withColumn("fp", T.fingerprint("text")), "fp")
 
+    # round 13: the exact-SUBSTRING discipline — whole-document keys
+    # (the three branches above) miss near-dups that share long spans
+    # inside otherwise-different documents; winnowing fingerprints
+    # detect any shared span >= 23 chars with guaranteed recall
+    # (operators/dedup.py::winnow_fingerprints). One row per document
+    # carrying shared spans: survivor_id = earliest sharing doc,
+    # n_copies = the doc's shared-fingerprint count.
+    # the fingerprint frame feeds both the per-fp stats aggregate and the
+    # join back onto itself — cache it once (eager_stats so downstream
+    # joins plan against the measured size; the md5 pass is the dominant
+    # cost and must not run twice)
+    wfps = D.eager_stats(D.winnow_fingerprints(docs), D.WINNOW_FP_BOUND)
+    winnow = D.winnow_shared_docs(wfps).select(
+        F.lit("winnow").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        "survivor_id",
+        "n_copies",
+    )
+
     eval_slice = docs.where(F.col("doc_id") % 101 == 0)
     rest = docs.where(F.col("doc_id") % 101 != 0)
     contaminated = (
@@ -103,7 +131,9 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
-    return raw.unionAll(norm).unionAll(fp).unionAll(contaminated)
+    return D.tie_cache_lifetime(
+        raw.unionAll(norm).unionAll(fp).unionAll(winnow).unionAll(contaminated), wfps
+    )
 
 
 #: Shared oracle CTE list computing exact Jaccard near-dup pairs.

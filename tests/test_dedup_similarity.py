@@ -742,3 +742,76 @@ def test_ivf_index_rebuilds_on_content_change(spark, tmp_path):
     )
     S.ensure_ivf_index(mutated, idx, n)
     assert os.path.getmtime(sidecar) > stamp, "content change must rebuild the index"
+
+
+# --------------------------------------------------------------------------
+# Winnowing substring fingerprints (round 13)
+# --------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_planted_span(spark):
+    """The combinatorial recall guarantee: two documents sharing ANY
+    substring of length >= k + w - 1 chars share >= 1 fingerprint —
+    checked pairwise on planted spans at random offsets inside random
+    junk (not via winnow_shared_docs, which a cross-trial collision
+    could satisfy by accident)."""
+    import random
+
+    rng = random.Random(13)
+    L = D.WINNOW_K + D.WINNOW_W - 1
+    rows = []
+    for trial in range(10):
+        span = "".join(rng.choice("abcdefgh ") for _ in range(L))
+        for side in range(2):
+            pad = lambda n: "".join(rng.choice("ijklmnopqrstuv") for _ in range(n))
+            rows.append((2 * trial + side, pad(rng.randint(0, 60)) + span + pad(rng.randint(0, 60))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    by_doc: dict[int, set] = {}
+    for r in D.winnow_fingerprints(df).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for trial in range(10):
+        shared = by_doc[2 * trial] & by_doc[2 * trial + 1]
+        assert shared, f"trial {trial}: planted {L}-char span produced no shared fingerprint"
+
+
+def test_winnow_disjoint_docs_share_nothing(spark):
+    """Docs over disjoint alphabets cannot share a k-gram, hence no
+    fingerprint (precision side: every shared fp witnesses a real
+    shared k-gram, md5 collisions aside)."""
+    df = spark.createDataFrame(
+        [(0, "abcdefgh" * 10), (1, "ijklmnop" * 10)], "doc_id long, text string"
+    )
+    by_doc: dict[int, set] = {}
+    for r in D.winnow_fingerprints(df).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert not (by_doc[0] & by_doc[1])
+
+
+def test_winnow_short_docs_excluded(spark):
+    """Documents below the guarantee length have no full window and
+    must produce zero rows (they cannot contain a detectable span)."""
+    L = D.WINNOW_K + D.WINNOW_W - 1
+    df = spark.createDataFrame(
+        [(0, "x" * (L - 1)), (1, "y" * L)], "doc_id long, text string"
+    )
+    got = D.winnow_fingerprints(df).groupBy("doc_id").count().collect()
+    assert {r.doc_id for r in got} == {1}
+
+
+def test_winnow_fingerprints_match_duckdb(spark):
+    """Cross-engine parity on the real fixture: the Spark per-row-array
+    derivation and the oracle's window-function derivation must produce
+    the IDENTICAL (doc_id, fp) set — the property the driver's suite
+    hash check rests on."""
+    import duckdb
+
+    spark_fps = {
+        (r.doc_id, r.fp)
+        for r in D.winnow_fingerprints(load_table(spark, SF_CORRECT, "documents")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_CORRECT}/documents.parquet')"
+    )
+    oracle_fps = {(r[0], r[1]) for r in con.execute(D.winnow_sql()).fetchall()}
+    assert spark_fps == oracle_fps
