@@ -54,7 +54,7 @@ SHINGLE_INDEX_BOUND = 8   # hashed (doc_id, n_sh, xxhash64) rows: 3.5-3.7x flat
 # compresses it to ~nothing and the ~2x headroom under the bound stands)
 MINHASH_SIG_BOUND = 5     # (doc_id, 32 longs): 2.3x flat
 SIMHASH_FP_BOUND = 1      # (doc_id, long): 0.08-0.10x
-WINNOW_FP_BOUND = 20      # (doc_id, 16-char fp): 10.55x sf0.1 / 7.64x sf1 (round 13)
+WINNOW_FP_BOUND = 9       # (doc_id, long fp): 4.30x sf0.1 / 4.38x sf1 (round 13)
 
 
 # --------------------------------------------------------------------------
@@ -845,6 +845,55 @@ def simhash_near_dups(
 #: documents, same machinery).
 WINNOW_K = 16
 WINNOW_W = 8
+#: Rolling-hash base: odd, hence invertible mod 2^64 — the modulus IS
+#: uint64 wraparound, which numpy computes natively and DuckDB
+#: reproduces with HUGEINT-widened UBIGINT arithmetic. (First prime
+#: above 10^6; any odd multiplier works, both engines just fold the
+#: same one.)
+WINNOW_BASE = 1_000_003
+_M64 = 1 << 64
+
+
+def _winnow_fps_batch(texts, k: int, w: int):
+    """Arrow-batch kernel: distinct winnow fingerprints per text, as
+    int64 (uint64 hash bits reinterpreted). All O(n) per document via
+    the prefix-sum form of the polynomial hash: with S[i] =
+    Σ_{j<=i} c_j·B^-j (mod 2^64; B odd ⇒ B^-1 exists), the k-gram hash
+    at i is H(i) = (S[i+k-1] − S[i−1])·B^{i+k-1} — five vectorized
+    uint64 ops per position instead of a k-wide inner fold, with numpy's
+    native wraparound as the modulus (the round-12 'vectorize the
+    recurrence' lesson applied to Horner chains). Window minima via a
+    stride-tricks view (no copy), distinct via np.unique. Python-level
+    work is ~10 numpy calls per document (~60 µs); the arrays never
+    leave the worker."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(WINNOW_BASE)
+    Binv = np.uint64(pow(WINNOW_BASE, -1, _M64))
+    out = []
+    for t in texts:
+        if t is None:
+            out.append([])
+            continue
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = cps.size
+        m = n - k + 1
+        if m < w:
+            out.append([])
+            continue
+        base = np.full(n, B, np.uint64)
+        base[0] = 1
+        pw = np.multiply.accumulate(base)          # B^i
+        ibase = np.full(n, Binv, np.uint64)
+        ibase[0] = 1
+        ipw = np.multiply.accumulate(ibase)        # B^-i
+        S = np.add.accumulate(cps * ipw)
+        Sm1 = np.concatenate((np.zeros(1, np.uint64), S[:-1]))
+        H = (S[k - 1:] - Sm1[:m]) * pw[k - 1:k - 1 + m]
+        wins = np.lib.stride_tricks.sliding_window_view(H, w).min(axis=1)
+        out.append(np.unique(wins).astype(np.int64).tolist())
+    return pd.Series(out)
 
 
 def winnow_fingerprints(
@@ -857,9 +906,10 @@ def winnow_fingerprints(
     """Distinct winnowing fingerprints per document — the
     exact-substring dedup route (Schleimer et al. 2003 winnowing; the
     detection rule behind exact-substring training-data dedup a la Lee
-    et al. 2022): hash every character k-gram, keep the minimum hash of
-    each sliding window of ``w`` consecutive k-gram hashes, distinct
-    the picks per document. Returns (id_col, fp) rows.
+    et al. 2022): polynomial-hash every character k-gram, keep the
+    minimum hash of each sliding window of ``w`` consecutive k-gram
+    hashes, distinct the picks per document. Returns (id_col, fp long)
+    rows.
 
     GUARANTEE (combinatorial, not probabilistic): two documents sharing
     any substring of length >= k + w - 1 share, at some alignment, a
@@ -868,53 +918,62 @@ def winnow_fingerprints(
     spans at or above the guarantee length; expected fingerprint
     density is ~2/(w+1) of positions (Schleimer's bound).
 
-    Scale shape: ENTIRELY per-row array expressions — the k-gram hash
-    array, the sliding-window minima (slice + array_min), and the
-    per-doc distinct all evaluate inside one projection, so there is no
-    (doc, position) explode and no window-function sort shuffle; the
-    only rows leaving the scan are the ~2·len/(w+1) distinct
-    fingerprints per document. The hash is md5 truncated to 16 hex
-    chars: JVM-side AND portable — DuckDB renders the identical hex
-    string, keeping the oracle byte-exact (cf. the xxhash64 trade-off
-    documented on doc_shingles(hashed=True); 64 bits keeps corpus-wide
-    collision odds ~1e-3 even at 10^8+ fingerprints, and a collision
-    only ever adds a candidate, never loses one).
+    Scale shape: one Arrow-vectorized pandas_udf projection — no
+    (doc, position) explode, no window-function sort shuffle; the only
+    rows leaving the scan are the ~2·len/(w+1) distinct fingerprints
+    per document, already as 8-byte longs. The Python route is
+    deliberate here, the measured exception to 'stay JVM-side': the
+    JVM-expression formulation (md5 per position, or an interpreted
+    higher-order-function Horner fold — both built and measured at
+    round 13) pays per-position digest/lambda overhead and ran ~35×
+    slower than this O(n) prefix-sum numpy kernel
+    (:func:`_winnow_fps_batch`); cf. poly_hash_chars' docstring for the
+    same HOF-interpretation cost note. The hash is engine-portable:
+    DuckDB folds the identical uint64 value with HUGEINT-widened
+    arithmetic (:func:`winnow_sql`), keeping the oracle exact. Window
+    minima compare in the UNSIGNED domain on both engines; the bits
+    reinterpret to int64 only at the output boundary. A 64-bit
+    collision only ever adds a candidate pair, never loses one
+    (corpus-wide odds ~1e-3 at 10^8+ fingerprints).
 
     Documents shorter than the guarantee length have no full window and
     are excluded: by definition they cannot contain a detectable span.
     """
-    m = F.length(text_col) - F.lit(k - 1)  # number of k-grams
-    hashes = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda j: F.substring(F.md5(F.col(text_col).substr(j, F.lit(k))), 1, 16),
-    )
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), m - F.lit(w - 1)),
-            lambda i: F.array_min(F.slice(F.col("_winnow_hashes"), i, w)),
-        )
+    udf = F.pandas_udf(
+        lambda texts: _winnow_fps_batch(texts, k, w), "array<long>"
     )
     return (
         df.where(F.length(text_col) >= k + w - 1)
-        .withColumn("_winnow_hashes", hashes)
-        .select(F.col(id_col), F.explode(fps).alias("fp"))
+        .select(F.col(id_col), F.explode(udf(F.col(text_col))).alias("fp"))
     )
 
 
 def winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W, table: str = "documents") -> str:
     """DuckDB derivation of the SAME fingerprint set, deliberately
-    different shape — explode positions, window-function min, full-window
-    filter — so the oracle is an independently-structured implementation
-    of the winnowing definition (the dedup_components recursive-CTE
+    different shape — explode positions, per-position Horner fold in
+    HUGEINT-widened UBIGINT arithmetic (list_reduce's first-element
+    seed equals Horner's zero init), window-function min in the
+    unsigned domain, full-window filter, int64 reinterpretation at the
+    output — an independently-structured implementation of the
+    winnowing definition (the dedup_components recursive-CTE
     discipline)."""
     return f"""
-        SELECT DISTINCT doc_id, fp FROM (
+        SELECT DISTINCT doc_id,
+               CASE WHEN hmin >= 9223372036854775808::UBIGINT
+                    THEN (hmin::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                    ELSE hmin::BIGINT END AS fp
+        FROM (
             SELECT doc_id, pos, m,
                    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+                                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS hmin
             FROM (
                 SELECT doc_id, i AS pos, length(text) - {k - 1} AS m,
-                       substr(md5(substr(text, i, {k})), 1, 16) AS h
+                       list_reduce(
+                           list_transform(string_split(substr(text, i, {k}), ''),
+                                          c -> ascii(c)::UBIGINT),
+                           (acc, x) -> ((acc::HUGEINT * {WINNOW_BASE} + x)
+                                        % 18446744073709551616::HUGEINT)::UBIGINT
+                       ) AS h
                 FROM (SELECT doc_id, text,
                              unnest(generate_series(1, length(text) - {k - 1})) AS i
                       FROM {table} WHERE length(text) >= {k + w - 1})

@@ -258,3 +258,48 @@ def test_fuzz_wav_roundtrip(ch, n, rate, seed):
     samples = rng.integers(-(2**15), 2**15, size=(n, ch), dtype=np.int64).astype(np.int16)
     drate, out = MM.decode_wav(MM.encode_wav(rate, samples))
     assert drate == rate and np.array_equal(out, samples)
+
+
+# multi-byte code points mixed in: the winnow primitive indexes by
+# CHARACTER (Spark substr on UTF8String code points, DuckDB substr on
+# UTF-8 characters) and hashes the UTF-8 BYTES (md5 both sides) — the
+# parity claim is that those two views never disagree.
+WINNOW_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=126),
+        st.sampled_from("éüñ中文русский🙂🚀"),
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(WINNOW_TEXT, min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=6),   # k-gram width
+    st.integers(min_value=1, max_value=4),   # winnow window
+)
+def test_winnow_fingerprints_match_duckdb_fuzz(spark, texts, k, w):
+    """The winnowing fingerprint set must be IDENTICAL across engines on
+    arbitrary inputs (incl. multi-byte code points and texts shorter
+    than the guarantee length) for any (k, w) geometry — the property
+    the dedup_exact_suite winnow branch's oracle stands on."""
+    import pandas as pd
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup import winnow_fingerprints, winnow_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.fp) for r in winnow_fingerprints(df, k=k, w=w).collect()}
+    con = duckdb.connect()
+    try:
+        con.register("docs_fuzz", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        oracle = {
+            (r[0], r[1])
+            for r in con.execute(winnow_sql(k=k, w=w, table="docs_fuzz")).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == oracle, (k, w, [repr(t) for t in texts])
