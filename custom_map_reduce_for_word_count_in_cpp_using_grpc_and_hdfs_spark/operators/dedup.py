@@ -54,7 +54,9 @@ SHINGLE_INDEX_BOUND = 8   # hashed (doc_id, n_sh, xxhash64) rows: 3.5-3.7x flat
 # compresses it to ~nothing and the ~2x headroom under the bound stands)
 MINHASH_SIG_BOUND = 5     # (doc_id, 32 longs): 2.3x flat
 SIMHASH_FP_BOUND = 1      # (doc_id, long): 0.08-0.10x
-WINNOW_FP_BOUND = 9       # (doc_id, long fp): 4.30x sf0.1 / 4.38x sf1 (round 13)
+WINNOW_FP_BOUND = 9       # (doc_id, long fp): 4.30x sf0.1 / 4.38x sf1 (round 13;
+# only the skew_robust join route consumes the frame twice and wants the cache —
+# the default window route is single-pass and uncached)
 
 
 # --------------------------------------------------------------------------
@@ -983,7 +985,7 @@ def winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W, table: str = "documents") -
 
 
 def winnow_shared_docs(
-    fps: DataFrame, id_col: str = "doc_id"
+    fps: DataFrame, id_col: str = "doc_id", skew_robust: bool = False
 ) -> DataFrame:
     """Per-document shared-span summary over a winnow fingerprint frame:
     one row per document carrying >= 1 fingerprint that also appears in
@@ -994,24 +996,44 @@ def winnow_shared_docs(
     fingerprints are shared (the duplicated-span mass, the quantity a
     curation pipeline thresholds on).
 
-    Scale shape: one groupBy(fp) aggregate (8-byte-ish keys, partial
-    aggregation map-side) and one 1:N equi-join back on fp. A
-    boilerplate fingerprint shared by millions of docs makes that join
-    key hot — the same skew class as the shingle index's stopword
-    shingles, handled by AQE skew splitting rather than a DF cap here
-    because the oracle must see the identical (exact) row set.
+    Two formulations, identical row set (pinned equal in tests):
+
+    - default (window): per-fp count/min as whole-partition window
+      functions over ONE sort-shuffle of the fingerprint frame, then
+      the per-doc aggregate. Measured 1.5-2x the join route at sf1/sf10
+      (round 13) AND single-consumer — the expensive fingerprint kernel
+      feeds straight through without caching.
+    - ``skew_robust=True`` (groupBy + join-back): one partially-
+      aggregated groupBy(fp) and a 1:N equi-join. Slower (the big frame
+      shuffles twice, and the caller should cache ``fps``), but a
+      pathological boilerplate fingerprint — one fp carried by 10^7+
+      documents, e.g. a license header at full-corpus scale — lands in
+      an AQE-splittable join partition instead of a single window task
+      (window partitions cannot be split; Spark sorts each fp's rows in
+      one task and would spill). Flip this on when a fingerprint's
+      document frequency can approach a partition's memory budget; the
+      oracle sees the identical (exact) row set either way, which is
+      also why there is no DF cap here (cf. the shingle index, where
+      the cap is part of the contract).
     """
-    stats = fps.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.min(id_col).alias("_first_doc"),
-    )
-    return (
-        fps.join(stats.where(F.col("_n_docs") >= 2), "fp")
-        .groupBy(id_col)
-        .agg(
-            F.min("_first_doc").alias("survivor_id"),
-            F.count(F.lit(1)).alias("n_copies"),
+    if skew_robust:
+        stats = fps.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("_n_docs"),
+            F.min(id_col).alias("_first_doc"),
         )
+        shared = fps.join(stats.where(F.col("_n_docs") >= 2), "fp")
+    else:
+        from pyspark.sql import Window
+
+        wfp = Window.partitionBy("fp")
+        shared = (
+            fps.withColumn("_n_docs", F.count(F.lit(1)).over(wfp))
+            .withColumn("_first_doc", F.min(id_col).over(wfp))
+            .where(F.col("_n_docs") >= 2)
+        )
+    return shared.groupBy(id_col).agg(
+        F.min("_first_doc").alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
     )
 
 

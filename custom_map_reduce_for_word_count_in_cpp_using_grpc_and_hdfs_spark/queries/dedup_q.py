@@ -106,12 +106,12 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/dedup.py::winnow_fingerprints). One row per document
     # carrying shared spans: survivor_id = earliest sharing doc,
     # n_copies = the doc's shared-fingerprint count.
-    # the fingerprint frame feeds both the per-fp stats aggregate and the
-    # join back onto itself — cache it once (eager_stats so downstream
-    # joins plan against the measured size; the md5 pass is the dominant
-    # cost and must not run twice)
-    wfps = D.eager_stats(D.winnow_fingerprints(docs), D.WINNOW_FP_BOUND)
-    winnow = D.winnow_shared_docs(wfps).select(
+    # the window formulation consumes the fingerprint frame exactly once
+    # (count/min per fp as whole-partition window functions over one
+    # sort-shuffle), so the expensive kernel pass needs no cache — see
+    # winnow_shared_docs for the skew_robust alternative and when to
+    # prefer it
+    winnow = D.winnow_shared_docs(D.winnow_fingerprints(docs)).select(
         F.lit("winnow").alias("kind"),
         F.col("doc_id").cast("string").alias("key"),
         "survivor_id",
@@ -131,9 +131,7 @@ def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
-    return D.tie_cache_lifetime(
-        raw.unionAll(norm).unionAll(fp).unionAll(winnow).unionAll(contaminated), wfps
-    )
+    return raw.unionAll(norm).unionAll(fp).unionAll(winnow).unionAll(contaminated)
 
 
 #: Shared oracle CTE list computing exact Jaccard near-dup pairs.

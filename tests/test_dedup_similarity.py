@@ -815,3 +815,13 @@ def test_winnow_fingerprints_match_duckdb(spark):
     )
     oracle_fps = {(r[0], r[1]) for r in con.execute(D.winnow_sql()).fetchall()}
     assert spark_fps == oracle_fps
+
+
+def test_winnow_shared_docs_formulations_agree(spark):
+    """The window (default) and skew_robust (groupBy + join-back)
+    formulations are two physical plans for one definition — identical
+    row sets on the real fixture."""
+    fps = D.winnow_fingerprints(load_table(spark, SF_CORRECT, "documents"))
+    window = {tuple(r) for r in D.winnow_shared_docs(fps).collect()}
+    joined = {tuple(r) for r in D.winnow_shared_docs(fps, skew_robust=True).collect()}
+    assert window == joined and window

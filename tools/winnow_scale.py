@@ -28,14 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def winnow_only(spark, sf_dir: str):
     """The round-13 frame in isolation: fingerprints + shared-doc
-    summary (cached once, exactly as the suite wires it)."""
+    summary (single-pass window formulation, exactly as the suite
+    wires it)."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators import dedup as D
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
 
     docs = spread(load_table(spark, sf_dir, "documents"), by=["doc_id"])
-    wfps = D.eager_stats(D.winnow_fingerprints(docs), D.WINNOW_FP_BOUND)
-    return D.tie_cache_lifetime(D.winnow_shared_docs(wfps), wfps)
+    return D.winnow_shared_docs(D.winnow_fingerprints(docs))
 
 
 def timing_phase(spark, sf_dir: str, reps: int) -> dict:
