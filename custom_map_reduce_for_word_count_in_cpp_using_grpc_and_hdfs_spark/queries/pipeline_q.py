@@ -92,6 +92,19 @@ EDGE_AUTO_SAMPLE_DOCS = 256
 #: docs shingle at all still lands on the MinHash side. Between 1× and
 #: 4× the crossover, the sampled estimate runs and decides.
 EDGE_AUTO_COUNT_ONLY_MARGIN = 4
+#: Bytes-gate bound for the zero-job early exit at the SMALL end (round
+#: 13): postings = Σ_doc |distinct shingles| ≤ total tokens ≤ total
+#: chars ≤ parquet scan bytes × this expansion bound. Measured text
+#: expansion on the fixtures is ~2.6× (sf0.1: 584 KB parquet ≈ 1.5 MB
+#: of text); 32× is the same generous headroom discipline as
+#: operators/caching's expansion bounds. When scan bytes × bound stay
+#: under the crossover, the jaccard side is decided WITHOUT the count
+#: or the sampled shingle estimate — at the bench SFs that removes two
+#: driver actions (~0.3 s/run measured); a corpus big enough to cross
+#: always falls through to the measured path. A text column that
+#: out-compresses the bound could only mis-route toward the exact
+#: (oracle-identical) route — a perf risk at worst, never correctness.
+EDGE_AUTO_BYTES_EXPANSION_BOUND = 32
 
 _TOKS = T.tokens_sql("text")
 
@@ -200,7 +213,37 @@ def choose_edge_method(docs: DataFrame, text_col: str = "text", n: int = 3) -> s
     EDGE_AUTO_COUNT_ONLY_MARGIN× — past that, even a corpus where only
     1/margin of docs shingle at all still crosses, and at that scale the
     sample's interpreted shingle transform is least welcome. Near the
-    threshold we fall through to the measured sample (ADVICE r10)."""
+    threshold we fall through to the measured sample (ADVICE r10).
+
+    Round 13 adds the symmetric zero-job exit at the SMALL end: when the
+    scan's file bytes prove the posting estimate cannot reach the
+    crossover even at EDGE_AUTO_BYTES_EXPANSION_BOUND× text expansion
+    (postings ≤ chars ≤ bytes × bound), the jaccard side is decided from
+    metadata alone — the same file-bytes gating as caching.eager_stats
+    and the simhash geometry count. Unsizeable scans (remote schemes,
+    non-file sources) skip the gate and measure, as before."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_file_sizes
+
+    sizes = scan_file_sizes(docs)
+    if sizes is not None and sum(sizes) * EDGE_AUTO_BYTES_EXPANSION_BOUND <= EDGE_AUTO_CROSSOVER_POSTINGS:
+        bound = sum(sizes) * EDGE_AUTO_BYTES_EXPANSION_BOUND
+        d = decide_crossover(
+            bound,
+            EDGE_AUTO_CROSSOVER_POSTINGS,
+            "minhash",
+            "jaccard",
+            "posting upper bound from scan bytes",
+            logger=_LOG,
+            detail=f"{sum(sizes)} scan bytes x {EDGE_AUTO_BYTES_EXPANSION_BOUND} expansion bound",
+        )
+        _LOG.info(
+            "edge route auto-selected %r from scan bytes alone: %d bytes x %d "
+            "bound = %d posting upper bound vs crossover %d (zero decision jobs)",
+            d.choice, sum(sizes), EDGE_AUTO_BYTES_EXPANSION_BOUND, bound,
+            EDGE_AUTO_CROSSOVER_POSTINGS,
+        )
+        return d.choice
     n_docs = docs.count()
     if n_docs > EDGE_AUTO_CROSSOVER_POSTINGS * EDGE_AUTO_COUNT_ONLY_MARGIN:
         method, _ = _decide_edge_method(n_docs, 1.0)  # count alone decides

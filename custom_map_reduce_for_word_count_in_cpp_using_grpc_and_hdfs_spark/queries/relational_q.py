@@ -60,11 +60,26 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 )
 def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy grouped aggregate — the canonical
-    partial/final hash-agg plan; the filter pushes to the parquet scan."""
+    partial/final hash-agg plan; the filter pushes to the parquet scan
+    (through the conditional spread — verified in plans/r13).
+
+    spread() (round 13): Q1's cost center is the PARTIAL aggregate —
+    nine decimal sums per row — which runs at the scan's split
+    parallelism because nothing before it re-partitions (SCALE.md
+    lesson 7 applied to decimal aggregation, not just token explodes).
+    The bench fixture's one ~11 MB file yields ~3 splits, serializing
+    the decimal work on 3 of 32 cores; measured A/B at sf0.1
+    (tools/r13_q1_simhash_ab.py, 5 interleaved reps): 1.661 s as-is vs
+    1.127 s spread = 0.68x. Round-robin (no key: the grouping key has
+    ~6 distinct values — hashing on it would collapse parallelism), and
+    conditional: at production split counts spread() is a no-op and the
+    plan is unchanged."""
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import spread
+
     (li,) = _t(spark, sf_dir, "lineitem")
     disc_price = rev_col()  # exact decimal product (see functions/exact.py)
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        spread(li).where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", alias="sum_qty"),

@@ -376,9 +376,14 @@ def test_edge_route_crossover_decision():
 
 def test_curate_auto_selects_and_logs(spark, caplog):
     """curate() defaults to the cost-aware route: on the fixture corpus
-    (below the crossover) auto measures the corpus, logs the selection,
+    (provably below the crossover from scan bytes alone — the round-13
+    zero-job exit) auto logs the selection with its bytes evidence,
     picks jaccard, and produces the forced-jaccard output bit for bit —
-    so the driver's hash gate sees the same rows the oracle states."""
+    so the driver's hash gate sees the same rows the oracle states.
+    The measured (count + sample) path stays covered by
+    test_curate_auto_minhash_side_integration and
+    test_choose_edge_method_count_only_margin, whose monkeypatched
+    crossovers sit below the bytes bound."""
     import logging as _logging
 
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q import choose_edge_method, curate
@@ -388,7 +393,7 @@ def test_curate_auto_selects_and_logs(spark, caplog):
     with caplog.at_level(_logging.INFO, logger="custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q"):
         assert choose_edge_method(docs) == "jaccard"
     msgs = [r.getMessage() for r in caplog.records if "auto-selected" in r.getMessage()]
-    assert msgs and "'jaccard'" in msgs[0] and "500 docs" in msgs[0]
+    assert msgs and "'jaccard'" in msgs[0] and "scan bytes alone" in msgs[0]
     auto = {tuple(r) for r in curate(docs).collect()}
     exact = {tuple(r) for r in curate(docs, edge_method="jaccard").collect()}
     assert auto == exact and auto
@@ -461,3 +466,54 @@ def test_choose_edge_method_count_only_margin(spark, monkeypatch, caplog):
     )
     method, ev = route_and_evidence(short, 400)
     assert method == "jaccard" and "x 0.0 shingles/doc" in ev
+
+
+def test_choose_edge_method_bytes_gate_zero_jobs(spark, caplog):
+    """The round-13 small-end exit: when scan bytes x the expansion
+    bound stay under the crossover, the jaccard route is decided from
+    file metadata with ZERO driver actions (no count, no sample) — and
+    the decision still leaves its audit line. A non-file frame
+    (createDataFrame) must skip the gate and measure as before."""
+    import logging as _logging
+    from unittest import mock
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries import pipeline_q as PQ
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.sources import load_table
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover — pyspark 3.x
+        from pyspark.sql import DataFrame as _DF
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    actions = {"n": 0}
+    real = {"collect": _DF.collect, "count": _DF.count, "first": _DF.first}
+
+    def wrap(name):
+        def inner(self_df, *a, **kw):
+            actions["n"] += 1
+            return real[name](self_df, *a, **kw)
+        return inner
+
+    logger = "custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.queries.pipeline_q"
+    with caplog.at_level(_logging.INFO, logger=logger):
+        with mock.patch.object(_DF, "collect", wrap("collect")), \
+                mock.patch.object(_DF, "count", wrap("count")), \
+                mock.patch.object(_DF, "first", wrap("first")):
+            assert PQ.choose_edge_method(docs) == "jaccard"
+    assert actions["n"] == 0, f"bytes gate fired {actions['n']} driver actions"
+    msgs = [r.getMessage() for r in caplog.records if "scan bytes alone" in r.getMessage()]
+    assert msgs and "'jaccard'" in msgs[0]
+
+    # non-file scan: the gate cannot size it and must fall through to
+    # the measured path (count, and near the crossover the sample too)
+    frame = spark.createDataFrame(
+        [(i, "a b c d e f", "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    actions["n"] = 0
+    with mock.patch.object(_DF, "collect", wrap("collect")), \
+            mock.patch.object(_DF, "count", wrap("count")), \
+            mock.patch.object(_DF, "first", wrap("first")):
+        assert PQ.choose_edge_method(frame) == "jaccard"
+    assert actions["n"] >= 1, "unsizeable scan must measure"

@@ -299,7 +299,11 @@ def test_ann_topk_plans_window_group_limit(spark):
 #: to one count per executed node — see _unique_nodes).
 HEADLINE_PLAN_CEILINGS = {
     "wc_top_k": (2, 0, 0),
-    "rel_q1_pricing_summary": (1, 0, 0),
+    # 2 (round 13, up from 1): the conditional spread() before the
+    # nine-decimal-sum partial aggregate — Q1's cost center ran at the
+    # scan's ~3-split parallelism on under-split fixtures (measured
+    # 0.68x at sf0.1; no-op at production split counts).
+    "rel_q1_pricing_summary": (2, 0, 0),
     "rel_q3_shipping_priority": (3, 0, 0),
     "rel_q5_region_revenue": (6, 0, 0),
     "win_running_sum": (1, 0, 0),
