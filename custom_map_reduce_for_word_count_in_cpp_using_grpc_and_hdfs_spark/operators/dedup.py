@@ -427,6 +427,92 @@ def minhash_near_dups(
 # Dedup clusters (connected components over near-dup pairs)
 # --------------------------------------------------------------------------
 
+#: Cost crossover for the driver-local components route (round 13, the
+#: sixth decision on the plans/cost.py seam): edge lists at or below
+#: this count are collected (Arrow path) and labeled with a vectorized
+#: numpy pointer-jumping union-find on the driver; larger ones take the
+#: distributed hash-min loop. Rationale: the loop's cost floor is its
+#: SEQUENTIAL job structure — seed + 3 materializing jobs + (2
+#: localCheckpoints + 1 count) per round — which is latency-bound until
+#: edge partitions carry real data, while the driver route is one
+#: collect + O(E log V) numpy + one parallelize. Measured at sf0.1
+#: (tools/r13_cc_ab.py, 5 interleaved reps, labeling stage only, edge
+#: frames pre-persisted, routes row-identical at both sizes): 256
+#: exact-Jaccard edges — loop 0.881 s vs driver 0.390 s (2.26x); 2.09M
+#: simhash edges (at the cap) — loop 6.77 s vs driver 2.866 s (2.36x —
+#: the loop's per-round shuffles dwarf the ~32 MB Arrow collect).
+#: Memory bound at the cap: 2M edges = 2 long columns x 16 B = 32 MB
+#: collected, ~130 MB peak with the numpy working set — negligible
+#: against the 8 GiB driver default; the cap, not the measurement, is
+#: what limits the route (driver was still winning at the largest size
+#: measured). At 100 TB edge counts past the cap take the loop
+#: unchanged — same degrade-to-distributed shape as every other seam.
+CC_DRIVER_LOCAL_MAX_EDGES = 2_000_000
+
+import logging as _logging
+
+_CC_LOG = _logging.getLogger(__name__)
+
+
+def _driver_local_labels(pairs: DataFrame, id_dtype: str) -> DataFrame:
+    """(vid, comp) relation for every edge endpoint, computed on the
+    driver: Arrow-collect the (bounded) pair list, run the numpy
+    union-find, parallelize the label relation back at the endpoints'
+    original integral type. The Arrow path moves columns, not Row
+    objects; the plain-collect fallback covers builds without
+    DataFrame.toArrow."""
+    import numpy as np
+
+    spark = pairs.sparkSession
+    try:
+        tbl = pairs.toArrow()
+        a = np.asarray(tbl.column("a").to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(tbl.column("b").to_numpy(zero_copy_only=False), dtype=np.int64)
+    except Exception:  # pragma: no cover — non-Arrow builds
+        rows = pairs.collect()
+        a = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+        b = np.fromiter((r[1] for r in rows), np.int64, len(rows))
+    ids, comp = _numpy_cc_min_labels(a, b)
+    schema = f"vid {id_dtype}, comp {id_dtype}"
+    if ids.size == 0:
+        return spark.createDataFrame([], schema=schema)
+    import pandas as pd
+
+    out = spark.createDataFrame(pd.DataFrame({"vid": ids, "comp": comp}))
+    if id_dtype != "bigint":
+        out = out.select(F.col("vid").cast(id_dtype).alias("vid"), F.col("comp").cast(id_dtype).alias("comp"))
+    return out
+
+
+def _numpy_cc_min_labels(a, b):
+    """(ids, comp) arrays: min-vertex-id connected-component label per
+    distinct endpoint, via vectorized min-label propagation with pointer
+    jumping over an index parent array. np.unique sorts ids ascending,
+    so index order == value order and index minima ARE value minima.
+    Converges in O(log V) outer rounds (pointer jumping contracts
+    chains geometrically — same argument as the distributed loop's
+    path-halving); raises if 64 rounds (graphs beyond 2^64 vertices)
+    ever fail to converge rather than returning partial labels."""
+    import numpy as np
+
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: a.size], inv[a.size :]
+    parent = np.arange(ids.size)
+    for _ in range(64):
+        before = parent
+        parent = parent.copy()
+        lo = np.minimum(parent[ai], parent[bi])
+        np.minimum.at(parent, ai, lo)
+        np.minimum.at(parent, bi, lo)
+        for _ in range(64):
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(before, parent):
+            return ids, ids[parent]
+    raise RuntimeError("driver-local components failed to converge")  # pragma: no cover
+
 
 def connected_components(
     vertices: DataFrame,
@@ -436,9 +522,21 @@ def connected_components(
     dst_col: str = "dst",
     max_iters: int = 20,
     check_vertices: bool | None = None,
+    route: str = "auto",
 ) -> DataFrame:
-    """(id, component) — connected components by hash-min label
-    propagation; component = min vertex id in the component.
+    """(id, component) — connected components; component = min vertex id
+    in the component.
+
+    ``route`` (round 13): 'auto' (default) takes the DRIVER-LOCAL path —
+    Arrow-collect the materialized edge list, label it with a vectorized
+    numpy union-find, parallelize the label relation back — whenever the
+    edge count is at most CC_DRIVER_LOCAL_MAX_EDGES, the endpoint types
+    are integral, and no endpoint is null; the distributed hash-min loop
+    otherwise. 'loop' / 'driver' force a side (tests and A/B tools; the
+    forced driver route raises on unsupported endpoint types). The two
+    routes are row-identical (pinned by tests); only edge endpoint PAIRS
+    ever reach the driver, bounded at 32 MB of longs by the cap, while
+    the corpus-sized vertex frame stays distributed.
 
     The dedup use case: pairwise near-dup edges are not transitive
     (A≈B, B≈C but A≉C), so keeping one doc per *pair* over-deletes;
@@ -492,6 +590,87 @@ def connected_components(
         import os
 
         check_vertices = os.environ.get("SPARK_GRAFT_DEBUG", "") not in ("", "0")
+    # materialize the DIRECTED pair list BEFORE the direction flip (round
+    # 9): unioning first and materializing after ran the edge frame — an
+    # expensive similarity join in the dedup pipelines — once per union
+    # branch inside a single job, with concurrent branch tasks racing to
+    # populate any lazy upstream caches (measured: the sf10 curation
+    # pipeline spent 522 s with the union-first shape vs 183 s staged;
+    # .scratch/r9). Flipping over the checkpointed pairs is a projection,
+    # and the loop's per-round re-reads scan the same materialized bytes.
+    pairs = materialize(edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")))
+
+    # Round-13 driver-local route (the sixth plans/cost.py decision):
+    # the loop's floor is ~6+ SEQUENTIAL jobs (seed + per-round
+    # checkpoints + convergence counts) — pure latency for edge lists
+    # that fit one Arrow collect. Decide on the materialized pair
+    # count (one cheap job over the checkpointed blocks — the same
+    # measure-then-route shape as the edge/skew/state/ANN seams); label
+    # on the driver with the vectorized numpy union-find, parallelize
+    # the (small) label relation back, and keep the vertex frame fully
+    # distributed — only edge ENDPOINT PAIRS ever reach the driver,
+    # bounded by CC_DRIVER_LOCAL_MAX_EDGES (32 MB of longs at the cap).
+    # Integral id types only: numpy ordering == Spark ordering is
+    # guaranteed there; anything else takes the loop.
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
+
+    if route not in ("auto", "loop", "driver"):
+        raise ValueError(f"route must be 'auto', 'loop' or 'driver', got {route!r}")
+    dtypes = dict(pairs.dtypes)
+    integral = dtypes["a"] == dtypes["b"] and dtypes["a"] in ("bigint", "int", "smallint", "tinyint")
+    if route == "driver" and not integral:
+        raise ValueError(
+            f"route='driver' needs matching integral endpoint types, got "
+            f"({dtypes['a']}, {dtypes['b']})"
+        )
+    if route != "loop" and integral:
+        # one job for both decision statistics over the checkpointed
+        # blocks: edge count, and whether any endpoint is null (null
+        # endpoints keep the loop's join semantics — never the numpy
+        # route, whose int64 columns cannot represent them)
+        stats = pairs.selectExpr(
+            "count(*) AS n",
+            "sum(CASE WHEN a IS NULL OR b IS NULL THEN 1 ELSE 0 END) AS nulls",
+        ).first()
+        n_edges, n_nulls = stats[0], stats[1] or 0
+        if n_nulls:
+            if route == "driver":
+                raise ValueError(
+                    f"route='driver' cannot represent {n_nulls} null edge endpoints"
+                )
+            _CC_LOG.info(
+                "connected_components: %d null edge endpoints — keeping the "
+                "distributed loop (null keys are outside the numpy route's "
+                "int64 domain)",
+                n_nulls,
+            )
+            d = None
+        else:
+            d = decide_crossover(
+                n_edges,
+                CC_DRIVER_LOCAL_MAX_EDGES,
+                "loop",
+                "driver_local",
+                "materialized edge count",
+                logger=_CC_LOG,
+                detail=f"driver-local cap {CC_DRIVER_LOCAL_MAX_EDGES} edges",
+            )
+        if d is not None and (route == "driver" or d.choice == "driver_local"):
+            labels = _driver_local_labels(pairs, dtypes["a"])
+            all_labels = vertices.select(
+                F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
+            )
+            if check_vertices:
+                stray = labels.join(all_labels.select("vid"), "vid", "left_anti").count()
+                if stray:
+                    raise ValueError(
+                        f"connected_components: {stray} edge endpoints do not appear "
+                        f"in vertices — pass the full vertex set (filtered vertices "
+                        "with unfiltered edges would contaminate the output)"
+                    )
+            singletons = all_labels.join(labels.select("vid"), "vid", "left_anti")
+            return labels.unionAll(singletons).select(F.col("vid").alias(id_col), "comp")
+
     # materialize the vertex frame once — the singleton anti-join re-reads
     # it, and vertices often come from an expensive upstream (the pipeline
     # passes the exact-dedup survivor set). prefer_local: this is the one
@@ -502,15 +681,6 @@ def connected_components(
         vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("comp")),
         prefer_local=True,
     )
-    # materialize the DIRECTED pair list BEFORE the direction flip (round
-    # 9): unioning first and materializing after ran the edge frame — an
-    # expensive similarity join in the dedup pipelines — once per union
-    # branch inside a single job, with concurrent branch tasks racing to
-    # populate any lazy upstream caches (measured: the sf10 curation
-    # pipeline spent 522 s with the union-first shape vs 183 s staged;
-    # .scratch/r9). Flipping over the checkpointed pairs is a projection,
-    # and the loop's per-round re-reads scan the same materialized bytes.
-    pairs = materialize(edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")))
     sym = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # sym holds both directions, so grouping on "a" covers every endpoint
     labels = materialize(

@@ -222,8 +222,10 @@ def test_connected_components_matches_union_find(spark):
 
         vdf = spark.createDataFrame(vertices, "id long")
         edf = spark.createDataFrame(edges, "src long, dst long")
-        got = {r.id: r.comp for r in D.connected_components(vdf, edf).collect()}
-        assert got == want, f"trial {trial}"
+        # both routes of the round-13 cost seam must equal the reference
+        for route in ("driver", "loop"):
+            got = {r.id: r.comp for r in D.connected_components(vdf, edf, route=route).collect()}
+            assert got == want, f"trial {trial} route {route}"
 
 
 def test_ivf_short_corpus_guard(spark):
@@ -295,8 +297,8 @@ def test_connected_components_raises_when_unconverged(spark):
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
     with pytest.raises(RuntimeError, match="still changing"):
-        D.connected_components(vertices, edges, max_iters=2)
-    full = D.connected_components(vertices, edges, max_iters=n + 1)
+        D.connected_components(vertices, edges, max_iters=2, route="loop")
+    full = D.connected_components(vertices, edges, max_iters=n + 1, route="loop")
     assert {r.comp for r in full.collect()} == {0}
 
 
@@ -336,7 +338,7 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     n = 200
     verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
     chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
-    comps = D.connected_components(verts, chain, max_iters=12)
+    comps = D.connected_components(verts, chain, max_iters=12, route="loop")
     rows = comps.collect()
     assert len(rows) == n
     assert {r.comp for r in rows} == {0}, "one component rooted at min id"
@@ -355,6 +357,60 @@ def test_band_codes_vectorized_matches_expression(spark):
         "vec_id", S.band_codes_vectorized(planes, 16)(F.col("embedding")).alias("codes2")
     )
     assert expr.join(vec, "vec_id").where(F.col("codes") != F.col("codes2")).count() == 0
+
+
+def test_connected_components_route_seam(spark, monkeypatch, caplog):
+    """The round-13 driver-local route rides the plans/cost.py seam:
+    auto picks driver-local below the edge cap (audit line included),
+    the loop above it; null endpoints and non-integral ids always keep
+    the loop; route='driver' on unrepresentable inputs fails loudly."""
+    import logging as _logging
+
+    import pytest
+
+    logger = "custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.operators.dedup"
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "src long, dst long")
+    want = {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)}
+
+    def run_and_log(**kw):
+        caplog.clear()
+        with caplog.at_level(_logging.INFO, logger=logger):
+            got = {(r.id, r.comp) for r in D.connected_components(verts, edges, **kw).collect()}
+        return got, [r.getMessage() for r in caplog.records]
+
+    got, msgs = run_and_log()
+    assert got == want
+    assert any("'driver_local'" in m for m in msgs), msgs
+
+    monkeypatch.setattr(D, "CC_DRIVER_LOCAL_MAX_EDGES", 0)
+    got, msgs = run_and_log()
+    assert got == want
+    assert any("'loop'" in m for m in msgs), msgs
+    monkeypatch.undo()
+
+    # null endpoints: auto logs the fallback and takes the loop;
+    # forced driver raises
+    nedges = spark.createDataFrame([(0, 1), (2, None)], "src long, dst long")
+    caplog.clear()
+    with caplog.at_level(_logging.INFO, logger=logger):
+        D.connected_components(verts, nedges).collect()
+    assert any("null edge endpoints" in r.getMessage() for r in caplog.records)
+    with pytest.raises(ValueError, match="null edge endpoints"):
+        D.connected_components(verts, nedges, route="driver")
+
+    # non-integral ids: forced driver raises; auto silently loops
+    sverts = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    sedges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="integral"):
+        D.connected_components(sverts, sedges, route="driver")
+    got = {(r.id, r.comp) for r in D.connected_components(sverts, sedges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "c")}
+
+    # empty edge list: driver route returns all-singleton labels
+    eedges = spark.createDataFrame([], "src long, dst long")
+    got = {(r.id, r.comp) for r in D.connected_components(verts, eedges).collect()}
+    assert got == {(i, i) for i in range(6)}
 
 
 def test_connected_components_check_vertices_fails_loudly(spark):
