@@ -460,15 +460,18 @@ def _driver_local_labels(pairs: DataFrame, id_dtype: str) -> DataFrame:
     union-find, parallelize the label relation back at the endpoints'
     original integral type. The Arrow path moves columns, not Row
     objects; the plain-collect fallback covers builds without
-    DataFrame.toArrow."""
+    DataFrame.toArrow. The fallback is CAPABILITY-gated, not a bare
+    except (ADVICE r13): a genuine collect failure at the 2M-edge cap
+    (Arrow/driver-memory error) must propagate, not silently retry via
+    the much slower Row path."""
     import numpy as np
 
     spark = pairs.sparkSession
-    try:
+    if hasattr(pairs, "toArrow"):
         tbl = pairs.toArrow()
         a = np.asarray(tbl.column("a").to_numpy(zero_copy_only=False), dtype=np.int64)
         b = np.asarray(tbl.column("b").to_numpy(zero_copy_only=False), dtype=np.int64)
-    except Exception:  # pragma: no cover — non-Arrow builds
+    else:  # pragma: no cover — non-Arrow builds
         rows = pairs.collect()
         a = np.fromiter((r[0] for r in rows), np.int64, len(rows))
         b = np.fromiter((r[1] for r in rows), np.int64, len(rows))

@@ -221,29 +221,33 @@ def choose_edge_method(docs: DataFrame, text_col: str = "text", n: int = 3) -> s
     (postings ≤ chars ≤ bytes × bound), the jaccard side is decided from
     metadata alone — the same file-bytes gating as caching.eager_stats
     and the simhash geometry count. Unsizeable scans (remote schemes,
-    non-file sources) skip the gate and measure, as before."""
-    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.cost import decide_crossover
+    non-file sources) skip the gate and measure, as before.
+
+    Single-scan assumption (ADVICE r13): the bytes bound holds when
+    ``docs``'s rows come from the scanned files roughly once — a
+    row-multiplying frame over the same files (self-join, explode) or
+    text that out-compresses the 32× bound would under-count postings
+    and mis-route to the exact route. That failure is PERF-ONLY (the
+    exact side is oracle-identical) and bounded (the gate fires only
+    under crossover/bound ≈ 937 KB of scan bytes), so the gate stays a
+    bytes check rather than also proving the plan is a bare scan."""
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_file_sizes
 
     sizes = scan_file_sizes(docs)
     if sizes is not None and sum(sizes) * EDGE_AUTO_BYTES_EXPANSION_BOUND <= EDGE_AUTO_CROSSOVER_POSTINGS:
+        # the gate condition IS the below-crossover decision ('jaccard'
+        # unconditionally inside this branch), so one audit line carries
+        # all the evidence — the round-13 shape additionally ran
+        # decide_crossover, logging the same stat/crossover/detail twice
+        # per pipeline run (ADVICE r13)
         bound = sum(sizes) * EDGE_AUTO_BYTES_EXPANSION_BOUND
-        d = decide_crossover(
-            bound,
-            EDGE_AUTO_CROSSOVER_POSTINGS,
-            "minhash",
-            "jaccard",
-            "posting upper bound from scan bytes",
-            logger=_LOG,
-            detail=f"{sum(sizes)} scan bytes x {EDGE_AUTO_BYTES_EXPANSION_BOUND} expansion bound",
-        )
         _LOG.info(
             "edge route auto-selected %r from scan bytes alone: %d bytes x %d "
             "bound = %d posting upper bound vs crossover %d (zero decision jobs)",
-            d.choice, sum(sizes), EDGE_AUTO_BYTES_EXPANSION_BOUND, bound,
+            "jaccard", sum(sizes), EDGE_AUTO_BYTES_EXPANSION_BOUND, bound,
             EDGE_AUTO_CROSSOVER_POSTINGS,
         )
-        return d.choice
+        return "jaccard"
     n_docs = docs.count()
     if n_docs > EDGE_AUTO_CROSSOVER_POSTINGS * EDGE_AUTO_COUNT_ONLY_MARGIN:
         method, _ = _decide_edge_method(n_docs, 1.0)  # count alone decides

@@ -1,10 +1,11 @@
 """Capture .explain('formatted') for every bench headline entry into
-plans/r13/<name>_<tag>.txt (optimization-round deliverable: the judge
-checks plan claims against these files).
+plans/<round>/<name>_<tag>.txt (optimization-round deliverable: the
+judge checks plan claims against these files).
 
 Usage: python tools/capture_plans.py <tag> [name ...]
   tag     e.g. 'before' / 'after'
   names   optional subset; default = every bench HEADLINE entry.
+Env: SPARK_GRAFT_PLAN_DIR names the output subdir (default 'r14').
 
 Builds each DataFrame exactly as bench.py does (BENCH_IMPL override or
 registry entry) at $SPARK_GRAFT_SF_DIR (default sf0.1) and writes the
@@ -27,7 +28,11 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark import get_session
@@ -43,9 +48,16 @@ def main() -> None:
         df = fn(spark, sf_dir)
         plan = df._sc_explain if hasattr(df, "_sc_explain") else None
         if plan is None:
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            )
+            # public-API capture (ADVICE r13): redirect stdout around
+            # df.explain instead of reaching into queryExecution/ExplainMode
+            # internals that move across pyspark releases
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
