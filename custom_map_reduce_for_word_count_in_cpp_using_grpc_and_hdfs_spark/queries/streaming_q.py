@@ -18,6 +18,9 @@ from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming
     stream_dedup,
     tumbling_counts,
 )
+from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.streaming.windows import (
+    stream_shuffle_width,
+)
 
 _WINDOW_SUITE_ORACLE = """
     SELECT 'tumbling' AS kind, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
@@ -49,7 +52,8 @@ def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (tumbling_counts(events_stream(spark, sf_dir)), "complete"),
             (sliding_counts(events_stream(spark, sf_dir)), "complete"),
-        ]
+        ],
+        shuffle_width=stream_shuffle_width(sf_dir, "events"),
     )
     tumbling = tumbling_raw.select(
         F.lit("tumbling").alias("kind"), "ws", "event_type", "n", "sum_value"
@@ -90,7 +94,11 @@ def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 5-minute-gap sessions via session_window; the oracle is
     the classic gaps-and-islands rewrite (end = last event + gap)."""
-    return run_available_now(session_windows(events_stream(spark, sf_dir)), "complete")
+    return run_available_now(
+        session_windows(events_stream(spark, sf_dir)),
+        "complete",
+        shuffle_width=stream_shuffle_width(sf_dir, "events"),
+    )
 
 
 _DEDUP_STATE_ORACLE = """
@@ -204,7 +212,8 @@ def stream_dedup_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (enriched_stream, "complete"),
             (ss, "append"),
             (incr_stream, "complete"),
-        ]
+        ],
+        shuffle_width=stream_shuffle_width(sf_dir, "events", "documents"),
     )
     dedup_counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("dedup").alias("kind"),
@@ -258,4 +267,8 @@ def stream_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_word_count,
     )
 
-    return run_available_now(streaming_word_count(documents_stream(spark, sf_dir)), "complete")
+    return run_available_now(
+        streaming_word_count(documents_stream(spark, sf_dir)),
+        "complete",
+        shuffle_width=stream_shuffle_width(sf_dir, "documents"),
+    )

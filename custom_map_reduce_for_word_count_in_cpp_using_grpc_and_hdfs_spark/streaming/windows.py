@@ -175,14 +175,66 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_available_now(df: DataFrame, mode: str, timeout_s: int = 300) -> DataFrame:
+#: Source bytes per streaming shuffle/state partition for the
+#: input-sized width (round 14, VERDICT r13 item 3). Streaming disables
+#: AQE, so ``spark.sql.shuffle.partitions`` at query start IS the
+#: state-store partition count, and a width pinned to the session's
+#: core-count default makes every drain pay (#queries x width)
+#: state-store inits regardless of data volume — the bench's only
+#: anti-scaling entry (8-core beat 32-core 2.5x on identical code,
+#: PERF_r13.json). Measured at three decades (tools/r14_stream_width_ab.py,
+#: interleaved minima, rows identical at every width):
+#:   sf0.1 (2 MB events):   w2 1.12 s  w4 1.20  w8 1.28  w16 1.66  w32 2.23
+#:   sf1   (17 MB):         w2 1.31 s  w8 1.61  w32 3.01  w64 4.65
+#:   sf10  (174 MB):        w2 1.86 s  w4 1.67  w8 1.82  w32 3.53
+#: The optimum tracks source bytes (2 -> 2 -> 4), matching
+#: ceil(bytes / 64 MB) with a floor of 2; the derived width reaches ~28
+#: at sf100 (1.7 GB) and keeps growing linearly past any fixed core
+#: count — at 100 TB the same formula spreads state across ~1.6M
+#: partitions' worth of budget, i.e. the cluster-sizing regime where
+#: per-partition state memory, not drain latency, binds.
+STREAM_WIDTH_TARGET_BYTES = 64 * 1024 * 1024
+#: Width floor: keeps at least two-way state parallelism so the
+#: distributed code path (state shuffle, per-partition stores) is always
+#: exercised; measured indistinguishable from wider floors at the SFs
+#: where it applies.
+STREAM_WIDTH_FLOOR = 2
+
+
+def stream_shuffle_width(sf_dir: str, *tables: str) -> int | None:
+    """Input-sized streaming shuffle/state width: ceil(total source
+    bytes / STREAM_WIDTH_TARGET_BYTES), floored at STREAM_WIDTH_FLOOR —
+    or ``None`` (leave the session width alone) when a source cannot be
+    sized locally. ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` overrides
+    the derivation for cluster tuning, mirroring the batch-side
+    SPARK_GRAFT_SHUFFLE_PARTITIONS knob."""
+    import math
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    total = 0
+    for table in tables or ("events",):
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return max(STREAM_WIDTH_FLOOR, math.ceil(total / STREAM_WIDTH_TARGET_BYTES))
+
+
+def run_available_now(
+    df: DataFrame, mode: str, timeout_s: int = 300, shuffle_width: int | None = None
+) -> DataFrame:
     """Drain a bounded stream into a memory sink and return the result as
     a batch DataFrame."""
-    return run_available_now_many([(df, mode)], timeout_s)[0]
+    return run_available_now_many([(df, mode)], timeout_s, shuffle_width=shuffle_width)[0]
 
 
 def run_available_now_many(
-    dfs_modes: list[tuple[DataFrame, str]], timeout_s: int = 300
+    dfs_modes: list[tuple[DataFrame, str]],
+    timeout_s: int = 300,
+    shuffle_width: int | None = None,
 ) -> list[DataFrame]:
     """Drain several bounded streams CONCURRENTLY (all started before any
     is awaited — independent streaming jobs shouldn't serialize on the
@@ -197,10 +249,23 @@ def run_available_now_many(
     source ever grows multiple files, pin maxFilesPerTrigger above the
     file count or use a watermark delay exceeding the event-time span.
 
+    ``shuffle_width`` (round 14): the shuffle/state-store partition
+    count for the queries STARTED here — streaming reads
+    ``spark.sql.shuffle.partitions`` at query start (AQE is disabled, so
+    there is no later coalescing) and pins it into the checkpoint. The
+    session value is restored after the drains complete; callers derive
+    the width from their source size via :func:`stream_shuffle_width`.
+    ``None`` leaves the session width untouched.
+
     If any drain fails or times out, every still-active query is stopped
     before the error propagates — no leaked streaming queries or
     memory-sink state."""
     started = []
+    spark = dfs_modes[0][0].sparkSession if dfs_modes else None
+    prev_width = None
+    if shuffle_width is not None and spark is not None:
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_width))
     try:
         for df, mode in dfs_modes:
             name = f"stream_{uuid.uuid4().hex[:12]}"
@@ -228,6 +293,9 @@ def run_available_now_many(
             except Exception:
                 pass
         raise
+    finally:
+        if prev_width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
