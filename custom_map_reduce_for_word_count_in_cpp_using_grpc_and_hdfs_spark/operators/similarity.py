@@ -357,7 +357,19 @@ def cosine_near_dup_pairs(
       (see lsh_band_geometry; the sf10 smoke measured the fixed-width
       variant at 1.5e9 candidates vs 1.8e6 adaptive)."""
     if bands is None or n_planes is None:
-        n = corpus_size if corpus_size is not None else df.count()
+        n = corpus_size
+        if n is None:
+            # zero-job EXACT count from parquet footers when the frame is
+            # provably a bare row-preserving scan (round 14 — the same
+            # metadata-decision discipline as the pipeline bytes gate,
+            # but exact, because geometry flips on ceil(log2 n) and a
+            # changed geometry changes candidate sets); filtered/derived
+            # frames fall back to the count job, semantics identical
+            from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_row_count
+
+            n = scan_row_count(df)
+        if n is None:
+            n = df.count()
         bands, width = lsh_band_geometry(n, threshold)
         n_planes = bands * width
     planes = hyperplanes(dim, n_planes)

@@ -93,6 +93,76 @@ def scan_file_sizes(df: DataFrame) -> list[int] | None:
     return sizes
 
 
+#: Analyzed-plan node names that preserve the scan's row count 1:1.
+#: Anything else (Filter, Join, Generate, Aggregate, Sample, Limit,
+#: Distinct, ...) disqualifies the frame from footer-based counting —
+#: unknown node types fail closed (fall back to a real count job).
+_ROW_PRESERVING_NODES = ("Project", "SubqueryAlias", "Relation", "View", "Alias")
+
+
+def scan_row_count(df: DataFrame) -> int | None:
+    """EXACT row count of ``df`` from its parquet footers — zero Spark
+    jobs — or ``None`` when it cannot be safely derived (non-local or
+    non-parquet files, or a plan that is not provably row-preserving
+    above the scan). The same zero-job decision discipline as
+    :func:`scan_file_sizes`, but for statistics that need exactness:
+    parquet footer ``num_rows`` is authoritative metadata, so a caller
+    sizing a geometry from it gets the IDENTICAL value a ``count()``
+    job returns (a bound would not do — e.g. LSH band geometry changes
+    with ceil(log2(n)), and a changed geometry changes candidate sets).
+
+    The row-preserving guard parses the analyzed logical plan (captured
+    via the public ``explain`` API) and requires every node to be a
+    Project/SubqueryAlias/Relation — Filter/Join/Generate/Sample/Limit
+    or any UNKNOWN node name returns None, so new operators fail toward
+    the correct (job-based) path, never toward a wrong count."""
+    files = None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    paths = []
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None
+        path = unquote(parsed.path or uri)
+        if not path.endswith(".parquet"):
+            return None
+        paths.append(path)
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    text = buf.getvalue()
+    m = re.search(
+        r"== Analyzed Logical Plan ==\n(.*?)\n== Optimized Logical Plan ==",
+        text,
+        re.DOTALL,
+    )
+    if not m:
+        return None
+    # first line of the section is the output schema; the rest are nodes
+    for line in m.group(1).splitlines()[1:]:
+        stripped = re.sub(r"^[\s:+\-]*", "", line)
+        if not stripped:
+            continue
+        node = re.match(r"[A-Za-z]+", stripped)
+        if node is None or not any(node.group(0).startswith(ok) for ok in _ROW_PRESERVING_NODES):
+            return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return None
+
+
 def scan_splits(df: DataFrame) -> int:
     """Estimated number of file splits the scan behind ``df`` produces.
 

@@ -273,6 +273,29 @@ def test_spread_streaming_passthrough(spark, tmp_path):
     assert spread(stream) is stream
 
 
+def test_scan_row_count_exact_and_guarded(spark, tmp_path):
+    """scan_row_count (round 14): EXACT parquet-footer row count with
+    zero Spark jobs on a provably row-preserving frame (bare scan or
+    projection), None on anything that could change the row count —
+    filter, join, limit, sample, non-file source — so callers sizing a
+    geometry from it (cosine_near_dup_pairs' LSH bands) get the value a
+    count() job would return, or fall back to running one."""
+    from pyspark.sql import functions as F
+
+    from custom_map_reduce_for_word_count_in_cpp_using_grpc_and_hdfs_spark.plans.parallelism import scan_row_count
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1234).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert scan_row_count(df) == 1234
+    assert scan_row_count(df.select("id")) == 1234
+    assert scan_row_count(df.where("id % 2 = 0")) is None
+    assert scan_row_count(df.limit(5)) is None
+    assert scan_row_count(df.sample(0.5)) is None
+    assert scan_row_count(df.join(df.select(F.col("id").alias("j")), df.id == F.col("j"))) is None
+    assert scan_row_count(spark.range(10).toDF("x")) is None
+
+
 def test_ann_topk_plans_window_group_limit(spark):
     """The row_number+filter top-k shape must get WindowGroupLimit
     (partial per-partition top-k heaps BEFORE the window sort) — the
